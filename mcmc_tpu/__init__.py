@@ -1,0 +1,56 @@
+"""mcmc_tpu — a TPU-native MCMC inference engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capability set of MCMCLib
+(kthohr/mcmc, reference at /root/reference): seven MCMC samplers driven by a
+user-supplied log-posterior kernel, re-architected TPU-first:
+
+- the user target is a pure JAX function ``log_kernel(params) -> scalar``
+  (autodiff via :func:`jax.grad` replaces the reference's ``grad_out*``
+  callback convention and its external ``autodiff`` C++ library —
+  see reference README.md:290-402);
+- every sampler is a pure ``(key, state) -> (state, info)`` transition kernel,
+  scanned over draws with :func:`jax.lax.scan` and vmapped over thousands of
+  chains per chip;
+- population/ladder samplers (DE-MCMC, AEES) treat chains as a sharded batch
+  axis over a :class:`jax.sharding.Mesh`, with XLA collectives replacing the
+  reference's OpenMP thread loops (reference src/de.cpp:161, src/aees.cpp:167).
+
+Public API mirrors the reference's seven entry points
+(reference include/mcmc/mcmc_algos.hpp):
+
+    rwmh, mala, hmc, nuts, rmhmc, de, aees
+
+plus the settings types of reference include/misc/mcmc_structs.hpp.
+"""
+
+from mcmc_tpu.settings import (
+    AlgoSettings,
+    RWMHSettings,
+    MALASettings,
+    HMCSettings,
+    NUTSSettings,
+    RMHMCSettings,
+    DESettings,
+    AEESSettings,
+)
+from mcmc_tpu.results import SamplerResult
+from mcmc_tpu.samplers.rwmh import rwmh
+from mcmc_tpu.samplers.mala import mala
+from mcmc_tpu.samplers.hmc import hmc
+from mcmc_tpu.samplers.nuts import nuts
+from mcmc_tpu.samplers.rmhmc import rmhmc
+from mcmc_tpu.samplers.de import de
+from mcmc_tpu.samplers.aees import aees
+from mcmc_tpu import bounds
+from mcmc_tpu import stats
+from mcmc_tpu import diagnostics
+from mcmc_tpu import models
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "rwmh", "mala", "hmc", "nuts", "rmhmc", "de", "aees",
+    "AlgoSettings", "RWMHSettings", "MALASettings", "HMCSettings",
+    "NUTSSettings", "RMHMCSettings", "DESettings", "AEESSettings",
+    "SamplerResult", "bounds", "stats", "diagnostics", "models",
+]

@@ -1,0 +1,193 @@
+"""Box-constraint stack: bounds classification, unconstraining transforms,
+log-Jacobian corrections.
+
+TPU-native re-design of the reference's per-dimension ``switch`` loops
+(reference include/misc/determine_bounds_type.hpp:27-57,
+transform_vals.hpp:25-119, log_jacobian.hpp:25-58,
+inv_jacobian_adjust.hpp:25-56, bounds_check.hpp:25-49) as fully vectorized
+``jnp.select`` expressions over a per-dimension integer code vector — no
+Python-level branching, jit/vmap/grad safe, and numerically stabilized with
+softplus/sigmoid formulations that agree with the reference's overflow
+fallbacks in the saturated regime.
+
+Bound-type codes (same encoding as the reference):
+    1 — unbounded
+    2 — lower bound only:  z = log(x - lb + eps)
+    3 — upper bound only:  z = -log(ub - x + eps)
+    4 — two-sided:         z = log(x - lb + eps) - log(ub - x + eps)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "determine_bounds_type",
+    "transform",
+    "inv_transform",
+    "log_jacobian",
+    "inv_jacobian_diag",
+    "sampling_bounds_check",
+    "make_box_log_kernel",
+]
+
+
+def _eps(x):
+    return jnp.finfo(jnp.result_type(x, jnp.float32)).eps
+
+
+def determine_bounds_type(vals_bound: bool, n_vals: int, lower_bounds, upper_bounds):
+    """Per-dimension bound-type codes.
+
+    Mirrors reference include/misc/determine_bounds_type.hpp:27-57:
+    finite lb & ub -> 4, finite lb only -> 2, finite ub only -> 3, else 1.
+    ``vals_bound=False`` short-circuits to all-1.
+    """
+    if not vals_bound:
+        return jnp.ones((n_vals,), dtype=jnp.int32)
+    lb = jnp.asarray(lower_bounds)
+    ub = jnp.asarray(upper_bounds)
+    lb_fin = jnp.isfinite(lb)
+    ub_fin = jnp.isfinite(ub)
+    codes = jnp.where(
+        lb_fin & ub_fin, 4,
+        jnp.where(lb_fin, 2, jnp.where(ub_fin, 3, 1)),
+    )
+    return codes.astype(jnp.int32)
+
+
+def transform(x, codes, lower_bounds, upper_bounds):
+    """Constrained -> unconstrained map (reference transform_vals.hpp:25-60).
+
+    Only applied to initial values, so no gradient-safety tricks needed.
+    """
+    x = jnp.asarray(x)
+    eps = _eps(x)
+    lb = jnp.broadcast_to(jnp.asarray(lower_bounds, x.dtype), x.shape)
+    ub = jnp.broadcast_to(jnp.asarray(upper_bounds, x.dtype), x.shape)
+    z2 = jnp.log(x - lb + eps)
+    z3 = -jnp.log(ub - x + eps)
+    z4 = z2 + z3
+    return jnp.select(
+        [codes == 1, codes == 2, codes == 3, codes == 4],
+        [x, z2, z3, z4],
+    )
+
+
+def inv_transform(z, codes, lower_bounds, upper_bounds):
+    """Unconstrained -> constrained map (reference transform_vals.hpp:62-119).
+
+    Matches the reference's non-finite clamping semantics:
+      code 2: non-finite z -> lb + eps
+      code 3: non-finite z -> ub - eps
+      code 4: NaN -> (ub - lb)/2 (reference quirk, transform_vals.hpp:96-97);
+              +/-inf or overflowed output -> clamped just inside the bound.
+    The two-sided map uses a sigmoid formulation, which is overflow-free and
+    agrees with the reference's exact expression for finite z.
+    """
+    z = jnp.asarray(z)
+    eps = _eps(z)
+    lb = jnp.broadcast_to(jnp.asarray(lower_bounds, z.dtype), z.shape)
+    ub = jnp.broadcast_to(jnp.asarray(upper_bounds, z.dtype), z.shape)
+
+    finite = jnp.isfinite(z)
+    zs = jnp.where(finite, z, 0.0)  # safe operand for exp
+
+    # Branch-local finite stand-ins for the bounds: unselected branches see
+    # +/-inf bounds, and reverse-mode AD multiplies cotangents by these
+    # constants (inf * 0 = NaN), so they must be sanitized per branch.
+    lb2 = jnp.where(codes == 2, lb, 0.0)
+    ub3 = jnp.where(codes == 3, ub, 0.0)
+    lb4 = jnp.where(codes == 4, lb, 0.0)
+    ub4 = jnp.where(codes == 4, ub, 1.0)
+
+    x2 = jnp.where(finite, lb2 + eps + jnp.exp(zs), lb2 + eps)
+    x3 = jnp.where(finite, ub3 - eps - jnp.exp(-zs), ub3 - eps)
+
+    # (lb - eps) * sigmoid(-z) + (ub + eps) * sigmoid(z), clipped inside.
+    sig = jax.nn.sigmoid(zs)
+    x4 = (lb4 - eps) * (1.0 - sig) + (ub4 + eps) * sig
+    x4 = jnp.clip(x4, lb4 + eps, ub4 - eps)
+    x4 = jnp.where(finite, x4, jnp.where(z < 0, lb4 + eps, ub4 - eps))
+    x4 = jnp.where(jnp.isnan(z), (ub4 - lb4) / 2, x4)
+
+    return jnp.select(
+        [codes == 1, codes == 2, codes == 3, codes == 4],
+        [z, x2, x3, x4],
+    )
+
+
+def log_jacobian(z, codes, lower_bounds, upper_bounds):
+    """Additive log|dx/dz| correction (reference log_jacobian.hpp:25-58).
+
+    code 2: +z; code 3: -z;
+    code 4: log(ub-lb) + z - 2*softplus(z) — the softplus form is exact and
+    reduces to the reference's overflow fallback log(ub-lb) - z for large z.
+    Returns a scalar (sum over dimensions). Gradient-safe.
+    """
+    z = jnp.asarray(z)
+    lb = jnp.broadcast_to(jnp.asarray(lower_bounds, z.dtype), z.shape)
+    ub = jnp.broadcast_to(jnp.asarray(upper_bounds, z.dtype), z.shape)
+    j4 = jnp.log(jnp.where(codes == 4, ub - lb, 1.0)) + z - 2.0 * jax.nn.softplus(z)
+    per_dim = jnp.select(
+        [codes == 1, codes == 2, codes == 3, codes == 4],
+        [jnp.zeros_like(z), z, -z, j4],
+    )
+    return jnp.sum(per_dim)
+
+
+def inv_jacobian_diag(z, codes, lower_bounds, upper_bounds):
+    """Diagonal of dx/dz^{-1}... the reference's ``inv_jacobian_adjust``
+    matrix (reference inv_jacobian_adjust.hpp:25-56), kept as a vector since
+    it is diagonal by construction (the transform is element-wise).
+
+    code 1: 1; code 2: exp(-z); code 3: exp(z);
+    code 4: (e^z + 1)^2 / (e^z (ub - lb)).
+    """
+    z = jnp.asarray(z)
+    lb = jnp.broadcast_to(jnp.asarray(lower_bounds, z.dtype), z.shape)
+    ub = jnp.broadcast_to(jnp.asarray(upper_bounds, z.dtype), z.shape)
+    width = jnp.where(codes == 4, ub - lb, 1.0)
+    # (e + 1)^2 / e = e + 2 + 1/e  — overflow-safe enough for sampler use
+    e = jnp.exp(z)
+    j4 = (e + 2.0 + jnp.exp(-z)) / width
+    return jnp.select(
+        [codes == 1, codes == 2, codes == 3, codes == 4],
+        [jnp.ones_like(z), jnp.exp(-z), jnp.exp(z), j4],
+    )
+
+
+def sampling_bounds_check(vals_bound, codes, hard_lb, hard_ub, samp_lb, samp_ub):
+    """Clip DE's initial-population sampling box to the hard bounds
+    (reference bounds_check.hpp:25-49)."""
+    samp_lb = jnp.asarray(samp_lb)
+    samp_ub = jnp.asarray(samp_ub)
+    if not vals_bound:
+        return samp_lb, samp_ub
+    hard_lb = jnp.asarray(hard_lb)
+    hard_ub = jnp.asarray(hard_ub)
+    lo_mask = (codes == 4) | (codes == 2)
+    hi_mask = (codes == 4) | (codes == 3)
+    out_lb = jnp.where(lo_mask, jnp.maximum(hard_lb, samp_lb), samp_lb)
+    out_ub = jnp.where(hi_mask, jnp.minimum(hard_ub, samp_ub), samp_ub)
+    return out_lb, out_ub
+
+
+def make_box_log_kernel(log_kernel, vals_bound, codes, lower_bounds, upper_bounds):
+    """Wrap a user log-kernel so it acts on unconstrained coordinates.
+
+    The JAX analog of the reference's ``box_log_kernel`` closure
+    (reference src/rwmh.cpp:82-93): when bounded, evaluate the user kernel at
+    ``inv_transform(z)`` and add the log-Jacobian. The returned function is a
+    pure scalar function of z — gradient-based samplers obtain exact
+    gradients (including the Jacobian term) with ``jax.grad``.
+    """
+    if not vals_bound:
+        return log_kernel
+
+    def box_log_kernel(z):
+        x = inv_transform(z, codes, lower_bounds, upper_bounds)
+        return log_kernel(x) + log_jacobian(z, codes, lower_bounds, upper_bounds)
+
+    return box_log_kernel

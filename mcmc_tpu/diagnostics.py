@@ -1,0 +1,99 @@
+"""Convergence diagnostics: split R-hat, effective sample size, summaries.
+
+The reference reports only ``n_accept_draws`` (SURVEY.md §5); these
+diagnostics are the additions the BASELINE metrics require (ESS/sec, R-hat
+parity). All functions are jit-safe and batched: ``draws`` has shape
+``(n_draws, n_chains, n_vals)`` (a single chain may pass ``(n_draws, n_vals)``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["split_rhat", "ess", "summary"]
+
+
+def _ensure_3d(draws):
+    draws = jnp.asarray(draws)
+    if draws.ndim == 2:
+        draws = draws[:, None, :]
+    return draws
+
+
+def split_rhat(draws):
+    """Split-chain potential scale reduction factor (Gelman-Rubin).
+
+    Each chain is split in half, giving m = 2 * n_chains sequences; returns
+    the per-dimension R-hat vector.
+    """
+    draws = _ensure_3d(draws)
+    n = draws.shape[0] // 2
+    # (n, 2*n_chains, dim)
+    halves = jnp.concatenate([draws[:n], draws[n : 2 * n]], axis=1)
+    chain_means = halves.mean(axis=0)                 # (m, dim)
+    chain_vars = halves.var(axis=0, ddof=1)           # (m, dim)
+    w = chain_vars.mean(axis=0)
+    b = n * chain_means.var(axis=0, ddof=1)
+    var_plus = (n - 1) / n * w + b / n
+    return jnp.sqrt(var_plus / w)
+
+
+def _autocov_fft(x):
+    """Autocovariance along axis 0 via FFT, biased (divided by n)."""
+    n = x.shape[0]
+    m = _next_pow2(2 * n)
+    xc = x - x.mean(axis=0, keepdims=True)
+    f = jnp.fft.rfft(xc, n=m, axis=0)
+    acov = jnp.fft.irfft(f * jnp.conj(f), n=m, axis=0)[:n].real
+    return acov / n
+
+
+def _next_pow2(n: int) -> int:
+    m = 1
+    while m < n:
+        m *= 2
+    return m
+
+
+def ess(draws):
+    """Effective sample size with Geyer's initial monotone sequence estimator,
+    combined across chains (Stan-style: mean autocovariance across chains over
+    the pooled variance). Returns the per-dimension ESS vector.
+    """
+    draws = _ensure_3d(draws)
+    n, m, dim = draws.shape
+
+    acov = _autocov_fft(draws)                        # (n, m, dim)
+    mean_acov = acov.mean(axis=1)                     # (n, dim)
+    chain_means = draws.mean(axis=0)                  # (m, dim)
+    var_plus = mean_acov[0] * n / (n - 1)
+    if m > 1:
+        var_plus = var_plus + chain_means.var(axis=0, ddof=1)
+
+    # rho_t = 1 - (W - mean_acov_t) / var_plus
+    rho = 1.0 - (mean_acov[0] - mean_acov) / var_plus  # (n, dim)
+
+    # Geyer: sum consecutive pairs, keep while positive, enforce monotone.
+    n_pairs = (n - 1) // 2
+    pair_sums = rho[1 : 2 * n_pairs : 2] + rho[2 : 2 * n_pairs + 1 : 2]  # (n_pairs, dim)
+
+    positive = pair_sums > 0
+    keep = jnp.cumprod(positive, axis=0).astype(bool)
+    # monotone non-increasing envelope
+    capped = jax.lax.associative_scan(jnp.minimum, jnp.where(keep, pair_sums, 0.0), axis=0)
+    tau = -1.0 + 2.0 * jnp.sum(jnp.where(keep, capped, 0.0), axis=0) + rho[0]
+    tau = jnp.maximum(tau, 1.0 / jnp.log10(jnp.asarray(float(n * m))))
+    return n * m / tau
+
+
+def summary(draws):
+    """Posterior summary dict: mean, sd, split R-hat, ESS."""
+    draws = _ensure_3d(draws)
+    axes = (0, 1)
+    return {
+        "mean": draws.mean(axis=axes),
+        "sd": draws.std(axis=axes),
+        "rhat": split_rhat(draws),
+        "ess": ess(draws),
+    }

@@ -1,0 +1,131 @@
+"""Target log-kernels used by tests, examples, and benchmarks.
+
+These are pure JAX re-expressions of the reference's example targets
+(reference examples/eigen/*.cpp) plus the BASELINE.md benchmark targets
+(100-d logistic regression, ill-conditioned Gaussian, banana). All are
+vmap/grad/jit safe scalar functions of a parameter vector.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+LOG_2PI = math.log(2.0 * math.pi)
+
+
+def gaussian_mean_model(x_data, sigma=1.0, mu_0=1.0, sigma_0=2.0):
+    """Gaussian-mean posterior of reference examples/eigen/rwmh_normal_mean.cpp:
+    likelihood N(mu, sigma^2) over ``x_data`` plus N(mu_0, sigma_0^2) prior on
+    the single parameter mu."""
+    x = jnp.asarray(x_data)
+    n = x.shape[0]
+
+    def log_kernel(params):
+        mu = params[0]
+        ll = -n * (0.5 * LOG_2PI + jnp.log(sigma)) \
+            - jnp.sum((x - mu) ** 2) / (2.0 * sigma**2)
+        lp = -0.5 * LOG_2PI - jnp.log(sigma_0) - (mu - mu_0) ** 2 / (2.0 * sigma_0**2)
+        return ll + lp
+
+    return log_kernel
+
+
+def gaussian_mean_scale_model(x_data):
+    """(mu, sigma) likelihood of reference examples/eigen/hmc_normal.cpp:46-62
+    — no prior, sigma sampled directly (non-positive sigma yields NaN which
+    samplers reject)."""
+    x = jnp.asarray(x_data)
+    n = x.shape[0]
+
+    def log_kernel(params):
+        mu, sigma = params[0], params[1]
+        return -n * (0.5 * LOG_2PI + jnp.log(sigma)) \
+            - jnp.sum((x - mu) ** 2) / (2.0 * sigma**2)
+
+    return log_kernel
+
+
+def normal_fisher_metric(n_data: int):
+    """Fisher metric for the (mu, sigma) normal model, the RM-HMC example's
+    ``tensor_fn`` (reference examples/eigen/rmhmc_normal.cpp:78-111):
+    G = diag(n/sigma^2, 2n/sigma^2). Derivatives are obtained by jax.jacfwd
+    in the sampler, replacing the hand-coded Cube_t."""
+
+    def metric_fn(params):
+        sigma_sq = params[1] ** 2
+        return jnp.diag(jnp.array([n_data / sigma_sq, 2.0 * n_data / sigma_sq]))
+
+    return metric_fn
+
+
+def make_logistic_regression_data(key, n_data: int, dim: int, dtype=jnp.float32):
+    """Synthetic logistic-regression data for the BASELINE 100-d benchmark."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    X = jax.random.normal(k1, (n_data, dim), dtype) / jnp.sqrt(dim).astype(dtype)
+    beta_true = jax.random.normal(k2, (dim,), dtype)
+    logits = X @ beta_true
+    y = (jax.random.uniform(k3, (n_data,), dtype) < jax.nn.sigmoid(logits)).astype(dtype)
+    return X, y, beta_true
+
+
+def logistic_regression_model(X, y, prior_scale=10.0):
+    """Bayesian logistic regression: Bernoulli likelihood with N(0, s^2)
+    prior. The hot op is the (n_chains, dim) x (dim, n_data) matmul that XLA
+    maps onto the MXU when the kernel is vmapped over chains."""
+    X = jnp.asarray(X)
+    y = jnp.asarray(y)
+
+    def log_kernel(beta):
+        logits = X @ beta
+        ll = jnp.sum(y * logits - jax.nn.softplus(logits))
+        lp = -0.5 * jnp.sum(beta**2) / prior_scale**2
+        return ll + lp
+
+    return log_kernel
+
+
+def ill_conditioned_gaussian(dim: int, condition_number: float = 1e4, dtype=jnp.float32):
+    """Zero-mean Gaussian with log-spaced marginal variances spanning the
+    given condition number — the BASELINE NUTS stress target."""
+    variances = jnp.logspace(0.0, jnp.log10(condition_number), dim, dtype=dtype)
+
+    def log_kernel(x):
+        return -0.5 * jnp.sum(x * x / variances)
+
+    log_kernel.variances = variances
+    return log_kernel
+
+
+def banana_model(b: float = 0.1, sigma: float = 10.0):
+    """2-d banana (twisted Gaussian): x1 ~ N(0, sigma^2),
+    x2 | x1 ~ N(b * (x1^2 - sigma^2), 1)."""
+
+    def log_kernel(x):
+        x1, x2 = x[0], x[1]
+        return -0.5 * x1**2 / sigma**2 - 0.5 * (x2 - b * (x1**2 - sigma**2)) ** 2
+
+    return log_kernel
+
+
+def gaussian_mixture_model(mu, sig_sq, weights):
+    """Isotropic Gaussian mixture (reference examples/eigen/aees_mixture.cpp:37-58).
+
+    ``mu`` has shape (n_mix, n_vals); computed with logsumexp instead of the
+    reference's probability-space sum for numerical stability — identical up
+    to rounding wherever the reference is finite.
+    """
+    mu = jnp.asarray(mu)
+    sig_sq = jnp.asarray(sig_sq)
+    weights = jnp.asarray(weights)
+    n_vals = mu.shape[1]
+
+    def log_kernel(x):
+        dist_sq = jnp.sum((x[None, :] - mu) ** 2, axis=1)
+        log_comp = jnp.log(weights) - 0.5 * dist_sq / sig_sq \
+            - 0.5 * n_vals * jnp.log(2.0 * jnp.pi * sig_sq)
+        return jax.scipy.special.logsumexp(log_comp)
+
+    return log_kernel

@@ -1,0 +1,184 @@
+"""Shared sampler machinery.
+
+The reference repeats a driver skeleton in every sampler translation unit
+(SURVEY.md §2b; e.g. reference src/rwmh.cpp:64-167): classify bounds, build a
+box log-kernel closure, transform initial values, run a sequential draw loop,
+back-transform kept draws, report acceptance. Here that skeleton is one pure
+:func:`run_sampler_loop` — a :func:`jax.lax.scan` over draws of a vmapped
+single-chain transition kernel — plus :class:`SPD`, a trace-time wrapper that
+specializes identity / diagonal / dense covariance and preconditioner
+matrices so the common identity case costs nothing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mcmc_tpu import bounds as bounds_mod
+
+__all__ = ["SPD", "Problem", "setup_problem", "run_sampler_loop", "finalize_draws"]
+
+
+@dataclass(frozen=True)
+class SPD:
+    """Trace-time specialization of a symmetric-positive-definite matrix.
+
+    Provides the three products every Metropolis/Hamiltonian kernel needs
+    (reference precomputes the same trio once per run, src/hmc.cpp:57-59):
+    ``mv`` (M v), ``inv_mv`` (M^{-1} v), ``sqrt_mv`` (chol(M) v). For the
+    default identity and for diagonal matrices these lower to element-wise
+    VPU ops instead of matmuls.
+    """
+
+    kind: str  # 'identity' | 'diag' | 'full'
+    mv: Callable[[Any], Any]
+    inv_mv: Callable[[Any], Any]
+    sqrt_mv: Callable[[Any], Any]
+    sqrt_t_mv: Callable[[Any], Any]  # chol(M)^T v (for log-density solves)
+    mat: Any  # dense/diag representation or None for identity
+
+
+def make_spd(mat, n_vals: int, dtype) -> SPD:
+    """Build an :class:`SPD` from ``None`` (identity), scalar, 1-D diagonal,
+    or 2-D dense input. Mirrors the reference's "use cov_mat if correctly
+    sized else identity" rule (reference src/rwmh.cpp:58)."""
+    if mat is None:
+        ident = lambda v: v
+        return SPD("identity", ident, ident, ident, ident, None)
+
+    m = jnp.asarray(mat, dtype)
+    if m.ndim == 0:
+        m = jnp.full((n_vals,), m, dtype)
+    if m.ndim == 1:
+        if m.shape[0] != n_vals:
+            raise ValueError(f"diagonal matrix has size {m.shape[0]}, expected {n_vals}")
+        sq = jnp.sqrt(m)
+        return SPD(
+            "diag",
+            mv=lambda v: m * v,
+            inv_mv=lambda v: v / m,
+            sqrt_mv=lambda v: sq * v,
+            sqrt_t_mv=lambda v: sq * v,
+            mat=m,
+        )
+    if m.shape != (n_vals, n_vals):
+        raise ValueError(f"matrix has shape {m.shape}, expected ({n_vals},{n_vals})")
+    chol = jnp.linalg.cholesky(m)
+    inv = jnp.linalg.inv(m)
+    return SPD(
+        "full",
+        mv=lambda v: m @ v,
+        inv_mv=lambda v: inv @ v,
+        sqrt_mv=lambda v: chol @ v,
+        sqrt_t_mv=lambda v: chol.T @ v,
+        mat=m,
+    )
+
+
+@dataclass(frozen=True)
+class Problem:
+    """Everything derived from (initial_vals, log_kernel, umbrella settings)."""
+
+    n_vals: int
+    dtype: Any
+    vals_bound: bool
+    codes: Any
+    lower_bounds: Any
+    upper_bounds: Any
+    log_kernel: Callable          # user kernel, constrained space
+    box_log_kernel: Callable      # unconstrained space (+ log-Jacobian)
+    first_draw: Any               # (n_chains, n_vals) unconstrained
+    n_chains: int
+    squeeze: bool                 # drop the chain axis in the result
+
+
+def setup_problem(initial_vals, log_kernel, algo, n_chains: Optional[int], dtype=None) -> Problem:
+    """Common preamble of every sampler (reference src/rwmh.cpp:64-103)."""
+    x0 = jnp.asarray(initial_vals, dtype)
+    dtype = x0.dtype
+    squeeze = x0.ndim == 1 and (n_chains is None or n_chains == 1)
+    if x0.ndim == 1:
+        n = 1 if n_chains is None else int(n_chains)
+        x0 = jnp.broadcast_to(x0, (n, x0.shape[0]))
+    n_chains_eff, n_vals = x0.shape
+
+    vals_bound = bool(algo.vals_bound)
+    if vals_bound:
+        lb = jnp.asarray(algo.lower_bounds, dtype) if algo.lower_bounds is not None \
+            else jnp.full((n_vals,), -jnp.inf, dtype)
+        ub = jnp.asarray(algo.upper_bounds, dtype) if algo.upper_bounds is not None \
+            else jnp.full((n_vals,), jnp.inf, dtype)
+    else:
+        lb = jnp.full((n_vals,), -jnp.inf, dtype)
+        ub = jnp.full((n_vals,), jnp.inf, dtype)
+
+    codes = bounds_mod.determine_bounds_type(vals_bound, n_vals, lb, ub)
+    box = bounds_mod.make_box_log_kernel(log_kernel, vals_bound, codes, lb, ub)
+
+    first = x0
+    if vals_bound:
+        first = jax.vmap(lambda v: bounds_mod.transform(v, codes, lb, ub))(x0)
+
+    return Problem(
+        n_vals=n_vals, dtype=dtype, vals_bound=vals_bound, codes=codes,
+        lower_bounds=lb, upper_bounds=ub, log_kernel=log_kernel,
+        box_log_kernel=box, first_draw=first, n_chains=n_chains_eff,
+        squeeze=squeeze,
+    )
+
+
+def _split_keys(keys):
+    pair = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
+    return pair[:, 0], pair[:, 1]
+
+
+def run_sampler_loop(key, state0, step_fn, n_burnin, n_keep, collect_fn):
+    """Burn-in + keep scans of a vmapped transition kernel.
+
+    ``state0`` is chain-batched on the leading axis; ``step_fn`` is the
+    single-chain pure kernel ``(key, state) -> (state, info)``; ``info`` must
+    contain an ``"accepted"`` entry. Acceptance is only tallied in the keep
+    phase, matching the reference (src/rwmh.cpp:140-142).
+
+    Returns ``(final_state, draws, infos)`` where ``draws`` stacks
+    ``collect_fn(state)`` over kept iterations: shape ``(n_keep, n_chains, ...)``.
+    """
+    n_chains = jax.tree_util.tree_leaves(state0)[0].shape[0]
+    keys = jax.random.split(key, n_chains)
+    batched_step = jax.vmap(step_fn)
+
+    def body(carry, _):
+        st, ks = carry
+        ks, subs = _split_keys(ks)
+        st, info = batched_step(subs, st)
+        return (st, ks), (st, info)
+
+    def body_burn(carry, _):
+        carry, _out = body(carry, None)
+        return carry, None
+
+    carry = (state0, keys)
+    if n_burnin > 0:
+        carry, _ = lax.scan(body_burn, carry, None, length=n_burnin)
+
+    def body_keep(carry, _):
+        carry, (st, info) = body(carry, None)
+        return carry, (collect_fn(st), info)
+
+    carry, (draws, infos) = lax.scan(body_keep, carry, None, length=n_keep)
+    return carry[0], draws, infos
+
+
+def finalize_draws(draws, prob: Problem):
+    """Back-transform kept draws to constrained space — the vectorized analog
+    of the reference's OpenMP inv_transform pass (src/rwmh.cpp:156-163)."""
+    if prob.vals_bound:
+        draws = bounds_mod.inv_transform(
+            draws, prob.codes, prob.lower_bounds, prob.upper_bounds
+        )
+    return draws

@@ -1,0 +1,134 @@
+"""Metropolis-adjusted Langevin algorithm.
+
+TPU-native re-design of reference src/mala.cpp:30-235 + include/mcmc/mala.ipp:
+drift ``mu(z) = z + eps^2/2 * M * grad logK`` (src/mala.cpp:97-125), proposal
+``mu + eps * chol(M) * xi`` (src/mala.cpp:149-160), and an MH correction with
+the proposal-asymmetry term computed from two MVN log-densities
+(mala.ipp:30-70). The reference's accept clamp ``min(0.01, .)``
+(src/mala.cpp:170) and its quirk of using the *proposal's* inverse-Jacobian
+in both asymmetry terms when bounded (mala.ipp:48-57) are preserved in
+``bounded_grad="reference"`` mode.
+
+Unlike the reference (3 gernel+gradient evaluations per draw), the gradient
+at the current point is carried in the chain state, so each draw costs one
+fresh ``value_and_grad`` of the target — the minimum possible.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mcmc_tpu import bounds as bounds_mod
+from mcmc_tpu import stats
+from mcmc_tpu.results import SamplerResult
+from mcmc_tpu.settings import MALASettings
+from mcmc_tpu.samplers import common
+from mcmc_tpu.samplers._resolve import resolve_settings, resolve_key
+
+__all__ = ["mala", "MALAState", "build_mala_kernel"]
+
+
+class MALAState(NamedTuple):
+    position: jax.Array
+    log_prob: jax.Array
+    kick: jax.Array      # drift direction at position: J * (M @ grad) or M @ grad
+    jac: jax.Array       # inv-Jacobian diagonal at position (ones when unused)
+
+
+def build_mala_kernel(prob: common.Problem, precond: common.SPD, step_size,
+                      bounded_grad="reference"):
+    eps2 = step_size * step_size
+    reference_mode = prob.vals_bound and bounded_grad == "reference"
+
+    if reference_mode:
+        user_vg = jax.value_and_grad(prob.log_kernel)
+
+        def eval_point(z):
+            """Returns (box_log_prob, kick, jac) at z."""
+            x = bounds_mod.inv_transform(z, prob.codes, prob.lower_bounds, prob.upper_bounds)
+            val, grad_x = user_vg(x)
+            lp = val + bounds_mod.log_jacobian(z, prob.codes, prob.lower_bounds, prob.upper_bounds)
+            jac = bounds_mod.inv_jacobian_diag(z, prob.codes, prob.lower_bounds, prob.upper_bounds)
+            return lp, jac * precond.mv(grad_x), jac
+    else:
+        box_vg = jax.value_and_grad(prob.box_log_kernel)
+
+        def eval_point(z):
+            val, grad_z = box_vg(z)
+            return val, precond.mv(grad_z), jnp.ones_like(z)
+
+    def mean_of(z, kick):
+        return z + 0.5 * eps2 * kick
+
+    def prop_sigma(jac):
+        """Proposal covariance eps^2 * J * M in the cheapest representation."""
+        if precond.kind == "identity":
+            return eps2 * jac
+        if precond.kind == "diag":
+            return eps2 * jac * precond.mat
+        return eps2 * jac[:, None] * precond.mat
+
+    def init(position):
+        lp, kick, jac = eval_point(position)
+        return MALAState(position=position, log_prob=lp, kick=kick, jac=jac)
+
+    def step(key, state: MALAState):
+        k_noise, k_accept = jax.random.split(key)
+        noise = jax.random.normal(k_noise, state.position.shape, state.position.dtype)
+
+        prev_mean = mean_of(state.position, state.kick)
+        scaled = precond.sqrt_mv(noise)
+        if reference_mode:
+            scaled = jnp.sqrt(state.jac) * scaled
+        proposal = prev_mean + step_size * scaled
+
+        prop_lp, prop_kick, prop_jac = eval_point(proposal)
+        prop_lp = jnp.where(jnp.isfinite(prop_lp), prop_lp, -jnp.inf)
+        prop_mean = mean_of(proposal, prop_kick)
+
+        # mala_prop_adjustment (reference mala.ipp:30-70): both covariance
+        # terms use the proposal's Jacobian, as in the reference.
+        sigma = prop_sigma(prop_jac)
+        adj = stats.dmvnorm(state.position, prop_mean, sigma, log=True) \
+            - stats.dmvnorm(proposal, prev_mean, sigma, log=True)
+
+        comp = jnp.minimum(0.01, prop_lp - state.log_prob + adj)
+        u = jax.random.uniform(k_accept, dtype=state.position.dtype)
+        accepted = u < jnp.exp(comp)
+
+        new_state = MALAState(
+            position=jnp.where(accepted, proposal, state.position),
+            log_prob=jnp.where(accepted, prop_lp, state.log_prob),
+            kick=jnp.where(accepted, prop_kick, state.kick),
+            jac=jnp.where(accepted, prop_jac, state.jac),
+        )
+        return new_state, {"accepted": accepted}
+
+    return init, step
+
+
+def mala(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
+         dtype=None, bounded_grad="reference") -> SamplerResult:
+    algo, s = resolve_settings(settings, "mala_settings", MALASettings)
+    key = resolve_key(key, algo)
+
+    prob = common.setup_problem(initial_vals, log_kernel, algo, n_chains, dtype)
+    precond = common.make_spd(s.precond_mat, prob.n_vals, prob.dtype)
+
+    init, step = build_mala_kernel(prob, precond, s.step_size, bounded_grad)
+    state0 = jax.vmap(init)(prob.first_draw)
+
+    _, draws, infos = common.run_sampler_loop(
+        key, state0, step, s.n_burnin_draws, s.n_keep_draws,
+        collect_fn=lambda st: st.position,
+    )
+
+    n_accept = infos["accepted"].sum(axis=0)
+    draws = common.finalize_draws(draws, prob)
+    if prob.squeeze:
+        draws = draws[:, 0, :]
+        n_accept = n_accept[0]
+    return SamplerResult(draws=draws, n_accept_draws=n_accept)

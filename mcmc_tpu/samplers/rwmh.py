@@ -1,0 +1,86 @@
+"""Random-walk Metropolis-Hastings.
+
+TPU-native re-design of reference src/rwmh.cpp:30-199: the per-draw loop is a
+:func:`jax.lax.scan` of a pure transition kernel, vmapped over chains. The
+proposal is the Gaussian random walk ``z* = z + par_scale * chol(cov) @ xi``
+(reference src/rwmh.cpp:113,122-123) and the accept test is
+``log u < min(0, delta_logK)`` (src/rwmh.cpp:133-136) with non-finite
+proposal log-kernels forced to -inf (src/rwmh.cpp:127-129).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mcmc_tpu.results import SamplerResult
+from mcmc_tpu.settings import RWMHSettings
+from mcmc_tpu.samplers import common
+from mcmc_tpu.samplers._resolve import resolve_settings, resolve_key
+
+__all__ = ["rwmh", "RWMHState", "build_rwmh_kernel"]
+
+
+class RWMHState(NamedTuple):
+    position: jax.Array   # unconstrained coordinates, (n_vals,)
+    log_prob: jax.Array   # box log-kernel at position
+
+
+def build_rwmh_kernel(box_log_kernel, prop_chol_mv, par_scale):
+    """Single-chain transition kernel ``(key, state) -> (state, info)``."""
+
+    def init(position):
+        return RWMHState(position=position, log_prob=box_log_kernel(position))
+
+    def step(key, state: RWMHState):
+        k_noise, k_accept = jax.random.split(key)
+        noise = jax.random.normal(k_noise, state.position.shape, state.position.dtype)
+        proposal = state.position + par_scale * prop_chol_mv(noise)
+
+        prop_lp = box_log_kernel(proposal)
+        prop_lp = jnp.where(jnp.isfinite(prop_lp), prop_lp, -jnp.inf)
+
+        comp = jnp.minimum(0.0, prop_lp - state.log_prob)
+        u = jax.random.uniform(k_accept, dtype=state.position.dtype)
+        accepted = u < jnp.exp(comp)
+
+        new_state = RWMHState(
+            position=jnp.where(accepted, proposal, state.position),
+            log_prob=jnp.where(accepted, prop_lp, state.log_prob),
+        )
+        return new_state, {"accepted": accepted}
+
+    return init, step
+
+
+def rwmh(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
+         dtype=None) -> SamplerResult:
+    """Run RWMH. ``log_kernel(params) -> scalar`` is a pure JAX function
+    (closures replace the reference's ``void* target_data``).
+
+    With ``n_chains`` set, ``initial_vals`` may be ``(n_vals,)`` (broadcast)
+    or ``(n_chains, n_vals)``; draws come back as
+    ``(n_keep, n_chains, n_vals)``.
+    """
+    algo, s = resolve_settings(settings, "rwmh_settings", RWMHSettings)
+    key = resolve_key(key, algo)
+
+    prob = common.setup_problem(initial_vals, log_kernel, algo, n_chains, dtype)
+    cov = common.make_spd(s.cov_mat, prob.n_vals, prob.dtype)
+
+    init, step = build_rwmh_kernel(prob.box_log_kernel, cov.sqrt_mv, s.par_scale)
+    state0 = jax.vmap(init)(prob.first_draw)
+
+    _, draws, infos = common.run_sampler_loop(
+        key, state0, step, s.n_burnin_draws, s.n_keep_draws,
+        collect_fn=lambda st: st.position,
+    )
+
+    n_accept = infos["accepted"].sum(axis=0)
+    draws = common.finalize_draws(draws, prob)
+    if prob.squeeze:
+        draws = draws[:, 0, :]
+        n_accept = n_accept[0]
+    return SamplerResult(draws=draws, n_accept_draws=n_accept)

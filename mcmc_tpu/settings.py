@@ -1,0 +1,141 @@
+"""Typed per-sampler settings.
+
+Field names and defaults carry over 1:1 from the reference's settings structs
+(reference include/misc/mcmc_structs.hpp:26-184) so reference example configs
+translate mechanically. The reference's OpenMP thread-count field
+(``omp_n_threads``) has no analog: on-chip parallelism here is the vmapped
+``n_chains`` axis and multi-chip parallelism is the device mesh (see
+``mcmc_tpu.parallel``); both are arguments to the sampler entry points.
+
+All settings are plain Python dataclasses holding static (trace-time)
+configuration; array-valued fields (covariances, bounds, temperature ladders)
+may be any array-like.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Optional
+
+__all__ = [
+    "RWMHSettings", "MALASettings", "HMCSettings", "NUTSSettings",
+    "RMHMCSettings", "DESettings", "AEESSettings", "AlgoSettings",
+]
+
+ArrayLike = Any
+
+
+@dataclass
+class RWMHSettings:
+    """Random-walk Metropolis-Hastings (reference mcmc_structs.hpp:138-149)."""
+    n_burnin_draws: int = 1000
+    n_keep_draws: int = 1000
+    par_scale: float = 1.0
+    cov_mat: Optional[ArrayLike] = None  # None -> identity
+
+
+@dataclass
+class MALASettings:
+    """Metropolis-adjusted Langevin (reference mcmc_structs.hpp:123-134)."""
+    n_burnin_draws: int = 1000
+    n_keep_draws: int = 1000
+    step_size: float = 1.0
+    precond_mat: Optional[ArrayLike] = None  # None -> identity
+
+
+@dataclass
+class HMCSettings:
+    """Hamiltonian Monte Carlo (reference mcmc_structs.hpp:66-78)."""
+    n_burnin_draws: int = 1000
+    n_keep_draws: int = 1000
+    n_leap_steps: int = 1
+    step_size: float = 1.0
+    precond_mat: Optional[ArrayLike] = None
+
+
+@dataclass
+class NUTSSettings:
+    """No-U-Turn sampler with dual-averaging step-size adaptation
+    (reference mcmc_structs.hpp:82-101)."""
+    n_burnin_draws: int = 1000
+    n_keep_draws: int = 1000
+    n_adapt_draws: int = 1000
+    target_accept_rate: float = 0.55
+    max_tree_depth: int = 10
+    step_size: float = 1.0       # epsilon_bar_0
+    gamma_val: float = 0.05
+    t0_val: float = 10.0
+    kappa_val: float = 0.75
+    precond_mat: Optional[ArrayLike] = None
+
+
+@dataclass
+class RMHMCSettings:
+    """Riemannian-manifold HMC with fixed-point generalized leapfrog
+    (reference mcmc_structs.hpp:105-119)."""
+    n_burnin_draws: int = 1000
+    n_keep_draws: int = 1000
+    n_leap_steps: int = 1
+    step_size: float = 1.0
+    precond_mat: Optional[ArrayLike] = None
+    n_fp_steps: int = 5
+
+
+@dataclass
+class DESettings:
+    """Differential-evolution MCMC (reference mcmc_structs.hpp:44-62).
+
+    Note: as in the reference, the running gamma is the hard-coded optimal
+    ``2.38 / sqrt(2 d)`` (reference src/de.cpp:59-60); ``par_gamma`` is kept
+    for interface parity but unused, and ``par_gamma_jump`` applies on every
+    10th sweep when ``jumps`` is on (src/de.cpp:151-153).
+    """
+    jumps: bool = False
+    n_pop: int = 100
+    n_burnin_draws: int = 1000
+    n_keep_draws: int = 1000
+    par_b: float = 1e-4
+    par_gamma: float = 1.0
+    par_gamma_jump: float = 2.0
+    initial_lb: Optional[ArrayLike] = None  # None -> initial_vals - 0.5
+    initial_ub: Optional[ArrayLike] = None  # None -> initial_vals + 0.5
+
+
+@dataclass
+class AEESSettings:
+    """Adaptive equi-energy sampler (reference mcmc_structs.hpp:26-40)."""
+    n_initial_draws: int = 1000
+    n_burnin_draws: int = 1000
+    n_keep_draws: int = 1000
+    par_scale: float = 1.0
+    cov_mat: Optional[ArrayLike] = None
+    n_rings: int = 5
+    ee_prob_par: float = 0.10
+    temper_vec: Optional[ArrayLike] = None  # user ladder; T=1 appended
+
+
+@dataclass
+class AlgoSettings:
+    """Umbrella settings (reference mcmc_structs.hpp:151-184).
+
+    ``rng_seed_value`` seeds the counter-based JAX PRNG (the analog of the
+    reference's ``std::mt19937_64`` master engine, mcmc_options.hpp:101);
+    per-chain streams come from ``jax.random.split`` rather than the
+    reference's derived per-thread seeds (stats/seed_values.hpp:24-30).
+    """
+    rng_seed_value: int = 0
+    vals_bound: bool = False
+    lower_bounds: Optional[ArrayLike] = None
+    upper_bounds: Optional[ArrayLike] = None
+
+    rwmh_settings: RWMHSettings = field(default_factory=RWMHSettings)
+    mala_settings: MALASettings = field(default_factory=MALASettings)
+    hmc_settings: HMCSettings = field(default_factory=HMCSettings)
+    nuts_settings: NUTSSettings = field(default_factory=NUTSSettings)
+    rmhmc_settings: RMHMCSettings = field(default_factory=RMHMCSettings)
+    de_settings: DESettings = field(default_factory=DESettings)
+    aees_settings: AEESSettings = field(default_factory=AEESSettings)
+
+    def replace(self, **kw) -> "AlgoSettings":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,91 @@
+"""Deterministic unit tests for the bounds/transform stack — the test layer
+the reference lacks entirely (SURVEY.md §4). Semantics under test are those of
+reference include/misc/{determine_bounds_type,transform_vals,log_jacobian,
+inv_jacobian_adjust,bounds_check}.hpp."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mcmc_tpu import bounds
+
+
+LB = jnp.array([-jnp.inf, 0.0, -jnp.inf, -1.0])
+UB = jnp.array([jnp.inf, jnp.inf, 2.0, 1.0])
+CODES = bounds.determine_bounds_type(True, 4, LB, UB)
+
+
+def test_bounds_type_codes():
+    np.testing.assert_array_equal(np.asarray(CODES), [1, 2, 3, 4])
+    free = bounds.determine_bounds_type(False, 4, LB, UB)
+    np.testing.assert_array_equal(np.asarray(free), [1, 1, 1, 1])
+
+
+def test_transform_roundtrip():
+    x = jnp.array([0.7, 1.3, -0.4, 0.25])
+    z = bounds.transform(x, CODES, LB, UB)
+    x_back = bounds.inv_transform(z, CODES, LB, UB)
+    # the +/- eps offsets in the forward map make the round-trip approximate
+    # (as in the reference, transform_vals.hpp:40-51); f32 leaves ~1e-4
+    np.testing.assert_allclose(np.asarray(x_back), np.asarray(x), rtol=5e-4, atol=5e-4)
+
+
+def test_inv_transform_respects_bounds():
+    for z_val in [-50.0, -3.0, 0.0, 3.0, 50.0]:
+        z = jnp.full((4,), z_val)
+        x = np.asarray(bounds.inv_transform(z, CODES, LB, UB))
+        assert x[1] >= 0.0
+        assert x[2] <= 2.0
+        assert -1.0 <= x[3] <= 1.0
+
+
+def test_inv_transform_nonfinite_clamps():
+    # reference transform_vals.hpp:81-111 clamping semantics
+    eps = float(jnp.finfo(jnp.float32).eps)
+    z = jnp.array([jnp.inf, -jnp.inf, jnp.inf, -jnp.inf])
+    x = np.asarray(bounds.inv_transform(z, CODES, LB, UB))
+    assert x[1] == pytest.approx(0.0 + eps)
+    assert x[2] == pytest.approx(2.0 - eps)
+    assert x[3] == pytest.approx(-1.0 + eps)
+    z_nan = jnp.full((4,), jnp.nan)
+    x_nan = np.asarray(bounds.inv_transform(z_nan, CODES, LB, UB))
+    # reference quirk: NaN two-sided -> (ub - lb)/2
+    assert x_nan[3] == pytest.approx((1.0 - (-1.0)) / 2)
+
+
+def test_log_jacobian_matches_autodiff():
+    """log|J| must equal sum log d inv_transform/dz (exactness check the
+    reference can't express)."""
+    z = jnp.array([0.3, -0.7, 1.2, 0.4], dtype=jnp.float64) \
+        if jax.config.jax_enable_x64 else jnp.array([0.3, -0.7, 1.2, 0.4])
+
+    lj = float(bounds.log_jacobian(z, CODES, LB, UB))
+
+    jac = jax.jacfwd(lambda zz: bounds.inv_transform(zz, CODES, LB, UB))(z)
+    diag = jnp.diagonal(jac)
+    lj_ad = float(jnp.sum(jnp.log(jnp.abs(diag))))
+    assert lj == pytest.approx(lj_ad, rel=1e-3)
+
+
+def test_inv_jacobian_diag_is_reciprocal_derivative():
+    z = jnp.array([0.3, -0.7, 1.2, 0.4])
+    jac = jax.jacfwd(lambda zz: bounds.inv_transform(zz, CODES, LB, UB))(z)
+    diag = jnp.diagonal(jac)
+    inv_j = bounds.inv_jacobian_diag(z, CODES, LB, UB)
+    np.testing.assert_allclose(np.asarray(inv_j * diag), np.ones(4), rtol=1e-3)
+
+
+def test_sampling_bounds_check():
+    samp_lb = jnp.full((4,), -5.0)
+    samp_ub = jnp.full((4,), 5.0)
+    out_lb, out_ub = bounds.sampling_bounds_check(True, CODES, LB, UB, samp_lb, samp_ub)
+    np.testing.assert_allclose(np.asarray(out_lb), [-5.0, 0.0, -5.0, -1.0])
+    np.testing.assert_allclose(np.asarray(out_ub), [5.0, 5.0, 2.0, 1.0])
+
+
+def test_box_log_kernel_gradient_finite():
+    log_kernel = lambda x: -0.5 * jnp.sum(x**2)
+    box = bounds.make_box_log_kernel(log_kernel, True, CODES, LB, UB)
+    g = jax.grad(box)(jnp.array([0.1, -0.2, 0.3, 0.0]))
+    assert np.all(np.isfinite(np.asarray(g)))

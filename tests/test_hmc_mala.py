@@ -1,0 +1,116 @@
+"""HMC and MALA statistical tests against the reference's (mu, sigma) normal
+example (reference examples/eigen/{hmc,mala}_normal.cpp) and a standard
+Gaussian sanity target."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mcmc_tpu
+from mcmc_tpu import models
+
+
+@pytest.fixture(scope="module")
+def normal_data():
+    key = jax.random.PRNGKey(123)
+    mu, sigma = 2.0, 2.0
+    x = mu + sigma * jax.random.normal(key, (1000,))
+    return x
+
+
+def test_hmc_mean_scale(normal_data):
+    """Reference config: step 0.08, 2000+2000 draws -> mean ~ (2, 2)
+    (examples/eigen/hmc_normal.cpp:99-103, BASELINE.md)."""
+    log_kernel = models.gaussian_mean_scale_model(normal_data)
+
+    settings = mcmc_tpu.AlgoSettings(rng_seed_value=5)
+    settings.hmc_settings.step_size = 0.08
+    settings.hmc_settings.n_burnin_draws = 2000
+    settings.hmc_settings.n_keep_draws = 2000
+
+    out = mcmc_tpu.hmc(jnp.array([3.0, 3.0]), log_kernel, settings)
+    mean = np.asarray(out.mean)
+    x = np.asarray(normal_data)
+    assert mean[0] == pytest.approx(x.mean(), abs=0.2)
+    assert mean[1] == pytest.approx(x.std(), abs=0.2)
+    assert float(out.accept_rate) > 0.5
+
+
+def test_hmc_multistep_standard_normal():
+    log_kernel = lambda v: -0.5 * jnp.sum(v**2)
+    # trajectory angle L*eps ~ pi/2 so successive draws decorrelate (an
+    # angle near pi makes the chain antithetic and second moments mix slowly)
+    s = mcmc_tpu.HMCSettings(
+        n_burnin_draws=500, n_keep_draws=2000, n_leap_steps=5, step_size=0.3
+    )
+    out = mcmc_tpu.hmc(jnp.zeros(4), log_kernel, s, n_chains=16,
+                       key=jax.random.PRNGKey(0))
+    assert out.draws.shape == (2000, 16, 4)
+    mean = np.asarray(out.draws).mean(axis=(0, 1))
+    var = np.asarray(out.draws).var(axis=(0, 1))
+    np.testing.assert_allclose(mean, 0.0, atol=0.1)
+    np.testing.assert_allclose(var, 1.0, atol=0.15)
+
+
+def test_hmc_diag_precond_matches_identity_statistics():
+    log_kernel = lambda v: -0.5 * jnp.sum(v**2 / jnp.array([1.0, 25.0]))
+    s = mcmc_tpu.HMCSettings(
+        n_burnin_draws=500, n_keep_draws=3000, n_leap_steps=8, step_size=0.3,
+        precond_mat=jnp.array([1.0, 25.0]),  # diag M matched to target scales
+    )
+    out = mcmc_tpu.hmc(jnp.zeros(2), log_kernel, s, n_chains=8,
+                       key=jax.random.PRNGKey(1))
+    var = np.asarray(out.draws).var(axis=(0, 1))
+    np.testing.assert_allclose(var, [1.0, 25.0], rtol=0.2)
+    assert float(np.mean(np.asarray(out.accept_rate))) > 0.6
+
+
+def test_mala_standard_normal():
+    log_kernel = lambda v: -0.5 * jnp.sum(v**2)
+    s = mcmc_tpu.MALASettings(n_burnin_draws=1000, n_keep_draws=4000, step_size=0.9)
+    out = mcmc_tpu.mala(jnp.zeros(3), log_kernel, s, n_chains=8,
+                        key=jax.random.PRNGKey(2))
+    mean = np.asarray(out.draws).mean(axis=(0, 1))
+    var = np.asarray(out.draws).var(axis=(0, 1))
+    np.testing.assert_allclose(mean, 0.0, atol=0.1)
+    np.testing.assert_allclose(var, 1.0, atol=0.15)
+
+
+def test_mala_mean_scale(normal_data):
+    log_kernel = models.gaussian_mean_scale_model(normal_data)
+    settings = mcmc_tpu.AlgoSettings(rng_seed_value=9)
+    settings.mala_settings.step_size = 0.04
+    settings.mala_settings.n_burnin_draws = 2000
+    settings.mala_settings.n_keep_draws = 2000
+
+    out = mcmc_tpu.mala(jnp.array([3.0, 3.0]), log_kernel, settings)
+    mean = np.asarray(out.mean)
+    x = np.asarray(normal_data)
+    assert mean[0] == pytest.approx(x.mean(), abs=0.25)
+    assert mean[1] == pytest.approx(x.std(), abs=0.25)
+
+
+def test_hmc_bounded_positive_sigma(normal_data):
+    """sigma constrained positive via the box-constraint stack; both gradient
+    conventions (reference vs exact) must recover the target."""
+    log_kernel = models.gaussian_mean_scale_model(normal_data)
+    x = np.asarray(normal_data)
+
+    for mode in ("reference", "exact"):
+        settings = mcmc_tpu.AlgoSettings(
+            rng_seed_value=21, vals_bound=True,
+            lower_bounds=jnp.array([-jnp.inf, 0.1]),
+            upper_bounds=jnp.array([jnp.inf, jnp.inf]),
+        )
+        settings.hmc_settings.step_size = 0.015
+        settings.hmc_settings.n_leap_steps = 4
+        settings.hmc_settings.n_burnin_draws = 1000
+        settings.hmc_settings.n_keep_draws = 1500
+
+        out = mcmc_tpu.hmc(jnp.array([3.0, 3.0]), log_kernel, settings,
+                           bounded_grad=mode)
+        d = np.asarray(out.draws)
+        assert (d[:, 1] > 0.1).all()
+        assert d[:, 0].mean() == pytest.approx(x.mean(), abs=0.3)
+        assert d[:, 1].mean() == pytest.approx(x.std(), abs=0.3)
