@@ -1,5 +1,342 @@
-"""Placeholder — implemented in a later milestone this round."""
+"""No-U-Turn sampler with dual-averaging step-size adaptation.
+
+TPU-native re-design of reference src/nuts.cpp:30-359 +
+include/mcmc/nuts.ipp:30-241. The reference's *recursive* tree builder
+(nuts.ipp:99-241) cannot compile under XLA, so the tree is rebuilt in
+masked, fixed-structure iterative form (SURVEY.md §7 step 4):
+
+- The outer doubling loop is a ``lax.while_loop`` over tree depth
+  (src/nuts.cpp:227-290).
+- Each subtree of ``2^depth`` leapfrog steps is an inner ``lax.while_loop``
+  over leaves with **progressive U-turn checks** via a checkpoint buffer of
+  ``max_tree_depth + 1`` boundary states: leaf ``j`` is stored at slot
+  ``ctz(j)`` (slot ``depth`` for ``j = 0``); when leaf ``i`` completes a
+  size-``2^l`` sub-subtree (``(i+1) % 2^l == 0``) it is checked against the
+  stored leaf ``i+1-2^l``. This visits exactly the internal-node pairs the
+  reference's recursion checks (nuts.ipp:226-229).
+- The in-subtree proposal uses reservoir sampling (take leaf ``i`` with
+  probability ``valid_i / n_so_far``), which is distributionally identical
+  to the reference's pairwise ``n''/(n'+n'')`` swaps (nuts.ipp:213-218) since
+  every valid leaf ends up equally likely.
+
+Reference quirks reproduced deliberately (verified against the C++ source):
+
+- Each new subtree starts from the *current draw* and the draw's initial
+  momentum — not from the tree's endpoint — and the current draw may have
+  been updated by an earlier acceptance inside the same doubling loop
+  (src/nuts.cpp:199-290 passes ``prev_draw``/``mntm_vec`` every iteration).
+- The initial step-size heuristic (nuts.ipp:30-93) can only *double*
+  epsilon: its loop condition and its ``a`` update test the same inequality,
+  so the halving branch is unreachable; the leapfrog also continues from the
+  last position instead of restarting.
+- Dual averaging consumes ``alpha/n_alpha`` of the **last** subtree only
+  (outer loop overwrites them per doubling), and adaptation runs for
+  ``min(n_adapt_draws, n_total)`` draws with no burn-in guard
+  (src/nuts.cpp:54,294-302).
+- Divergence guard ``Delta_max = 1000`` (nuts.ipp:124).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mcmc_tpu import integrators
+from mcmc_tpu.results import SamplerResult
+from mcmc_tpu.settings import NUTSSettings
+from mcmc_tpu.samplers import common
+from mcmc_tpu.samplers._resolve import resolve_settings, resolve_key
+
+__all__ = ["nuts", "NUTSState", "build_nuts_kernel"]
+
+_MAX_TUNING_PAR = 1000.0  # Delta_max, reference nuts.ipp:124
+_LOG_HALF = math.log(0.5)
 
 
-def nuts(*args, **kwargs):
-    raise NotImplementedError("nuts: under construction")
+class NUTSState(NamedTuple):
+    position: jax.Array
+    potential: jax.Array     # U = -box_log_kernel(position)
+    step_size: jax.Array
+    epsilon_bar: jax.Array
+    h_val: jax.Array
+    mu_val: jax.Array        # log(10 * eps_0), fixed per chain after init
+    draw_ind: jax.Array      # global draw counter driving adaptation
+
+
+def _ctz(x):
+    """Count trailing zeros of a positive int32 (0 for odd x)."""
+    return lax.population_count((~x) & (x - 1))
+
+
+def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSettings,
+                      n_adapt: int):
+    max_depth = int(cfg.max_tree_depth)
+
+    def potential(z):
+        u = -box_log_kernel(z)
+        return jnp.where(jnp.isfinite(u), u, jnp.inf)
+
+    def kinetic(r):
+        return integrators.kinetic_energy(r, precond.inv_mv)
+
+    def leapfrog1(z, r, eps):
+        return integrators.leapfrog(grad_fn, precond.inv_mv, eps, 1, z, r)
+
+    def find_initial_step_size(z0, r0):
+        """Reference nuts.ipp:30-93 (doubling-only; see module docstring)."""
+        dtype = z0.dtype
+        H0 = potential(z0) + kinetic(r0)
+
+        z, r = leapfrog1(z0, r0, jnp.asarray(1.0, dtype))
+        dH = -(potential(z) + kinetic(r)) + H0
+
+        def cond(c):
+            eps, z, r, dH, it = c
+            return (dH > _LOG_HALF) & (it < 64)
+
+        def body(c):
+            eps, z, r, dH, it = c
+            eps = eps * 2.0
+            z, r = leapfrog1(z, r, eps)
+            dH = -(potential(z) + kinetic(r)) + H0
+            return (eps, z, r, dH, it + 1)
+
+        eps, _, _, _, _ = lax.while_loop(
+            cond, body, (jnp.asarray(1.0, dtype), z, r, dH, jnp.asarray(0, jnp.int32))
+        )
+        return eps
+
+    def build_subtree(key, depth, v, z0, r0, eps, log_u, alpha_base, dim, dtype):
+        """One subtree of 2^depth leapfrog steps in direction v from (z0, r0).
+
+        Returns (prop_z, prop_U, n, s, alpha, n_alpha, z_end, r_end, diverged).
+        """
+        n_steps = lax.shift_left(jnp.asarray(1, jnp.int32), depth)
+        ckpt_z = jnp.zeros((max_depth + 1, dim), dtype)
+        ckpt_r = jnp.zeros((max_depth + 1, dim), dtype)
+
+        def cond(c):
+            return (c["i"] < n_steps) & (c["s"] == 1)
+
+        def body(c):
+            key, k_res = jax.random.split(c["key"])
+            i = c["i"]
+            z, r = leapfrog1(c["z"], c["r"], v * eps)
+            U = potential(z)
+            H = U + kinetic(r)
+
+            valid = (log_u <= -H).astype(jnp.int32)
+            diverged = ~(log_u < _MAX_TUNING_PAR - H)
+            n_new = c["n"] + valid
+            alpha_leaf = jnp.exp(jnp.minimum(0.0, alpha_base - H))
+
+            # reservoir proposal: take with prob valid / n_new
+            zu = jax.random.uniform(k_res, dtype=dtype)
+            take = (valid == 1) & (zu * n_new.astype(dtype) < 1.0)
+            prop_z = jnp.where(take, z, c["prop_z"])
+            prop_U = jnp.where(take, U, c["prop_U"])
+
+            # checkpoint store: slot ctz(i) for even i > 0, slot `depth` for i == 0
+            slot = jnp.where(i == 0, depth, _ctz(i))
+            should_store = (i == 0) | (_ctz(i) > 0)
+            ckpt_z = jnp.where(should_store, c["ckpt_z"].at[slot].set(z), c["ckpt_z"])
+            ckpt_r = jnp.where(should_store, c["ckpt_r"].at[slot].set(r), c["ckpt_r"])
+
+            # progressive U-turn checks at every completed sub-subtree level
+            ok = jnp.asarray(True)
+            for l in range(1, max_depth + 1):
+                size = 1 << l
+                complete = (((i + 1) & (size - 1)) == 0) & (l <= depth)
+                j = i + 1 - size
+                slot_j = jnp.where(j == 0, depth, _ctz(jnp.maximum(j, 1)))
+                zj = ckpt_z[slot_j]
+                rj = ckpt_r[slot_j]
+                dvec = v * (z - zj)
+                u_ok = (jnp.dot(dvec, rj) >= 0) & (jnp.dot(dvec, r) >= 0)
+                ok = ok & (~complete | u_ok)
+
+            s_new = jnp.where(diverged | ~ok, 0, c["s"]).astype(jnp.int32)
+
+            return {
+                "key": key, "i": i + 1, "z": z, "r": r,
+                "prop_z": prop_z, "prop_U": prop_U,
+                "n": n_new, "s": s_new,
+                "alpha": c["alpha"] + alpha_leaf,
+                "n_alpha": c["n_alpha"] + 1,
+                "ckpt_z": ckpt_z, "ckpt_r": ckpt_r,
+                "div": c["div"] | diverged,
+            }
+
+        init = {
+            "key": key, "i": jnp.asarray(0, jnp.int32), "z": z0, "r": r0,
+            "prop_z": z0, "prop_U": jnp.asarray(jnp.inf, dtype),
+            "n": jnp.asarray(0, jnp.int32), "s": jnp.asarray(1, jnp.int32),
+            "alpha": jnp.asarray(0.0, dtype), "n_alpha": jnp.asarray(0, jnp.int32),
+            "ckpt_z": ckpt_z, "ckpt_r": ckpt_r, "div": jnp.asarray(False),
+        }
+        out = lax.while_loop(cond, body, init)
+        return out
+
+    def init(key, position):
+        dtype = position.dtype
+        noise = jax.random.normal(key, position.shape, dtype)
+        r0 = precond.sqrt_mv(noise)
+        eps0 = find_initial_step_size(position, r0)
+        return NUTSState(
+            position=position,
+            potential=potential(position),
+            step_size=eps0,
+            epsilon_bar=jnp.asarray(cfg.step_size, dtype),
+            h_val=jnp.asarray(0.0, dtype),
+            mu_val=jnp.log(10.0 * eps0),
+            draw_ind=jnp.asarray(0, jnp.int32),
+        )
+
+    def step(key, state: NUTSState):
+        dim = state.position.shape[0]
+        dtype = state.position.dtype
+        k_mom, k_slice, k_tree = jax.random.split(key, 3)
+
+        noise = jax.random.normal(k_mom, (dim,), dtype)
+        r0 = precond.sqrt_mv(noise)
+        prev_K = kinetic(r0)
+        log_u = jnp.log(jax.random.uniform(k_slice, dtype=dtype)) \
+            - state.potential - prev_K
+
+        eps = state.step_size
+
+        carry = {
+            "key": k_tree,
+            "depth": jnp.asarray(0, jnp.int32),
+            "n": jnp.asarray(1, jnp.int32),
+            "s": jnp.asarray(1, jnp.int32),
+            "draw": state.position, "U": state.potential,
+            "pos_z": state.position, "neg_z": state.position,
+            "pos_r": r0, "neg_r": r0,
+            "alpha": jnp.asarray(0.0, dtype),
+            "n_alpha": jnp.asarray(0, jnp.int32),
+            "good": jnp.asarray(False), "div": jnp.asarray(False),
+        }
+
+        def outer_cond(c):
+            return (c["s"] == 1) & (c["depth"] < max_depth)
+
+        def outer_body(c):
+            key, k_dir, k_acc, k_sub = jax.random.split(c["key"], 4)
+            v = jnp.where(jax.random.uniform(k_dir, dtype=dtype) <= 0.5, -1.0, 1.0)
+            v = v.astype(dtype)
+
+            # alpha baseline tracks the (possibly updated) current draw,
+            # as in the reference (src/nuts.cpp:236-249 updates prev_U mid-loop)
+            alpha_base = c["U"] + prev_K
+            sub = build_subtree(
+                k_sub, c["depth"], v, c["draw"], r0, eps, log_u, alpha_base,
+                dim, dtype,
+            )
+
+            n_p = sub["n"]
+            s_p = sub["s"]
+            zu = jax.random.uniform(k_acc, dtype=dtype)
+            do_acc = (s_p == 1) & (zu * c["n"].astype(dtype) < n_p.astype(dtype))
+
+            draw = jnp.where(do_acc, sub["prop_z"], c["draw"])
+            U = jnp.where(do_acc, sub["prop_U"], c["U"])
+
+            backward = v < 0
+            neg_z = jnp.where(backward, sub["z"], c["neg_z"])
+            neg_r = jnp.where(backward, sub["r"], c["neg_r"])
+            pos_z = jnp.where(backward, c["pos_z"], sub["z"])
+            pos_r = jnp.where(backward, c["pos_r"], sub["r"])
+
+            span = pos_z - neg_z
+            check1 = jnp.dot(span, neg_r) >= 0
+            check2 = jnp.dot(span, pos_r) >= 0
+            s = (s_p * check1.astype(jnp.int32) * check2.astype(jnp.int32))
+
+            return {
+                "key": key, "depth": c["depth"] + 1, "n": c["n"] + n_p, "s": s,
+                "draw": draw, "U": U,
+                "pos_z": pos_z, "neg_z": neg_z, "pos_r": pos_r, "neg_r": neg_r,
+                "alpha": sub["alpha"], "n_alpha": sub["n_alpha"],
+                "good": c["good"] | do_acc, "div": c["div"] | sub["div"],
+            }
+
+        out = lax.while_loop(outer_cond, outer_body, carry)
+
+        # dual averaging (reference src/nuts.cpp:294-302)
+        t = state.draw_ind.astype(dtype)
+        adapting = state.draw_ind < n_adapt
+        accept_stat = out["alpha"] / jnp.maximum(out["n_alpha"], 1).astype(dtype)
+        h_new = state.h_val + (1.0 / (t + 1.0 + cfg.t0_val)) \
+            * (cfg.target_accept_rate - accept_stat - state.h_val)
+        eps_new = jnp.exp(state.mu_val - h_new * jnp.sqrt(t + 1.0) / cfg.gamma_val)
+        ebar_new = state.epsilon_bar * jnp.exp(
+            (t + 1.0) ** (-cfg.kappa_val)
+            * (jnp.log(eps_new) - jnp.log(state.epsilon_bar))
+        )
+
+        new_state = NUTSState(
+            position=out["draw"],
+            potential=out["U"],
+            step_size=jnp.where(adapting, eps_new, state.epsilon_bar),
+            epsilon_bar=jnp.where(adapting, ebar_new, state.epsilon_bar),
+            h_val=jnp.where(adapting, h_new, state.h_val),
+            mu_val=state.mu_val,
+            draw_ind=state.draw_ind + 1,
+        )
+        info = {
+            "accepted": out["good"],
+            "tree_depth": out["depth"],
+            "diverged": out["div"],
+            "accept_stat": accept_stat,
+            "step_size": eps,
+        }
+        return new_state, info
+
+    return init, step
+
+
+def nuts(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
+         dtype=None, bounded_grad="reference") -> SamplerResult:
+    """Run NUTS (reference src/nuts.cpp entry points)."""
+    algo, s = resolve_settings(settings, "nuts_settings", NUTSSettings)
+    key = resolve_key(key, algo)
+
+    prob = common.setup_problem(initial_vals, log_kernel, algo, n_chains, dtype)
+    precond = common.make_spd(s.precond_mat, prob.n_vals, prob.dtype)
+    grad_fn = integrators.make_kick_grad(prob, bounded_grad)
+
+    n_total = s.n_burnin_draws + s.n_keep_draws
+    n_adapt = min(s.n_adapt_draws, n_total)  # reference src/nuts.cpp:54
+
+    init, step = build_nuts_kernel(prob.box_log_kernel, grad_fn, precond, s, n_adapt)
+
+    key, k_init = jax.random.split(key)
+    init_keys = jax.random.split(k_init, prob.n_chains)
+    state0 = jax.vmap(init)(init_keys, prob.first_draw)
+
+    _, draws, infos = common.run_sampler_loop(
+        key, state0, step, s.n_burnin_draws, s.n_keep_draws,
+        collect_fn=lambda st: st.position,
+    )
+
+    n_accept = infos["accepted"].sum(axis=0)
+    draws = common.finalize_draws(draws, prob)
+    diagnostics = {
+        "tree_depth": infos["tree_depth"],
+        "n_divergent": infos["diverged"].sum(axis=0),
+        "accept_stat": infos["accept_stat"],
+        "step_size": infos["step_size"],
+    }
+    if prob.squeeze:
+        draws = draws[:, 0, :]
+        n_accept = n_accept[0]
+        # per-draw traces are (n_keep, n_chains); counts are (n_chains,)
+        diagnostics = {k: v[:, 0] if v.ndim == 2 else v[0]
+                       for k, v in diagnostics.items()}
+    return SamplerResult(draws=draws, n_accept_draws=n_accept,
+                         diagnostics=diagnostics)

@@ -1,0 +1,85 @@
+"""NUTS tests: statistical parity with the reference example target
+(reference examples/eigen/nuts_normal.cpp), correctness of the masked
+iterative tree against hand-checkable targets, and adaptation behavior."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mcmc_tpu
+from mcmc_tpu import models, diagnostics
+
+
+def test_nuts_standard_normal():
+    log_kernel = lambda v: -0.5 * jnp.sum(v**2)
+    s = mcmc_tpu.NUTSSettings(n_burnin_draws=500, n_keep_draws=1500, n_adapt_draws=500)
+    out = mcmc_tpu.nuts(jnp.zeros(3), log_kernel, s, n_chains=8,
+                        key=jax.random.PRNGKey(0))
+    d = np.asarray(out.draws)
+    assert d.shape == (1500, 8, 3)
+    np.testing.assert_allclose(d.mean(axis=(0, 1)), 0.0, atol=0.1)
+    np.testing.assert_allclose(d.var(axis=(0, 1)), 1.0, atol=0.15)
+    # dual averaging should land near the target accept rate (0.55 default,
+    # reference mcmc_structs.hpp:90)
+    acc = np.asarray(out.diagnostics["accept_stat"])  # (n_keep, chains)
+    assert 0.4 < acc.mean() < 0.95
+    rhat = diagnostics.split_rhat(out.draws)
+    assert np.all(np.asarray(rhat) < 1.05)
+
+
+def test_nuts_mean_scale_example():
+    """Reference examples/eigen/nuts_normal.cpp: defaults, (mu, sigma) model."""
+    key = jax.random.PRNGKey(11)
+    x = 2.0 + 2.0 * jax.random.normal(key, (1000,))
+    log_kernel = models.gaussian_mean_scale_model(x)
+
+    settings = mcmc_tpu.AlgoSettings(rng_seed_value=4)
+    settings.nuts_settings.n_burnin_draws = 1000
+    settings.nuts_settings.n_keep_draws = 1000
+    settings.nuts_settings.n_adapt_draws = 1000
+
+    out = mcmc_tpu.nuts(jnp.array([3.0, 3.0]), log_kernel, settings)
+    mean = np.asarray(out.mean)
+    xd = np.asarray(x)
+    assert mean[0] == pytest.approx(xd.mean(), abs=0.2)
+    assert mean[1] == pytest.approx(xd.std(), abs=0.2)
+    assert int(out.n_accept_draws) > 0
+
+
+def test_nuts_correlated_gaussian():
+    """2-d correlated Gaussian: NUTS must recover the covariance."""
+    rho = 0.8
+    cov = jnp.array([[1.0, rho], [rho, 1.0]])
+    prec = jnp.linalg.inv(cov)
+    log_kernel = lambda v: -0.5 * v @ prec @ v
+
+    s = mcmc_tpu.NUTSSettings(n_burnin_draws=500, n_keep_draws=2000, n_adapt_draws=500)
+    out = mcmc_tpu.nuts(jnp.zeros(2), log_kernel, s, n_chains=8,
+                        key=jax.random.PRNGKey(5))
+    d = np.asarray(out.draws).reshape(-1, 2)
+    emp_cov = np.cov(d.T)
+    np.testing.assert_allclose(emp_cov, np.asarray(cov), atol=0.15)
+
+
+def test_nuts_tree_depth_bounded():
+    log_kernel = lambda v: -0.5 * jnp.sum(v**2)
+    s = mcmc_tpu.NUTSSettings(
+        n_burnin_draws=100, n_keep_draws=200, n_adapt_draws=100, max_tree_depth=4
+    )
+    out = mcmc_tpu.nuts(jnp.zeros(2), log_kernel, s, n_chains=4,
+                        key=jax.random.PRNGKey(1))
+    depth = np.asarray(out.diagnostics["tree_depth"])
+    assert depth.max() <= 4
+    assert depth.min() >= 1
+
+
+def test_nuts_divergence_detection():
+    """A pathological target (huge curvature wall) must register divergences
+    rather than crash (reference guard Delta_max = 1000, nuts.ipp:124)."""
+    log_kernel = lambda v: jnp.where(v[0] < 1.0, -0.5 * jnp.sum(v**2), -1e8)
+    s = mcmc_tpu.NUTSSettings(n_burnin_draws=50, n_keep_draws=100, n_adapt_draws=50)
+    out = mcmc_tpu.nuts(jnp.zeros(2), log_kernel, s, n_chains=4,
+                        key=jax.random.PRNGKey(2))
+    assert np.isfinite(np.asarray(out.draws)).all()
+    assert int(np.asarray(out.diagnostics["n_divergent"]).sum()) > 0
