@@ -1,5 +1,231 @@
-"""Placeholder — implemented in a later milestone this round."""
+"""Adaptive equi-energy sampler over a temperature ladder.
+
+TPU-native re-design of reference src/aees.cpp:30-305 +
+include/mcmc/aees.ipp:30-70. K = ``len(temper_vec) + 1`` chains run a
+descending temperature ladder with T = 1 appended; per draw the hottest chain
+takes a tempered RWMH step (proposal scaled by ``sqrt(T)``, accept on
+``min(0.01, delta/T)`` — aees.ipp:46-53), and each colder chain — once its
+staggered activation point ``draw_ind > k * (n_initial + n_burnin)`` passes
+(src/aees.cpp:176) — takes either a local tempered step (prob
+``1 - ee_prob_par``) or an **equi-energy jump**: the next-hotter chain's
+kernel history is sorted into ``n_rings`` energy rings, a stored state is
+drawn from the ring matching the chain's current energy, and it is accepted
+by the two-temperature ratio (src/aees.cpp:187-240).
+
+Design notes (TPU/XLA):
+- the draw loop is one ``lax.scan`` whose carry holds the full history
+  buffers (``(n_total, K)`` kernel values, ``(n_total, K, d)`` draws) —
+  XLA aliases the ``.at[].set`` updates in place;
+- the ladder loop is unrolled over the static K with ``lax.cond`` so the
+  expensive ring sort only executes on actual EE draws;
+- the dynamic-length history window is sorted via masked full-length argsort
+  (+inf padding), and the ring walk (src/aees.cpp:208-218) becomes a
+  ``searchsorted`` over the ascending ring boundaries;
+- each chain's current kernel value is carried, saving the reference's
+  re-evaluations (aees.ipp:48, src/aees.cpp:243).
+
+Deviations from the reference, all fixing uninitialized/undefined behavior
+(observed at the cited lines, reproduced here with deterministic intended
+semantics):
+- src/aees.cpp:60-72 reads one element past ``temper_vec`` and sorts an
+  uninitialized slot; here the ladder is exactly user temps + T = 1, sorted
+  descending;
+- src/aees.cpp:143 never writes row 0 (hottest chain) of ``kernel_vals`` yet
+  sorts it for chain 1's rings; here it is written every draw;
+- src/aees.cpp:222 uses a window-relative sort index as an absolute index
+  into ``draw_storage``; here the jump state is the one actually selected by
+  the ring (absolute indices fall out of the masked argsort);
+- all chains start at the transformed initial value and history buffers are
+  initialized with its kernel value instead of uninitialized memory.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mcmc_tpu.results import SamplerResult
+from mcmc_tpu.settings import AEESSettings
+from mcmc_tpu.samplers import common
+from mcmc_tpu.samplers._resolve import resolve_settings, resolve_key
+
+__all__ = ["aees"]
 
 
-def aees(*args, **kwargs):
-    raise NotImplementedError("aees: under construction")
+class AEESCarry(NamedTuple):
+    key: jax.Array
+    X: jax.Array          # (K, d) current states per ladder position
+    cur_kv: jax.Array     # (K,) current kernel values (temperature 1)
+    kv2: jax.Array        # (2, K) tempered pairs from the previous draw
+    hist_kv: jax.Array    # (n_total, K)
+    hist_draws: jax.Array  # (n_total, K, d)
+
+
+def aees(initial_vals, log_kernel, settings=None, *, key=None, dtype=None) -> SamplerResult:
+    """Run AEES. Returns the final ``n_keep_draws`` draws of the T = 1 chain
+    (reference src/aees.cpp:255-270)."""
+    algo, s = resolve_settings(settings, "aees_settings", AEESSettings)
+    key = resolve_key(key, algo)
+
+    prob = common.setup_problem(initial_vals, log_kernel, algo, None, dtype)
+    dim = prob.n_vals
+    dt = prob.dtype
+    box = prob.box_log_kernel
+
+    # ladder: user temps + T = 1, descending (intended semantics of
+    # src/aees.cpp:60-72)
+    user_temps = jnp.asarray(s.temper_vec, dt) if s.temper_vec is not None \
+        else jnp.zeros((0,), dt)
+    temps = jnp.sort(jnp.concatenate([user_temps, jnp.ones((1,), dt)]))[::-1]
+    K = int(temps.shape[0])
+
+    block = s.n_initial_draws + s.n_burnin_draws
+    n_total = s.n_keep_draws + K * block
+    n_rings = int(s.n_rings)
+
+    cov = common.make_spd(s.cov_mat, dim, dt)
+
+    def prop_scaled(noise):
+        return s.par_scale * cov.sqrt_mv(noise)
+
+    def mh_step(key, x, val_prev, temper):
+        """Tempered single-step MH (reference aees.ipp:30-70); no finiteness
+        guard, as in the reference — NaN ratios reject."""
+        k_n, k_u = jax.random.split(key)
+        noise = jax.random.normal(k_n, (dim,), dt)
+        prop = x + jnp.sqrt(temper) * prop_scaled(noise)
+        val_new = box(prop)
+        comp = jnp.minimum(0.01, (val_new - val_prev) / temper)
+        acc = jax.random.uniform(k_u, dtype=dt) < jnp.exp(comp)
+        return jnp.where(acc, prop, x), jnp.where(acc, val_new, val_prev)
+
+    idx_all = jnp.arange(n_total)
+
+    def ee_move(key, k, draw_ind, carry: AEESCarry, hist_kv, hist_draws):
+        """Equi-energy jump for ladder position k (src/aees.cpp:187-240).
+
+        ``hist_kv``/``hist_draws`` already contain the *current* draw's
+        entries for hotter chains, matching the reference's sequential
+        (OpenMP-free) execution order where chain k-1 writes
+        ``kernel_vals(k-1, draw_ind)`` before chain k sorts the window
+        [begin, draw_ind] (src/aees.cpp:196-199, 243)."""
+        begin = (k - 1) * block
+        length = draw_ind - begin + 1
+        spacing = length // n_rings
+
+        def jump(_):
+            k_pick, k_acc = jax.random.split(key)
+            row = hist_kv[:, k - 1]
+            mask = (idx_all >= begin) & (idx_all <= draw_ind)
+            masked = jnp.where(mask, row, jnp.inf)
+            order = jnp.argsort(masked)            # absolute indices, ascending energy
+            sorted_vals = masked[order]
+
+            ring_pos = jnp.arange(1, n_rings) * spacing      # (n_rings - 1,)
+            ring_vals = 0.5 * (sorted_vals[ring_pos] + sorted_vals[ring_pos - 1])
+
+            cur_e = carry.cur_kv[k]
+            which = jnp.searchsorted(ring_vals, cur_e)       # rings strictly below
+
+            z = jax.random.uniform(k_pick, dtype=dt)
+            idx_rel = spacing * which + jnp.floor(z * spacing).astype(jnp.int32)
+            ind_abs = order[idx_rel]
+
+            x_cand = hist_draws[ind_abs, k - 1]
+            val = box(x_cand)
+            new_pair = jnp.array([val / temps[k - 1], val / temps[k]])
+
+            comp = jnp.minimum(
+                0.01,
+                (new_pair[1] - carry.kv2[1, k]) + (carry.kv2[0, k] - new_pair[0]),
+            )
+            rej = jax.random.uniform(k_acc, dtype=dt) > jnp.exp(comp)
+
+            x_out = jnp.where(rej, carry.X[k], x_cand)
+            pair_out = jnp.where(rej, carry.kv2[:, k], new_pair)
+            kv_out = jnp.where(rej, carry.cur_kv[k], val)
+            return x_out, kv_out, pair_out
+
+        def stay(_):
+            return carry.X[k], carry.cur_kv[k], carry.kv2[:, k]
+
+        return lax.cond(spacing > 0, jump, stay, None)
+
+    def chain_update(key, k, draw_ind, carry: AEESCarry, hist_kv, hist_draws):
+        """Per-draw update for ladder position k >= 1 (src/aees.cpp:166-247).
+
+        State reads (X, kernel pairs) come from the previous draw's snapshot
+        ``carry`` (reference copies X_prev/kernel_vals_prev before the ladder
+        loop, src/aees.cpp:153-154); only the ring history sees the current
+        draw's hotter-chain entries."""
+        k_sel, k_move = jax.random.split(key)
+
+        def local_branch(_):
+            x_new, val = mh_step(k_move, carry.X[k], carry.cur_kv[k], temps[k])
+            pair = jnp.array([val / temps[k - 1], val / temps[k]])
+            return x_new, val, pair
+
+        def ee_branch(_):
+            return ee_move(k_move, k, draw_ind, carry, hist_kv, hist_draws)
+
+        def active_branch(_):
+            z_eps = jax.random.uniform(k_sel, dtype=dt)
+            return lax.cond(z_eps > s.ee_prob_par, local_branch, ee_branch, None)
+
+        def inactive_branch(_):
+            return carry.X[k], carry.cur_kv[k], carry.kv2[:, k]
+
+        active = draw_ind > k * block
+        return lax.cond(active, active_branch, inactive_branch, None)
+
+    def body(carry: AEESCarry, draw_ind):
+        key = carry.key
+        keys = jax.random.split(key, K + 1)
+        key_next = keys[0]
+
+        # hottest chain (src/aees.cpp:160-164)
+        x0, val0 = mh_step(keys[1], carry.X[0], carry.cur_kv[0], temps[0])
+        X_new = carry.X.at[0].set(x0)
+        cur_kv = carry.cur_kv.at[0].set(val0)
+        kv2 = carry.kv2.at[:, 0].set(val0)
+        hist_kv = carry.hist_kv.at[draw_ind, 0].set(val0)
+        hist_draws = carry.hist_draws.at[draw_ind, 0].set(x0)
+
+        # ladder loop, statically unrolled; each chain's history entry is
+        # written before the next (colder) chain reads the ring window
+        for k in range(1, K):
+            xk, kvk, pairk = chain_update(keys[1 + k], k, draw_ind, carry,
+                                          hist_kv, hist_draws)
+            X_new = X_new.at[k].set(xk)
+            cur_kv = cur_kv.at[k].set(kvk)
+            kv2 = kv2.at[:, k].set(pairk)
+            hist_kv = hist_kv.at[draw_ind, k].set(kvk)
+            hist_draws = hist_draws.at[draw_ind, k].set(xk)
+
+        new_carry = AEESCarry(key=key_next, X=X_new, cur_kv=cur_kv, kv2=kv2,
+                              hist_kv=hist_kv, hist_draws=hist_draws)
+        return new_carry, None
+
+    first = prob.first_draw[0]
+    val_init = box(first)
+    carry0 = AEESCarry(
+        key=key,
+        X=jnp.tile(first[None, :], (K, 1)),
+        cur_kv=jnp.full((K,), val_init, dt),
+        kv2=jnp.stack([val_init / jnp.roll(temps, 1), val_init / temps]),
+        hist_kv=jnp.full((n_total, K), val_init, dt),
+        hist_draws=jnp.tile(first[None, None, :], (n_total, K, 1)),
+    )
+
+    final, _ = lax.scan(body, carry0, idx_all)
+
+    draws = final.hist_draws[K * block :, K - 1, :]
+    draws = common.finalize_draws(draws, prob)
+    return SamplerResult(
+        draws=draws,
+        n_accept_draws=jnp.asarray(s.n_keep_draws),
+        diagnostics={"temperatures": temps},
+    )

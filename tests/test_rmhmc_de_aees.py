@@ -1,0 +1,119 @@
+"""RM-HMC, DE-MCMC, and AEES statistical tests against the reference
+examples (reference examples/eigen/{rmhmc_normal,de_normal_mean,
+aees_mixture}.cpp)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mcmc_tpu
+from mcmc_tpu import models
+
+
+def test_rmhmc_mean_scale():
+    """Reference rmhmc_normal.cpp: step 0.2, Fisher metric, (mu, sigma)."""
+    key = jax.random.PRNGKey(8)
+    x = 2.0 + 2.0 * jax.random.normal(key, (1000,))
+    log_kernel = models.gaussian_mean_scale_model(x)
+    metric_fn = models.normal_fisher_metric(1000)
+
+    settings = mcmc_tpu.AlgoSettings(rng_seed_value=13)
+    settings.rmhmc_settings.step_size = 0.2
+    settings.rmhmc_settings.n_leap_steps = 4
+    settings.rmhmc_settings.n_burnin_draws = 1500
+    settings.rmhmc_settings.n_keep_draws = 1500
+
+    out = mcmc_tpu.rmhmc(jnp.array([3.0, 3.0]), log_kernel, metric_fn, settings)
+    mean = np.asarray(out.mean)
+    xd = np.asarray(x)
+    assert mean[0] == pytest.approx(xd.mean(), abs=0.2)
+    assert mean[1] == pytest.approx(xd.std(), abs=0.2)
+    assert float(out.accept_rate) > 0.3
+
+
+def test_rmhmc_constant_metric_matches_standard_normal():
+    """With a constant identity metric, RM-HMC must sample the target like
+    plain HMC (the fixed-point iterations collapse)."""
+    log_kernel = lambda v: -0.5 * jnp.sum(v**2)
+    metric_fn = lambda v: jnp.eye(2)
+    s = mcmc_tpu.RMHMCSettings(
+        n_burnin_draws=300, n_keep_draws=1500, step_size=0.5, n_leap_steps=3
+    )
+    out = mcmc_tpu.rmhmc(jnp.zeros(2), log_kernel, metric_fn, s, n_chains=8,
+                         key=jax.random.PRNGKey(3))
+    d = np.asarray(out.draws)
+    np.testing.assert_allclose(d.mean(axis=(0, 1)), 0.0, atol=0.12)
+    np.testing.assert_allclose(d.var(axis=(0, 1)), 1.0, atol=0.2)
+
+
+def test_de_normal_mean():
+    """Reference de_normal_mean.cpp: posterior mean of mu ~ 2.0."""
+    key = jax.random.PRNGKey(17)
+    x = 2.0 + jax.random.normal(key, (100,))
+    log_kernel = models.gaussian_mean_model(x, sigma=1.0)
+
+    settings = mcmc_tpu.AlgoSettings(rng_seed_value=1)
+    settings.de_settings.n_pop = 100
+    settings.de_settings.n_burnin_draws = 1000
+    settings.de_settings.n_keep_draws = 1000
+
+    out = mcmc_tpu.de(jnp.array([1.0]), log_kernel, settings)
+    assert out.draws.shape == (1000, 100, 1)
+    post_mean = float(np.asarray(x).mean() * 100 / (100 + 0.25) + 1.0 * 0.25 / 100.25)
+    assert float(out.draws.mean()) == pytest.approx(post_mean, abs=0.1)
+    # reference convention: acceptance over n_keep * n_pop
+    rate = int(out.n_accept_draws) / (1000 * 100)
+    assert 0.05 < rate < 0.9
+
+
+def test_de_jumps_mode():
+    key = jax.random.PRNGKey(23)
+    x = 2.0 + jax.random.normal(key, (100,))
+    log_kernel = models.gaussian_mean_model(x, sigma=1.0)
+    s = mcmc_tpu.DESettings(n_pop=50, n_burnin_draws=500, n_keep_draws=500, jumps=True)
+    out = mcmc_tpu.de(jnp.array([1.0]), log_kernel, s, key=jax.random.PRNGKey(0))
+    assert float(out.draws.mean()) == pytest.approx(2.0, abs=0.3)
+
+
+def test_de_distinct_indices():
+    from mcmc_tpu.samplers.de import _distinct_pair_indices
+    keys = jax.random.split(jax.random.PRNGKey(0), 500)
+    i = jnp.full((), 3)
+    c1, c2 = jax.vmap(lambda k: _distinct_pair_indices(k, i, 10))(keys)
+    c1, c2 = np.asarray(c1), np.asarray(c2)
+    assert (c1 != 3).all() and (c2 != 3).all() and (c1 != c2).all()
+    assert set(c1) == set(range(10)) - {3}
+
+
+def test_aees_bimodal_mixture():
+    """Reference aees_mixture.cpp:74-145: T=(60,9)+1, 11 rings, ee_prob 0.05;
+    sign-filtered mode means ~ (+2,+2) and (-2,-2)."""
+    mu = jnp.array([[-2.0, -2.0], [2.0, 2.0]])
+    log_kernel = models.gaussian_mixture_model(
+        mu, sig_sq=jnp.array([0.1, 0.1]), weights=jnp.array([0.5, 0.5])
+    )
+
+    settings = mcmc_tpu.AlgoSettings(rng_seed_value=2)
+    settings.aees_settings.n_initial_draws = 500
+    settings.aees_settings.n_burnin_draws = 500
+    settings.aees_settings.n_keep_draws = 8000
+    settings.aees_settings.n_rings = 11
+    settings.aees_settings.ee_prob_par = 0.05
+    settings.aees_settings.temper_vec = jnp.array([60.0, 9.0])
+    settings.aees_settings.par_scale = 1.0
+    settings.aees_settings.cov_mat = 0.35 * jnp.eye(2)
+
+    out = mcmc_tpu.aees(mu[0], log_kernel, settings)
+    d = np.asarray(out.draws)
+    assert d.shape == (8000, 2)
+
+    pos = d[d[:, 0] > 0.1]
+    neg = d[d[:, 0] < -0.1]
+    # both modes must be visited (the whole point of equi-energy jumps)
+    assert len(pos) > 200 and len(neg) > 200
+    np.testing.assert_allclose(pos.mean(axis=0), [2.0, 2.0], atol=0.25)
+    np.testing.assert_allclose(neg.mean(axis=0), [-2.0, -2.0], atol=0.25)
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(out.diagnostics["temperatures"]))[::-1], [60.0, 9.0, 1.0]
+    )
