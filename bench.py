@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Benchmark: leapfrog steps/sec/chip, HMC on 100-d Bayesian logistic
+regression (the BASELINE.md primary workload).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+vs_baseline compares against a single-thread C++ sequential HMC of the same
+model, structured like the reference's hmc_impl and compiled with the
+reference's own -O3 -march=native flags (benchmarks/baseline_hmc.cpp) — the
+reference library itself publishes no numbers and its Armadillo/Eigen
+dependencies are not installable here (BASELINE.md). The C++ number is
+measured once on this host and cached in benchmarks/baseline_cpp.json.
+
+The TPU path: 16384 vmapped chains, gradients as (chains, d) x (d, n) MXU
+matmuls in bfloat16 with f32 accumulation (the accept test stays f32, so
+MH exactness is unaffected — gradient precision only shapes the proposal).
+"""
+
+import json
+import os
+import pathlib
+import subprocess
+import time
+
+ROOT = pathlib.Path(__file__).resolve().parent
+BASELINE_CACHE = ROOT / "benchmarks" / "baseline_cpp.json"
+
+N_CHAINS = 16384
+DIM = 100
+N_DATA = 1000
+N_LEAP = 4
+STEP_SIZE = 0.01
+
+
+def cpp_baseline_steps_per_sec():
+    """Build + run (once) the C++ sequential-HMC stand-in for the reference."""
+    if BASELINE_CACHE.exists():
+        return json.loads(BASELINE_CACHE.read_text())["leapfrog_steps_per_sec"]
+    exe = ROOT / "benchmarks" / "baseline_hmc"
+    src = ROOT / "benchmarks" / "baseline_hmc.cpp"
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-ffp-contract=fast",
+             str(src), "-o", str(exe)],
+            check=True, capture_output=True, timeout=120,
+        )
+        out = subprocess.run([str(exe), "3.0"], check=True, capture_output=True,
+                             timeout=60, text=True)
+        val = float(out.stdout.strip())
+        BASELINE_CACHE.write_text(json.dumps({"leapfrog_steps_per_sec": val}))
+        return val
+    except Exception:
+        return None
+
+
+def main():
+    baseline = cpp_baseline_steps_per_sec()
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    import mcmc_tpu  # noqa: F401
+    from mcmc_tpu import models
+    from mcmc_tpu.samplers import common
+    from mcmc_tpu.samplers.hmc import build_hmc_kernel
+
+    platform = jax.devices()[0].platform
+
+    key = jax.random.PRNGKey(0)
+    X, y, _ = models.make_logistic_regression_data(key, N_DATA, DIM)
+    log_kernel = models.logistic_regression_model(X, y, matmul_dtype=jnp.bfloat16)
+
+    precond = common.make_spd(None, DIM, jnp.float32)
+    init, step = build_hmc_kernel(log_kernel, jax.grad(log_kernel), precond,
+                                  step_size=STEP_SIZE, n_leap_steps=N_LEAP)
+
+    positions = 0.05 * jax.random.normal(jax.random.PRNGKey(1), (N_CHAINS, DIM))
+    state = jax.vmap(init)(positions)
+    keys = jax.random.split(jax.random.PRNGKey(2), N_CHAINS)
+
+    STEPS_PER_CALL = 25
+
+    @jax.jit
+    def run_steps(keys, state):
+        def body(carry, _):
+            st, ks = carry
+            pairs = jax.vmap(lambda k: jax.random.split(k, 2))(ks)
+            st, info = jax.vmap(step)(pairs[:, 1], st)
+            return (st, pairs[:, 0]), info["accepted"].mean()
+        (state, keys), acc = lax.scan(body, (state, keys), None,
+                                      length=STEPS_PER_CALL)
+        return keys, state, acc.mean()
+
+    # warmup / compile
+    keys, state, acc = run_steps(keys, state)
+    jax.block_until_ready(state)
+
+    n_calls = 0
+    t0 = time.perf_counter()
+    elapsed = 0.0
+    while elapsed < 10.0:
+        keys, state, acc = run_steps(keys, state)
+        jax.block_until_ready(state)
+        n_calls += 1
+        elapsed = time.perf_counter() - t0
+
+    total_leapfrogs = n_calls * STEPS_PER_CALL * N_LEAP * N_CHAINS
+    steps_per_sec = total_leapfrogs / elapsed
+
+    result = {
+        "metric": "leapfrog_steps_per_sec_per_chip",
+        "value": round(steps_per_sec, 1),
+        "unit": "leapfrog_steps/s",
+        "vs_baseline": round(steps_per_sec / baseline, 2) if baseline else None,
+        "baseline_cpp_steps_per_sec": baseline,
+        "platform": platform,
+        "n_chains": N_CHAINS,
+        "dim": DIM,
+        "n_data": N_DATA,
+        "accept_rate": round(float(acc), 4),
+        "workload": "HMC 100-d Bayesian logistic regression (BASELINE.md)",
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,4 @@
+from mcmc_tpu.parallel.mesh import make_mesh, chain_sharding
+from mcmc_tpu.parallel.de_sharded import build_sharded_de_sweep
+
+__all__ = ["make_mesh", "chain_sharding", "build_sharded_de_sweep"]

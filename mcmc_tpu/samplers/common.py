@@ -137,13 +137,19 @@ def _split_keys(keys):
     return pair[:, 0], pair[:, 1]
 
 
-def run_sampler_loop(key, state0, step_fn, n_burnin, n_keep, collect_fn):
+def run_sampler_loop(key, state0, step_fn, n_burnin, n_keep, collect_fn,
+                     mesh=None):
     """Burn-in + keep scans of a vmapped transition kernel.
 
     ``state0`` is chain-batched on the leading axis; ``step_fn`` is the
     single-chain pure kernel ``(key, state) -> (state, info)``; ``info`` must
     contain an ``"accepted"`` entry. Acceptance is only tallied in the keep
     phase, matching the reference (src/rwmh.cpp:140-142).
+
+    With ``mesh``, the chain axis is sharded over the device mesh and the
+    whole run is jitted so GSPMD partitions the scan body data-parallel —
+    the multi-chip replacement for the reference's OpenMP threads
+    (SURVEY.md §2d).
 
     Returns ``(final_state, draws, infos)`` where ``draws`` stacks
     ``collect_fn(state)`` over kept iterations: shape ``(n_keep, n_chains, ...)``.
@@ -152,26 +158,34 @@ def run_sampler_loop(key, state0, step_fn, n_burnin, n_keep, collect_fn):
     keys = jax.random.split(key, n_chains)
     batched_step = jax.vmap(step_fn)
 
-    def body(carry, _):
-        st, ks = carry
-        ks, subs = _split_keys(ks)
-        st, info = batched_step(subs, st)
-        return (st, ks), (st, info)
+    def run(state0, keys):
+        def body(carry, _):
+            st, ks = carry
+            ks, subs = _split_keys(ks)
+            st, info = batched_step(subs, st)
+            return (st, ks), (st, info)
 
-    def body_burn(carry, _):
-        carry, _out = body(carry, None)
-        return carry, None
+        def body_burn(carry, _):
+            carry, _out = body(carry, None)
+            return carry, None
 
-    carry = (state0, keys)
-    if n_burnin > 0:
-        carry, _ = lax.scan(body_burn, carry, None, length=n_burnin)
+        carry = (state0, keys)
+        if n_burnin > 0:
+            carry, _ = lax.scan(body_burn, carry, None, length=n_burnin)
 
-    def body_keep(carry, _):
-        carry, (st, info) = body(carry, None)
-        return carry, (collect_fn(st), info)
+        def body_keep(carry, _):
+            carry, (st, info) = body(carry, None)
+            return carry, (collect_fn(st), info)
 
-    carry, (draws, infos) = lax.scan(body_keep, carry, None, length=n_keep)
-    return carry[0], draws, infos
+        carry, (draws, infos) = lax.scan(body_keep, carry, None, length=n_keep)
+        return carry[0], draws, infos
+
+    if mesh is not None:
+        from mcmc_tpu.parallel.mesh import shard_chain_axis
+        state0 = shard_chain_axis(state0, mesh)
+        keys = shard_chain_axis(keys, mesh)
+        run = jax.jit(run)
+    return run(state0, keys)
 
 
 def finalize_draws(draws, prob: Problem):

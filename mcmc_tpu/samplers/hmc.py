@@ -67,7 +67,7 @@ def build_hmc_kernel(box_log_kernel, grad_fn, precond: common.SPD,
     return init, step
 
 
-def hmc(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
+def hmc(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, mesh=None,
         dtype=None, bounded_grad="reference") -> SamplerResult:
     """Run HMC. See reference src/hmc.cpp and mcmc_structs.hpp:66-78 for the
     settings fields; ``bounded_grad`` selects the constrained-space gradient
@@ -86,7 +86,7 @@ def hmc(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
 
     _, draws, infos = common.run_sampler_loop(
         key, state0, step, s.n_burnin_draws, s.n_keep_draws,
-        collect_fn=lambda st: st.position,
+        collect_fn=lambda st: st.position, mesh=mesh,
     )
 
     n_accept = infos["accepted"].sum(axis=0)

@@ -110,7 +110,7 @@ def build_mala_kernel(prob: common.Problem, precond: common.SPD, step_size,
     return init, step
 
 
-def mala(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
+def mala(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, mesh=None,
          dtype=None, bounded_grad="reference") -> SamplerResult:
     algo, s = resolve_settings(settings, "mala_settings", MALASettings)
     key = resolve_key(key, algo)
@@ -123,7 +123,7 @@ def mala(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
 
     _, draws, infos = common.run_sampler_loop(
         key, state0, step, s.n_burnin_draws, s.n_keep_draws,
-        collect_fn=lambda st: st.position,
+        collect_fn=lambda st: st.position, mesh=mesh,
     )
 
     n_accept = infos["accepted"].sum(axis=0)

@@ -300,7 +300,7 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
     return init, step
 
 
-def nuts(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
+def nuts(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, mesh=None,
          dtype=None, bounded_grad="reference") -> SamplerResult:
     """Run NUTS (reference src/nuts.cpp entry points)."""
     algo, s = resolve_settings(settings, "nuts_settings", NUTSSettings)
@@ -321,7 +321,7 @@ def nuts(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
 
     _, draws, infos = common.run_sampler_loop(
         key, state0, step, s.n_burnin_draws, s.n_keep_draws,
-        collect_fn=lambda st: st.position,
+        collect_fn=lambda st: st.position, mesh=mesh,
     )
 
     n_accept = infos["accepted"].sum(axis=0)

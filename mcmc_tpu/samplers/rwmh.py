@@ -55,7 +55,7 @@ def build_rwmh_kernel(box_log_kernel, prop_chol_mv, par_scale):
     return init, step
 
 
-def rwmh(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
+def rwmh(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, mesh=None,
          dtype=None) -> SamplerResult:
     """Run RWMH. ``log_kernel(params) -> scalar`` is a pure JAX function
     (closures replace the reference's ``void* target_data``).
@@ -75,7 +75,7 @@ def rwmh(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
 
     _, draws, infos = common.run_sampler_loop(
         key, state0, step, s.n_burnin_draws, s.n_keep_draws,
-        collect_fn=lambda st: st.position,
+        collect_fn=lambda st: st.position, mesh=mesh,
     )
 
     n_accept = infos["accepted"].sum(axis=0)
