@@ -63,45 +63,44 @@ def main():
 
     import mcmc_tpu  # noqa: F401
     from mcmc_tpu import models
-    from mcmc_tpu.samplers import common
-    from mcmc_tpu.samplers.hmc import build_hmc_kernel
+    from mcmc_tpu.ops.fused_logreg import make_fused_hmc_step
 
     platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
 
     key = jax.random.PRNGKey(0)
     X, y, _ = models.make_logistic_regression_data(key, N_DATA, DIM)
-    log_kernel = models.logistic_regression_model(X, y, matmul_dtype=jnp.bfloat16)
 
-    precond = common.make_spd(None, DIM, jnp.float32)
-    init, step = build_hmc_kernel(log_kernel, jax.grad(log_kernel), precond,
-                                  step_size=STEP_SIZE, n_leap_steps=N_LEAP)
+    # fused Pallas trajectory (VMEM-resident leapfrog); interpret off-TPU
+    step = make_fused_hmc_step(X, y, step_size=STEP_SIZE, n_leap=N_LEAP,
+                               block_chains=256, interpret=not on_tpu)
 
     positions = 0.05 * jax.random.normal(jax.random.PRNGKey(1), (N_CHAINS, DIM))
-    state = jax.vmap(init)(positions)
-    keys = jax.random.split(jax.random.PRNGKey(2), N_CHAINS)
+    state = step.init(positions)
 
-    STEPS_PER_CALL = 25
+    STEPS_PER_CALL = 50
 
     @jax.jit
-    def run_steps(keys, state):
+    def run_steps(key, state):
         def body(carry, _):
-            st, ks = carry
-            pairs = jax.vmap(lambda k: jax.random.split(k, 2))(ks)
-            st, info = jax.vmap(step)(pairs[:, 1], st)
-            return (st, pairs[:, 0]), info["accepted"].mean()
-        (state, keys), acc = lax.scan(body, (state, keys), None,
-                                      length=STEPS_PER_CALL)
-        return keys, state, acc.mean()
+            st, k = carry
+            k, sub = jax.random.split(k)
+            st, info = step(sub, st)
+            return (st, k), info["accepted"].mean()
+        (state, key), acc = lax.scan(body, (state, key), None,
+                                     length=STEPS_PER_CALL)
+        return key, state, acc.mean()
 
     # warmup / compile
-    keys, state, acc = run_steps(keys, state)
+    key = jax.random.PRNGKey(2)
+    key, state, acc = run_steps(key, state)
     jax.block_until_ready(state)
 
     n_calls = 0
     t0 = time.perf_counter()
     elapsed = 0.0
     while elapsed < 10.0:
-        keys, state, acc = run_steps(keys, state)
+        key, state, acc = run_steps(key, state)
         jax.block_until_ready(state)
         n_calls += 1
         elapsed = time.perf_counter() - t0
