@@ -1,0 +1,174 @@
+"""Checkpoint / resume.
+
+The reference has no resume capability: a run is one synchronous call with
+all state in stack locals (SURVEY.md §5). Here the full sampler state — a
+pytree of arrays including PRNG keys, adaptation statistics, and draw
+buffers — serializes to a single file, and :class:`ChunkedRunner` executes
+any transition kernel in restartable chunks, streaming kept draws to a
+:class:`mcmc_tpu.runtime.DrawSink` so a killed job resumes bit-exactly from
+the last completed chunk.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mcmc_tpu.runtime import DrawSink, read_draws
+
+__all__ = ["save", "restore", "ChunkedRunner"]
+
+
+def save(path, tree):
+    """Atomically serialize a pytree of arrays (and scalars) to ``path``."""
+    path = pathlib.Path(path)
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    payload = {"treedef": str(treedef), "n_leaves": len(leaves)}
+    fd, tmp = tempfile.mkstemp(dir=path.parent, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, __meta__=json.dumps(payload), **arrays)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def restore(path, like):
+    """Restore a pytree saved by :func:`save`. ``like`` supplies the tree
+    structure (and device placement targets)."""
+    with np.load(path, allow_pickle=False) as data:
+        meta = json.loads(str(data["__meta__"]))
+        leaves = [data[f"leaf_{i}"] for i in range(meta["n_leaves"])]
+    like_leaves, treedef = jax.tree_util.tree_flatten(like)
+    if len(like_leaves) != len(leaves):
+        raise ValueError(
+            f"checkpoint has {len(leaves)} leaves, template has {len(like_leaves)}"
+        )
+    out = []
+    for tmpl, arr in zip(like_leaves, leaves):
+        a = jnp.asarray(arr)
+        if hasattr(tmpl, "dtype") and jnp.issubdtype(tmpl.dtype, jax.dtypes.prng_key):
+            # PRNG keys round-trip through key_data
+            a = jax.random.wrap_key_data(arr)
+        out.append(a)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def _key_data(tree):
+    """Convert typed PRNG keys to raw data for serialization."""
+    def conv(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jax.dtypes.prng_key):
+            return jax.random.key_data(x)
+        return x
+    return jax.tree_util.tree_map(conv, tree)
+
+
+class ChunkedRunner:
+    """Restartable chunked execution of a batched transition kernel.
+
+    ``step_batched(keys, state) -> (state, info)`` operates on chain-batched
+    state with per-chain keys (exactly what ``jax.vmap`` of a single-chain
+    kernel gives). Draws stream to a native :class:`DrawSink`; sampler state
+    checkpoints after every chunk. Calling :meth:`run` again with the same
+    directory resumes from the last completed chunk and is bit-identical to
+    an uninterrupted run (counter-based PRNG + deterministic kernels).
+    """
+
+    def __init__(self, step_batched, collect_fn, directory):
+        self.step = step_batched
+        self.collect = collect_fn
+        self.dir = pathlib.Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self._compiled = None
+        self._compiled_size = None
+
+    def _chunk_fn(self, chunk_size):
+        if self._compiled is None or self._compiled_size != chunk_size:
+            self._compiled_size = chunk_size
+            def run_chunk(keys, state):
+                def body(carry, _):
+                    st, ks = carry
+                    pairs = jax.vmap(lambda k: jax.random.split(k, 2))(ks)
+                    st, info = self.step(pairs[:, 1], st)
+                    return (st, pairs[:, 0]), (self.collect(st), info)
+                (state, keys), (draws, infos) = jax.lax.scan(
+                    body, (state, keys), None, length=chunk_size
+                )
+                return keys, state, draws, infos
+            self._compiled = jax.jit(run_chunk)
+        return self._compiled
+
+    def run(self, key, state0, n_draws, chunk_size=100, row_shape=None,
+            dtype=np.float32):
+        """Returns (final_state, draws) with draws memmapped from the sink."""
+        n_chains = jax.tree_util.tree_leaves(state0)[0].shape[0]
+        keys = jax.random.split(key, n_chains)
+        state = state0
+
+        ckpt = self.dir / "state.npz"
+        meta_path = self.dir / "progress.json"
+        sink_path = self.dir / "draws.bin"
+
+        done = 0
+        if meta_path.exists() and ckpt.exists():
+            meta = json.loads(meta_path.read_text())
+            if meta.get("n_draws") == n_draws and meta.get("chunk_size") == chunk_size:
+                done = meta["done"]
+                keys, state = restore(ckpt, like=_key_data((keys, state)))
+            else:
+                done = 0
+
+        if row_shape is None:
+            sample = self.collect(state)
+            row_shape = tuple(sample.shape)
+
+        run_chunk = self._chunk_fn(chunk_size)
+
+        mode_new = done == 0
+        if mode_new and sink_path.exists():
+            sink_path.unlink()
+
+        # re-open sink in append mode by rewriting completed prefix
+        if not mode_new:
+            existing = np.array(read_draws(sink_path, mmap=False)[:done])
+        else:
+            existing = None
+
+        with DrawSink(sink_path, row_shape, dtype) as sink:
+            if existing is not None:
+                sink.append(existing)
+            while done < n_draws:
+                step_n = min(chunk_size, n_draws - done)
+                if step_n != chunk_size:
+                    # final ragged chunk compiles once more
+                    run_ragged = jax.jit(lambda k, s: self._ragged(k, s, step_n))
+                    keys, state, draws, _ = run_ragged(keys, state)
+                else:
+                    keys, state, draws, _ = run_chunk(keys, state)
+                sink.append(np.asarray(draws))
+                done += step_n
+                save(ckpt, _key_data((keys, state)))
+                meta_path.write_text(json.dumps(
+                    {"done": done, "n_draws": n_draws, "chunk_size": chunk_size}
+                ))
+        return state, read_draws(sink_path)
+
+    def _ragged(self, keys, state, length):
+        def body(carry, _):
+            st, ks = carry
+            pairs = jax.vmap(lambda k: jax.random.split(k, 2))(ks)
+            st, info = self.step(pairs[:, 1], st)
+            return (st, pairs[:, 0]), (self.collect(st), info)
+        (state, keys), (draws, infos) = jax.lax.scan(
+            body, (state, keys), None, length=length
+        )
+        return keys, state, draws, infos

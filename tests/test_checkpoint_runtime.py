@@ -1,0 +1,114 @@
+"""Checkpoint/resume and native draw-sink tests — the subsystems the
+reference lacks entirely (SURVEY.md §5: 'Resume is impossible')."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import mcmc_tpu
+from mcmc_tpu import checkpoint
+from mcmc_tpu.runtime import DrawSink, read_draws
+from mcmc_tpu.samplers.rwmh import build_rwmh_kernel
+
+
+def test_drawsink_native_roundtrip(tmp_path):
+    path = tmp_path / "draws.bin"
+    with DrawSink(path, row_shape=(4, 3)) as sink:
+        a = np.arange(24, dtype=np.float32).reshape(2, 4, 3)
+        b = np.arange(24, 48, dtype=np.float32).reshape(2, 4, 3)
+        sink.append(a)
+        sink.append(b)
+        sink.flush()
+        assert sink.native, "native C++ drawsink should build in this image"
+    out = read_draws(path)
+    assert out.shape == (4, 4, 3)
+    np.testing.assert_array_equal(np.asarray(out), np.concatenate([a, b]))
+
+
+def test_drawsink_python_fallback_same_format(tmp_path):
+    p1 = tmp_path / "native.bin"
+    p2 = tmp_path / "python.bin"
+    data = np.random.default_rng(0).normal(size=(5, 2, 3)).astype(np.float32)
+    with DrawSink(p1, (2, 3)) as s:
+        s.append(data)
+    with DrawSink(p2, (2, 3), force_python=True) as s:
+        s.append(data)
+    assert p1.read_bytes() == p2.read_bytes()
+
+
+def test_save_restore_pytree(tmp_path):
+    tree = {"a": jnp.arange(5.0), "b": (jnp.ones((2, 2)), jnp.asarray(3))}
+    path = tmp_path / "ck.npz"
+    checkpoint.save(path, tree)
+    out = checkpoint.restore(path, like=tree)
+    np.testing.assert_array_equal(np.asarray(out["a"]), np.arange(5.0))
+    np.testing.assert_array_equal(np.asarray(out["b"][0]), np.ones((2, 2)))
+
+
+def _make_runner(tmp_path, name):
+    log_kernel = lambda v: -0.5 * jnp.sum(v**2)
+    init, step = build_rwmh_kernel(log_kernel, lambda v: v, 0.7)
+    state0 = jax.vmap(init)(jnp.zeros((8, 2)))
+    runner = checkpoint.ChunkedRunner(
+        jax.vmap(step), collect_fn=lambda st: st.position,
+        directory=tmp_path / name,
+    )
+    return runner, state0
+
+
+def test_chunked_run_matches_uninterrupted(tmp_path):
+    key = jax.random.PRNGKey(0)
+    r1, s0 = _make_runner(tmp_path, "a")
+    _, draws_a = r1.run(key, s0, n_draws=60, chunk_size=20)
+
+    r2, s0b = _make_runner(tmp_path, "b")
+    _, draws_b = r2.run(key, s0b, n_draws=60, chunk_size=30)
+    np.testing.assert_array_equal(np.asarray(draws_a), np.asarray(draws_b))
+
+
+def test_resume_is_bit_identical(tmp_path):
+    key = jax.random.PRNGKey(7)
+    r1, s0 = _make_runner(tmp_path, "full")
+    _, straight = r1.run(key, s0, n_draws=60, chunk_size=20)
+    straight = np.array(straight)
+
+    # simulate a crash after 40 draws: rewind the progress marker of an
+    # identical run directory, then resume
+    r2, s0b = _make_runner(tmp_path, "crash")
+    r2.run(key, s0b, n_draws=60, chunk_size=20)
+    prog = json.loads((tmp_path / "crash" / "progress.json").read_text())
+    assert prog["done"] == 60
+    # rewind: pretend only 2 chunks completed; the state checkpoint is from
+    # the end, so rebuild it by running 40 draws in a fresh dir and copying
+    r3, s0c = _make_runner(tmp_path, "prefix")
+    r3.run(key, s0c, n_draws=40, chunk_size=20)
+    import shutil
+    shutil.copy(tmp_path / "prefix" / "state.npz", tmp_path / "crash" / "state.npz")
+    (tmp_path / "crash" / "progress.json").write_text(
+        json.dumps({"done": 40, "n_draws": 60, "chunk_size": 20})
+    )
+
+    r4, s0d = _make_runner(tmp_path, "crash")
+    _, resumed = r4.run(key, s0d, n_draws=60, chunk_size=20)
+    np.testing.assert_array_equal(np.array(resumed), straight)
+
+
+def test_sampler_states_checkpoint(tmp_path):
+    """A NUTS state pytree (positions, adaptation stats) round-trips."""
+    from mcmc_tpu.samplers.nuts import build_nuts_kernel
+    from mcmc_tpu.samplers import common
+
+    log_kernel = lambda v: -0.5 * jnp.sum(v**2)
+    precond = common.make_spd(None, 3, jnp.float32)
+    s = mcmc_tpu.NUTSSettings()
+    init, step = build_nuts_kernel(log_kernel, jax.grad(log_kernel), precond, s, 10)
+    keys = jax.random.split(jax.random.PRNGKey(0), 4)
+    state = jax.vmap(init)(keys, jnp.zeros((4, 3)))
+
+    path = tmp_path / "nuts.npz"
+    checkpoint.save(path, state)
+    out = checkpoint.restore(path, like=state)
+    for a, b in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(out)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
