@@ -108,6 +108,37 @@ def main():
     total_leapfrogs = n_calls * STEPS_PER_CALL * N_LEAP * N_CHAINS
     steps_per_sec = total_leapfrogs / elapsed
 
+    # secondary: ESS/sec + R-hat on the same target (BASELINE.md metrics)
+    from mcmc_tpu import diagnostics
+    ESS_CHAINS, ESS_DRAWS = 2048, 300
+    # longer trajectories for the mixing measurement (L*eps ~ posterior scale)
+    ess_step = make_fused_hmc_step(X, y, step_size=0.05, n_leap=8,
+                                   block_chains=256, interpret=not on_tpu)
+    ess_state = ess_step.init(
+        0.05 * jax.random.normal(jax.random.PRNGKey(9), (ESS_CHAINS, DIM)))
+
+    @jax.jit
+    def run_collect(key, state):
+        def body(carry, _):
+            st, k = carry
+            k, sub = jax.random.split(k)
+            st, _info = ess_step(sub, st)
+            return (st, k), st.position[:, :DIM]
+        (state, _), draws = lax.scan(body, (state, key), None, length=ESS_DRAWS)
+        return state, draws
+
+    for warm_key in (10, 12, 13):
+        ess_state, _warm = run_collect(jax.random.PRNGKey(warm_key), ess_state)
+    jax.block_until_ready(ess_state)
+    t_ess = time.perf_counter()
+    ess_state, draws = run_collect(jax.random.PRNGKey(11), ess_state)
+    jax.block_until_ready(draws)
+    ess_elapsed = time.perf_counter() - t_ess
+    ess = diagnostics.ess(draws)
+    rhat = diagnostics.split_rhat(draws)
+    min_ess_per_sec = float(ess.min()) / ess_elapsed
+    max_rhat = float(rhat.max())
+
     result = {
         "metric": "leapfrog_steps_per_sec_per_chip",
         "value": round(steps_per_sec, 1),
@@ -119,6 +150,8 @@ def main():
         "dim": DIM,
         "n_data": N_DATA,
         "accept_rate": round(float(acc), 4),
+        "min_ess_per_sec": round(min_ess_per_sec, 1),
+        "max_split_rhat": round(max_rhat, 4),
         "workload": "HMC 100-d Bayesian logistic regression (BASELINE.md)",
     }
     print(json.dumps(result))

@@ -11,7 +11,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["split_rhat", "ess", "summary"]
+__all__ = ["split_rhat", "ess", "summary",
+           "moments_init", "moments_update", "moments_finalize", "moments_rhat"]
 
 
 def _ensure_3d(draws):
@@ -85,6 +86,43 @@ def ess(draws):
     tau = -1.0 + 2.0 * jnp.sum(jnp.where(keep, capped, 0.0), axis=0) + rho[0]
     tau = jnp.maximum(tau, 1.0 / jnp.log10(jnp.asarray(float(n * m))))
     return n * m / tau
+
+
+def moments_init(n_chains, n_vals, dtype=jnp.float32):
+    """Streaming Welford accumulator over draws, per chain x dim.
+
+    For runs too long to keep draws resident (the reference keeps everything
+    in RAM — SURVEY.md §5), fold each kept draw into this pytree inside the
+    scan and compute mean/var/R-hat at the end with O(chains x dims) memory.
+    """
+    z = jnp.zeros((n_chains, n_vals), dtype)
+    return {"count": jnp.zeros((), jnp.int32), "mean": z, "m2": z}
+
+
+def moments_update(m, x):
+    """Fold one draw batch ``x`` of shape (n_chains, n_vals)."""
+    count = m["count"] + 1
+    delta = x - m["mean"]
+    mean = m["mean"] + delta / count.astype(x.dtype)
+    m2 = m["m2"] + delta * (x - mean)
+    return {"count": count, "mean": mean, "m2": m2}
+
+
+def moments_finalize(m):
+    """Returns (per-chain mean, per-chain variance) arrays."""
+    n = jnp.maximum(m["count"], 2).astype(m["mean"].dtype)
+    return m["mean"], m["m2"] / (n - 1)
+
+
+def moments_rhat(m):
+    """R-hat from streaming moments (non-split: between/within-chain
+    variances only, no draw storage)."""
+    chain_mean, chain_var = moments_finalize(m)
+    n = m["count"].astype(chain_mean.dtype)
+    w = chain_var.mean(axis=0)
+    b = n * chain_mean.var(axis=0, ddof=1)
+    var_plus = (n - 1) / n * w + b / n
+    return jnp.sqrt(var_plus / w)
 
 
 def summary(draws):

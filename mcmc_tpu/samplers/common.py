@@ -21,7 +21,11 @@ from jax import lax
 
 from mcmc_tpu import bounds as bounds_mod
 
-__all__ = ["SPD", "Problem", "setup_problem", "run_sampler_loop", "finalize_draws"]
+__all__ = ["SPD", "Problem", "setup_problem", "run_sampler_loop",
+           "finalize_draws", "CHAIN_AXIS_NAME"]
+
+# named vmap axis over chains, available to kernels for cross-chain pooling
+CHAIN_AXIS_NAME = "chain_axis"
 
 
 @dataclass(frozen=True)
@@ -156,7 +160,9 @@ def run_sampler_loop(key, state0, step_fn, n_burnin, n_keep, collect_fn,
     """
     n_chains = jax.tree_util.tree_leaves(state0)[0].shape[0]
     keys = jax.random.split(key, n_chains)
-    batched_step = jax.vmap(step_fn)
+    # the named chain axis lets kernels pool cross-chain statistics with
+    # lax.pmean (lowers to a psum collective when the axis is mesh-sharded)
+    batched_step = jax.vmap(step_fn, axis_name=CHAIN_AXIS_NAME)
 
     def run(state0, keys):
         def body(carry, _):

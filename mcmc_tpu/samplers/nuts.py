@@ -73,7 +73,7 @@ def _ctz(x):
 
 
 def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSettings,
-                      n_adapt: int):
+                      n_adapt: int, pooled_adaptation: bool = False):
     max_depth = int(cfg.max_tree_depth)
 
     def potential(z):
@@ -186,6 +186,10 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
         noise = jax.random.normal(key, position.shape, dtype)
         r0 = precond.sqrt_mv(noise)
         eps0 = find_initial_step_size(position, r0)
+        if pooled_adaptation:
+            # geometric mean across chains so the shared trajectory starts
+            # from one common epsilon_0 / mu
+            eps0 = jnp.exp(lax.pmean(jnp.log(eps0), common.CHAIN_AXIS_NAME))
         return NUTSState(
             position=position,
             potential=potential(position),
@@ -267,10 +271,15 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
 
         out = lax.while_loop(outer_cond, outer_body, carry)
 
-        # dual averaging (reference src/nuts.cpp:294-302)
+        # dual averaging (reference src/nuts.cpp:294-302); with pooled
+        # adaptation the accept statistic is averaged over the named chain
+        # axis (lax.pmean -> psum collective when chains are mesh-sharded),
+        # giving all chains one common step-size trajectory
         t = state.draw_ind.astype(dtype)
         adapting = state.draw_ind < n_adapt
         accept_stat = out["alpha"] / jnp.maximum(out["n_alpha"], 1).astype(dtype)
+        if pooled_adaptation:
+            accept_stat = lax.pmean(accept_stat, common.CHAIN_AXIS_NAME)
         h_new = state.h_val + (1.0 / (t + 1.0 + cfg.t0_val)) \
             * (cfg.target_accept_rate - accept_stat - state.h_val)
         eps_new = jnp.exp(state.mu_val - h_new * jnp.sqrt(t + 1.0) / cfg.gamma_val)
@@ -301,8 +310,15 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
 
 
 def nuts(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, mesh=None,
-         dtype=None, bounded_grad="reference") -> SamplerResult:
-    """Run NUTS (reference src/nuts.cpp entry points)."""
+         dtype=None, bounded_grad="reference",
+         pooled_adaptation=False) -> SamplerResult:
+    """Run NUTS (reference src/nuts.cpp entry points).
+
+    ``pooled_adaptation=True`` shares one dual-averaging step-size
+    trajectory across all chains by pooling the per-draw accept statistic
+    over the chain axis — a cross-chain generalization the single-chain
+    reference cannot express (SURVEY.md §7 step 8: psum warmup statistics).
+    """
     algo, s = resolve_settings(settings, "nuts_settings", NUTSSettings)
     key = resolve_key(key, algo)
 
@@ -313,11 +329,13 @@ def nuts(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, me
     n_total = s.n_burnin_draws + s.n_keep_draws
     n_adapt = min(s.n_adapt_draws, n_total)  # reference src/nuts.cpp:54
 
-    init, step = build_nuts_kernel(prob.box_log_kernel, grad_fn, precond, s, n_adapt)
+    init, step = build_nuts_kernel(prob.box_log_kernel, grad_fn, precond, s,
+                                   n_adapt, pooled_adaptation)
 
     key, k_init = jax.random.split(key)
     init_keys = jax.random.split(k_init, prob.n_chains)
-    state0 = jax.vmap(init)(init_keys, prob.first_draw)
+    state0 = jax.vmap(init, axis_name=common.CHAIN_AXIS_NAME)(
+        init_keys, prob.first_draw)
 
     _, draws, infos = common.run_sampler_loop(
         key, state0, step, s.n_burnin_draws, s.n_keep_draws,
