@@ -107,10 +107,16 @@ def build_de_sweep(box_log_kernel, cfg: DESettings, n_vals: int):
     return sweep
 
 
-def de(initial_vals, log_kernel, settings=None, *, key=None, dtype=None) -> SamplerResult:
+def de(initial_vals, log_kernel, settings=None, *, key=None, mesh=None,
+       dtype=None) -> SamplerResult:
     """Run DE-MCMC. Returns draws of shape ``(n_keep, n_pop, n_vals)`` — the
     reference's ``Cube_t draws_out(n_pop, n_vals, n_keep)`` with the
-    generation axis leading."""
+    generation axis leading.
+
+    With ``mesh``, the population is sharded across devices and each
+    generation all-gathers the previous generation once over ICI
+    (``mcmc_tpu.parallel.de_sharded``) — the multi-chip form of the
+    reference's OpenMP walker loop (src/de.cpp:161-207)."""
     algo, s = resolve_settings(settings, "de_settings", DESettings)
     key = resolve_key(key, algo)
 
@@ -133,23 +139,56 @@ def de(initial_vals, log_kernel, settings=None, *, key=None, dtype=None) -> Samp
     kv0 = jax.vmap(prob.box_log_kernel)(X0)
     kv0 = jnp.where(jnp.isfinite(kv0), kv0, -jnp.inf)
 
-    sweep = build_de_sweep(prob.box_log_kernel, s, n_vals)
     state0 = DEState(X=X0, kernel_vals=kv0, gen_ind=jnp.asarray(0, jnp.int32))
 
-    def body(carry, _):
-        state, k = carry
-        k, sub = jax.random.split(k)
-        state, info = sweep(sub, state)
-        return (state, k), (state.X, info["accepted"])
+    if mesh is None:
+        sweep = build_de_sweep(prob.box_log_kernel, s, n_vals)
 
-    carry = (state0, key)
-    if s.n_burnin_draws > 0:
-        def body_burn(carry, _):
-            carry, _out = body(carry, None)
-            return carry, None
-        carry, _ = lax.scan(body_burn, carry, None, length=s.n_burnin_draws)
+        def body(carry, _):
+            state, k = carry
+            k, sub = jax.random.split(k)
+            state, info = sweep(sub, state)
+            return (state, k), (state.X, info["accepted"])
 
-    _, (draws, accepted) = lax.scan(body, carry, None, length=s.n_keep_draws)
+        carry = (state0, key)
+        if s.n_burnin_draws > 0:
+            def body_burn(carry, _):
+                carry, _out = body(carry, None)
+                return carry, None
+            carry, _ = lax.scan(body_burn, carry, None, length=s.n_burnin_draws)
+
+        _, (draws, accepted) = lax.scan(body, carry, None, length=s.n_keep_draws)
+    else:
+        from mcmc_tpu.parallel.de_sharded import build_sharded_de_sweep
+        from mcmc_tpu.parallel.mesh import shard_chain_axis
+
+        sweep = build_sharded_de_sweep(prob.box_log_kernel, s, n_vals, mesh)
+        walker_keys = jax.random.split(key, s.n_pop)
+        state0 = DEState(
+            X=shard_chain_axis(state0.X, mesh),
+            kernel_vals=shard_chain_axis(state0.kernel_vals, mesh),
+            gen_ind=state0.gen_ind,
+        )
+        walker_keys = shard_chain_axis(walker_keys, mesh)
+
+        def run(state, keys):
+            def body(carry, _):
+                st, ks = carry
+                pairs = jax.vmap(lambda k: jax.random.split(k, 2))(ks)
+                st, info = sweep(pairs[:, 1], st)
+                return (st, pairs[:, 0]), (st.X, info["accepted"])
+
+            carry = (state, keys)
+            if s.n_burnin_draws > 0:
+                def body_burn(carry, _):
+                    carry, _out = body(carry, None)
+                    return carry, None
+                carry, _ = lax.scan(body_burn, carry, None,
+                                    length=s.n_burnin_draws)
+            _, out = lax.scan(body, carry, None, length=s.n_keep_draws)
+            return out
+
+        draws, accepted = jax.jit(run)(state0, walker_keys)
 
     n_accept = accepted.sum()
     draws = common.finalize_draws(draws, prob)

@@ -63,8 +63,39 @@ class NUTSState(NamedTuple):
     step_size: jax.Array
     epsilon_bar: jax.Array
     h_val: jax.Array
-    mu_val: jax.Array        # log(10 * eps_0), fixed per chain after init
+    mu_val: jax.Array        # log(10 * eps_0); re-centered at window ends
     draw_ind: jax.Array      # global draw counter driving adaptation
+    adapt_t0: jax.Array      # draw index of the last mass-window end
+    inv_mass: jax.Array      # diagonal inverse mass (ones when not adapting)
+    w_count: jax.Array       # Welford accumulators for the current window
+    w_mean: jax.Array
+    w_m2: jax.Array
+
+
+def _mass_window_schedule(n_adapt: int):
+    """Stan-style warmup schedule: an initial fast interval, doubling slow
+    windows in which posterior variance is accumulated, and a terminal fast
+    interval. Returns (collect_mask, window_end_mask) as length-n_adapt
+    boolean arrays. (This adaptation has no reference analog — MCMCLib's
+    preconditioner is a fixed user matrix, mcmc_structs.hpp:77.)"""
+    import numpy as np
+    collect = np.zeros(max(n_adapt, 1), bool)
+    window_end = np.zeros(max(n_adapt, 1), bool)
+    init_fast = min(75, int(0.15 * n_adapt))
+    term_fast = min(50, int(0.1 * n_adapt))
+    b, e = init_fast, n_adapt - term_fast
+    if e - b >= 20:
+        collect[b:e] = True
+        w = 25
+        pos = b
+        while pos < e:
+            end = pos + w
+            if end * 2 - pos > e:  # last window absorbs the remainder
+                end = e
+            window_end[min(end, e) - 1] = True
+            pos = end
+            w *= 2
+    return jnp.asarray(collect), jnp.asarray(window_end)
 
 
 def _ctz(x):
@@ -73,26 +104,41 @@ def _ctz(x):
 
 
 def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSettings,
-                      n_adapt: int, pooled_adaptation: bool = False):
+                      n_adapt: int, pooled_adaptation: bool = False,
+                      adapt_mass_matrix: bool = False):
     max_depth = int(cfg.max_tree_depth)
+    mass_collect, mass_window_end = _mass_window_schedule(n_adapt) \
+        if adapt_mass_matrix else (None, None)
 
     def potential(z):
         u = -box_log_kernel(z)
         return jnp.where(jnp.isfinite(u), u, jnp.inf)
 
-    def kinetic(r):
+    def kinetic(r, inv_mass=None):
+        if adapt_mass_matrix:
+            return 0.5 * jnp.sum(r * r * inv_mass)
         return integrators.kinetic_energy(r, precond.inv_mv)
 
-    def leapfrog1(z, r, eps):
-        return integrators.leapfrog(grad_fn, precond.inv_mv, eps, 1, z, r)
+    def leapfrog1(z, r, eps, inv_mass=None):
+        if adapt_mass_matrix:
+            inv_mv = lambda v: inv_mass * v
+        else:
+            inv_mv = precond.inv_mv
+        return integrators.leapfrog(grad_fn, inv_mv, eps, 1, z, r)
 
-    def find_initial_step_size(z0, r0):
+    def sample_momentum(noise, inv_mass=None):
+        if adapt_mass_matrix:
+            # M = diag(1/inv_mass) => chol(M) = 1/sqrt(inv_mass)
+            return noise * jax.lax.rsqrt(inv_mass)
+        return precond.sqrt_mv(noise)
+
+    def find_initial_step_size(z0, r0, inv_mass=None):
         """Reference nuts.ipp:30-93 (doubling-only; see module docstring)."""
         dtype = z0.dtype
-        H0 = potential(z0) + kinetic(r0)
+        H0 = potential(z0) + kinetic(r0, inv_mass)
 
-        z, r = leapfrog1(z0, r0, jnp.asarray(1.0, dtype))
-        dH = -(potential(z) + kinetic(r)) + H0
+        z, r = leapfrog1(z0, r0, jnp.asarray(1.0, dtype), inv_mass)
+        dH = -(potential(z) + kinetic(r, inv_mass)) + H0
 
         def cond(c):
             eps, z, r, dH, it = c
@@ -101,8 +147,8 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
         def body(c):
             eps, z, r, dH, it = c
             eps = eps * 2.0
-            z, r = leapfrog1(z, r, eps)
-            dH = -(potential(z) + kinetic(r)) + H0
+            z, r = leapfrog1(z, r, eps, inv_mass)
+            dH = -(potential(z) + kinetic(r, inv_mass)) + H0
             return (eps, z, r, dH, it + 1)
 
         eps, _, _, _, _ = lax.while_loop(
@@ -110,7 +156,8 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
         )
         return eps
 
-    def build_subtree(key, depth, v, z0, r0, eps, log_u, alpha_base, dim, dtype):
+    def build_subtree(key, depth, v, z0, r0, eps, log_u, alpha_base, dim, dtype,
+                      inv_mass=None):
         """One subtree of 2^depth leapfrog steps in direction v from (z0, r0).
 
         Returns (prop_z, prop_U, n, s, alpha, n_alpha, z_end, r_end, diverged).
@@ -125,9 +172,9 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
         def body(c):
             key, k_res = jax.random.split(c["key"])
             i = c["i"]
-            z, r = leapfrog1(c["z"], c["r"], v * eps)
+            z, r = leapfrog1(c["z"], c["r"], v * eps, inv_mass)
             U = potential(z)
-            H = U + kinetic(r)
+            H = U + kinetic(r, inv_mass)
 
             valid = (log_u <= -H).astype(jnp.int32)
             diverged = ~(log_u < _MAX_TUNING_PAR - H)
@@ -183,9 +230,11 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
 
     def init(key, position):
         dtype = position.dtype
+        dim = position.shape[0]
+        inv_mass0 = jnp.ones((dim,), dtype)
         noise = jax.random.normal(key, position.shape, dtype)
-        r0 = precond.sqrt_mv(noise)
-        eps0 = find_initial_step_size(position, r0)
+        r0 = sample_momentum(noise, inv_mass0)
+        eps0 = find_initial_step_size(position, r0, inv_mass0)
         if pooled_adaptation:
             # geometric mean across chains so the shared trajectory starts
             # from one common epsilon_0 / mu
@@ -198,6 +247,11 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
             h_val=jnp.asarray(0.0, dtype),
             mu_val=jnp.log(10.0 * eps0),
             draw_ind=jnp.asarray(0, jnp.int32),
+            adapt_t0=jnp.asarray(0, jnp.int32),
+            inv_mass=inv_mass0,
+            w_count=jnp.asarray(0, jnp.int32),
+            w_mean=jnp.zeros((dim,), dtype),
+            w_m2=jnp.zeros((dim,), dtype),
         )
 
     def step(key, state: NUTSState):
@@ -206,8 +260,9 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
         k_mom, k_slice, k_tree = jax.random.split(key, 3)
 
         noise = jax.random.normal(k_mom, (dim,), dtype)
-        r0 = precond.sqrt_mv(noise)
-        prev_K = kinetic(r0)
+        inv_mass = state.inv_mass
+        r0 = sample_momentum(noise, inv_mass)
+        prev_K = kinetic(r0, inv_mass)
         log_u = jnp.log(jax.random.uniform(k_slice, dtype=dtype)) \
             - state.potential - prev_K
 
@@ -239,7 +294,7 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
             alpha_base = c["U"] + prev_K
             sub = build_subtree(
                 k_sub, c["depth"], v, c["draw"], r0, eps, log_u, alpha_base,
-                dim, dtype,
+                dim, dtype, inv_mass,
             )
 
             n_p = sub["n"]
@@ -274,8 +329,10 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
         # dual averaging (reference src/nuts.cpp:294-302); with pooled
         # adaptation the accept statistic is averaged over the named chain
         # axis (lax.pmean -> psum collective when chains are mesh-sharded),
-        # giving all chains one common step-size trajectory
-        t = state.draw_ind.astype(dtype)
+        # giving all chains one common step-size trajectory. With mass
+        # adaptation the averaging clock restarts at each window end
+        # (adapt_t0), Stan-style.
+        t = (state.draw_ind - state.adapt_t0).astype(dtype)
         adapting = state.draw_ind < n_adapt
         accept_stat = out["alpha"] / jnp.maximum(out["n_alpha"], 1).astype(dtype)
         if pooled_adaptation:
@@ -288,14 +345,57 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
             * (jnp.log(eps_new) - jnp.log(state.epsilon_bar))
         )
 
+        step_size_out = jnp.where(adapting, eps_new, state.epsilon_bar)
+        ebar_out = jnp.where(adapting, ebar_new, state.epsilon_bar)
+        h_out = jnp.where(adapting, h_new, state.h_val)
+        mu_out = state.mu_val
+        t0_out = state.adapt_t0
+        inv_mass_out = state.inv_mass
+        wc, wm, wv = state.w_count, state.w_mean, state.w_m2
+
+        if adapt_mass_matrix:
+            idx = jnp.minimum(state.draw_ind, mass_collect.shape[0] - 1)
+            collecting = adapting & mass_collect[idx]
+            window_end = adapting & mass_window_end[idx]
+
+            # Welford over the (possibly updated) position
+            cnt1 = wc + 1
+            delta = out["draw"] - wm
+            wm1 = wm + delta / cnt1.astype(dtype)
+            wv1 = wv + delta * (out["draw"] - wm1)
+            wc = jnp.where(collecting, cnt1, wc)
+            wm = jnp.where(collecting, wm1, wm)
+            wv = jnp.where(collecting, wv1, wv)
+
+            # window end: regularized variance -> new diagonal inverse mass
+            # (shrunk toward 1e-3 as in Stan), reset Welford + dual averaging
+            n_w = jnp.maximum(wc, 2).astype(dtype)
+            var = wv / (n_w - 1.0)
+            if pooled_adaptation:
+                var = lax.pmean(var, common.CHAIN_AXIS_NAME)
+            var = (n_w / (n_w + 5.0)) * var + 1e-3 * (5.0 / (n_w + 5.0))
+            inv_mass_out = jnp.where(window_end, var, inv_mass_out)
+            wc = jnp.where(window_end, 0, wc)
+            wm = jnp.where(window_end, jnp.zeros_like(wm), wm)
+            wv = jnp.where(window_end, jnp.zeros_like(wv), wv)
+            mu_out = jnp.where(window_end, jnp.log(10.0 * step_size_out), mu_out)
+            h_out = jnp.where(window_end, 0.0, h_out)
+            t0_out = jnp.where(window_end, state.draw_ind + 1, t0_out)
+            ebar_out = jnp.where(window_end, step_size_out, ebar_out)
+
         new_state = NUTSState(
             position=out["draw"],
             potential=out["U"],
-            step_size=jnp.where(adapting, eps_new, state.epsilon_bar),
-            epsilon_bar=jnp.where(adapting, ebar_new, state.epsilon_bar),
-            h_val=jnp.where(adapting, h_new, state.h_val),
-            mu_val=state.mu_val,
+            step_size=step_size_out,
+            epsilon_bar=ebar_out,
+            h_val=h_out,
+            mu_val=mu_out,
             draw_ind=state.draw_ind + 1,
+            adapt_t0=t0_out,
+            inv_mass=inv_mass_out,
+            w_count=wc,
+            w_mean=wm,
+            w_m2=wv,
         )
         info = {
             "accepted": out["good"],
@@ -311,13 +411,21 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
 
 def nuts(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, mesh=None,
          dtype=None, bounded_grad="reference",
-         pooled_adaptation=False) -> SamplerResult:
+         pooled_adaptation=False, adapt_mass_matrix=False) -> SamplerResult:
     """Run NUTS (reference src/nuts.cpp entry points).
 
     ``pooled_adaptation=True`` shares one dual-averaging step-size
     trajectory across all chains by pooling the per-draw accept statistic
     over the chain axis — a cross-chain generalization the single-chain
     reference cannot express (SURVEY.md §7 step 8: psum warmup statistics).
+
+    ``adapt_mass_matrix=True`` adds Stan-style windowed diagonal
+    mass-matrix adaptation during warmup (doubling slow windows of Welford
+    variance estimates; dual averaging restarts at window ends). The
+    reference has no analog — its preconditioner is a fixed user matrix
+    (mcmc_structs.hpp:93). Combine with ``pooled_adaptation`` to estimate
+    one shared mass from all chains. Incompatible with a user
+    ``precond_mat``.
     """
     algo, s = resolve_settings(settings, "nuts_settings", NUTSSettings)
     key = resolve_key(key, algo)
@@ -329,15 +437,19 @@ def nuts(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, me
     n_total = s.n_burnin_draws + s.n_keep_draws
     n_adapt = min(s.n_adapt_draws, n_total)  # reference src/nuts.cpp:54
 
+    if adapt_mass_matrix and s.precond_mat is not None:
+        raise ValueError("adapt_mass_matrix is incompatible with a user "
+                         "precond_mat — the mass matrix is learned")
     init, step = build_nuts_kernel(prob.box_log_kernel, grad_fn, precond, s,
-                                   n_adapt, pooled_adaptation)
+                                   n_adapt, pooled_adaptation,
+                                   adapt_mass_matrix)
 
     key, k_init = jax.random.split(key)
     init_keys = jax.random.split(k_init, prob.n_chains)
     state0 = jax.vmap(init, axis_name=common.CHAIN_AXIS_NAME)(
         init_keys, prob.first_draw)
 
-    _, draws, infos = common.run_sampler_loop(
+    final_state, draws, infos = common.run_sampler_loop(
         key, state0, step, s.n_burnin_draws, s.n_keep_draws,
         collect_fn=lambda st: st.position, mesh=mesh,
     )
@@ -350,11 +462,17 @@ def nuts(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, me
         "accept_stat": infos["accept_stat"],
         "step_size": infos["step_size"],
     }
+    if adapt_mass_matrix:
+        diagnostics["inv_mass_diag"] = final_state.inv_mass
     if prob.squeeze:
         draws = draws[:, 0, :]
         n_accept = n_accept[0]
-        # per-draw traces are (n_keep, n_chains); counts are (n_chains,)
-        diagnostics = {k: v[:, 0] if v.ndim == 2 else v[0]
-                       for k, v in diagnostics.items()}
+        # per-draw traces are (n_keep, n_chains); counts are (n_chains,);
+        # inv_mass_diag is (n_chains, dim)
+        def _squeeze(k, v):
+            if k == "inv_mass_diag":
+                return v[0]
+            return v[:, 0] if v.ndim == 2 else v[0]
+        diagnostics = {k: _squeeze(k, v) for k, v in diagnostics.items()}
     return SamplerResult(draws=draws, n_accept_draws=n_accept,
                          diagnostics=diagnostics)

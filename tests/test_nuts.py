@@ -83,3 +83,33 @@ def test_nuts_divergence_detection():
                         key=jax.random.PRNGKey(2))
     assert np.isfinite(np.asarray(out.draws)).all()
     assert int(np.asarray(out.diagnostics["n_divergent"]).sum()) > 0
+
+
+def test_nuts_mass_matrix_adaptation_ill_conditioned():
+    """Windowed diagonal mass adaptation must learn the scales of an
+    ill-conditioned Gaussian (variances 1..1e4) and beat the unadapted
+    sampler decisively on effective draws."""
+    log_kernel = models.ill_conditioned_gaussian(8, condition_number=1e4)
+    s = mcmc_tpu.NUTSSettings(n_burnin_draws=700, n_keep_draws=500,
+                              n_adapt_draws=700)
+
+    out = mcmc_tpu.nuts(jnp.zeros(8), log_kernel, s, n_chains=8,
+                        key=jax.random.PRNGKey(0),
+                        adapt_mass_matrix=True, pooled_adaptation=True)
+    inv_mass = np.asarray(out.diagnostics["inv_mass_diag"])  # (chains, dim)
+    true_var = np.asarray(log_kernel.variances)
+    # learned inverse mass tracks the marginal variances within ~3x
+    ratio = inv_mass[0] / true_var
+    assert (ratio > 0.3).all() and (ratio < 3.0).all(), ratio
+
+    d = np.asarray(out.draws)
+    emp_var = d.reshape(-1, 8).var(axis=0)
+    np.testing.assert_allclose(emp_var / true_var, 1.0, atol=0.5)
+
+    from mcmc_tpu import diagnostics as diag
+    ess_adapted = float(np.asarray(diag.ess(out.draws)).min())
+
+    out0 = mcmc_tpu.nuts(jnp.zeros(8), log_kernel, s, n_chains=8,
+                         key=jax.random.PRNGKey(0))
+    ess_plain = float(np.asarray(diag.ess(out0.draws)).min())
+    assert ess_adapted > 3 * ess_plain, (ess_adapted, ess_plain)
