@@ -17,7 +17,7 @@ import math
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from mcmc_tpu.settings import DESettings
 from mcmc_tpu.samplers.de import DEState, _distinct_pair_indices, de_cooling_schedule
@@ -71,7 +71,6 @@ def build_sharded_de_sweep(box_log_kernel, cfg: DESettings, n_vals: int,
         local_sweep, mesh=mesh,
         in_specs=(P(axis_name), P(axis_name), P(axis_name), P()),
         out_specs=(P(axis_name), P(axis_name), P(axis_name)),
-        check_rep=False,
     )
 
     def sweep(keys, state: DEState):

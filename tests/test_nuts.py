@@ -113,3 +113,19 @@ def test_nuts_mass_matrix_adaptation_ill_conditioned():
                          key=jax.random.PRNGKey(0))
     ess_plain = float(np.asarray(diag.ess(out0.draws)).min())
     assert ess_adapted > 3 * ess_plain, (ess_adapted, ess_plain)
+
+
+def test_nuts_banana():
+    """BASELINE banana target: curved ridge; NUTS must recover the known
+    marginal moments E[x1]=0, Var[x1]=sigma^2, E[x2]=0."""
+    b, sigma = 0.1, 3.0
+    log_kernel = models.banana_model(b=b, sigma=sigma)
+    s = mcmc_tpu.NUTSSettings(n_burnin_draws=800, n_keep_draws=1500,
+                              n_adapt_draws=800, target_accept_rate=0.8)
+    out = mcmc_tpu.nuts(jnp.zeros(2), log_kernel, s, n_chains=16,
+                        key=jax.random.PRNGKey(3), adapt_mass_matrix=True)
+    d = np.asarray(out.draws).reshape(-1, 2)
+    # x1 ~ N(0, sigma^2); x2 = b*(x1^2 - sigma^2) + N(0,1) -> E[x2] = 0
+    assert abs(d[:, 0].mean()) < 0.4
+    assert d[:, 0].var() == pytest.approx(sigma**2, rel=0.3)
+    assert abs(d[:, 1].mean()) < 0.5

@@ -135,3 +135,42 @@ def test_de_mesh_sharded_matches_statistics():
     assert float(out.draws.mean()) == pytest.approx(2.0, abs=0.3)
     rate = int(out.n_accept_draws) / (400 * 64)
     assert 0.05 < rate < 0.95
+
+
+def test_aees_sharded_ladder_bimodal():
+    """Ladder-sharded AEES (one temperature per device, ppermute history
+    ring) must still hop between the mixture modes."""
+    from mcmc_tpu.parallel import make_mesh
+    from mcmc_tpu.parallel.aees_sharded import aees_sharded
+
+    mu = jnp.array([[-2.0, -2.0], [2.0, 2.0]])
+    log_kernel = models.gaussian_mixture_model(
+        mu, sig_sq=jnp.array([0.1, 0.1]), weights=jnp.array([0.5, 0.5])
+    )
+    settings = mcmc_tpu.AlgoSettings(rng_seed_value=2)
+    settings.aees_settings.n_initial_draws = 400
+    settings.aees_settings.n_burnin_draws = 400
+    settings.aees_settings.n_keep_draws = 6000
+    settings.aees_settings.n_rings = 11
+    settings.aees_settings.ee_prob_par = 0.05
+    settings.aees_settings.temper_vec = jnp.array([60.0, 9.0])
+    settings.aees_settings.cov_mat = 0.35 * jnp.eye(2)
+
+    out = aees_sharded(mu[0], log_kernel, settings, mesh=make_mesh(3),
+                       key=jax.random.PRNGKey(7))
+    d = np.asarray(out.draws)
+    assert d.shape == (6000, 2)
+    pos = d[d[:, 0] > 0.1]
+    neg = d[d[:, 0] < -0.1]
+    assert len(pos) > 100 and len(neg) > 100
+    np.testing.assert_allclose(pos.mean(axis=0), [2.0, 2.0], atol=0.3)
+    np.testing.assert_allclose(neg.mean(axis=0), [-2.0, -2.0], atol=0.3)
+
+
+def test_aees_sharded_requires_matching_mesh():
+    from mcmc_tpu.parallel import make_mesh
+    from mcmc_tpu.parallel.aees_sharded import aees_sharded
+    s = mcmc_tpu.AEESSettings(temper_vec=jnp.array([10.0]))
+    with pytest.raises(ValueError, match="ladder size"):
+        aees_sharded(jnp.zeros(2), lambda v: -jnp.sum(v**2), s,
+                     mesh=make_mesh(4))
