@@ -28,6 +28,7 @@ __all__ = [
     "inv_transform",
     "log_jacobian",
     "inv_jacobian_diag",
+    "inv_jacobian_adjust",
     "sampling_bounds_check",
     "make_box_log_kernel",
 ]
@@ -156,6 +157,13 @@ def inv_jacobian_diag(z, codes, lower_bounds, upper_bounds):
         [codes == 1, codes == 2, codes == 3, codes == 4],
         [jnp.ones_like(z), jnp.exp(-z), jnp.exp(z), j4],
     )
+
+
+def inv_jacobian_adjust(z, codes, lower_bounds, upper_bounds):
+    """Reference-named alias returning the full diagonal matrix
+    (reference inv_jacobian_adjust.hpp:25-56); prefer
+    :func:`inv_jacobian_diag` which keeps the vector form."""
+    return jnp.diag(inv_jacobian_diag(z, codes, lower_bounds, upper_bounds))
 
 
 def sampling_bounds_check(vals_bound, codes, hard_lb, hard_ub, samp_lb, samp_ub):
