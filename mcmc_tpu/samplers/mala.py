@@ -21,6 +21,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from mcmc_tpu import adaptation
 from mcmc_tpu import bounds as bounds_mod
 from mcmc_tpu import stats
 from mcmc_tpu.results import SamplerResult
@@ -36,11 +37,12 @@ class MALAState(NamedTuple):
     log_prob: jax.Array
     kick: jax.Array      # drift direction at position: J * (M @ grad) or M @ grad
     jac: jax.Array       # inv-Jacobian diagonal at position (ones when unused)
+    da: adaptation.DualAveraging
+    draw_ind: jax.Array
 
 
 def build_mala_kernel(prob: common.Problem, precond: common.SPD, step_size,
-                      bounded_grad="reference"):
-    eps2 = step_size * step_size
+                      bounded_grad="reference", adapt_cfg=None):
     reference_mode = prob.vals_bound and bounded_grad == "reference"
 
     if reference_mode:
@@ -60,10 +62,10 @@ def build_mala_kernel(prob: common.Problem, precond: common.SPD, step_size,
             val, grad_z = box_vg(z)
             return val, precond.mv(grad_z), jnp.ones_like(z)
 
-    def mean_of(z, kick):
+    def mean_of(z, kick, eps2):
         return z + 0.5 * eps2 * kick
 
-    def prop_sigma(jac):
+    def prop_sigma(jac, eps2):
         """Proposal covariance eps^2 * J * M in the cheapest representation."""
         if precond.kind == "identity":
             return eps2 * jac
@@ -73,25 +75,36 @@ def build_mala_kernel(prob: common.Problem, precond: common.SPD, step_size,
 
     def init(position):
         lp, kick, jac = eval_point(position)
-        return MALAState(position=position, log_prob=lp, kick=kick, jac=jac)
+        return MALAState(
+            position=position, log_prob=lp, kick=kick, jac=jac,
+            da=adaptation.da_init(jnp.asarray(step_size, position.dtype)),
+            draw_ind=jnp.asarray(0, jnp.int32),
+        )
 
     def step(key, state: MALAState):
         k_noise, k_accept = jax.random.split(key)
+        if adapt_cfg is None:
+            eps = step_size
+        else:
+            adapting = state.draw_ind < adapt_cfg["n_burnin"]
+            eps = jnp.exp(jnp.where(adapting, state.da.log_eps,
+                                    state.da.log_eps_bar))
+        eps2 = eps * eps
         noise = jax.random.normal(k_noise, state.position.shape, state.position.dtype)
 
-        prev_mean = mean_of(state.position, state.kick)
+        prev_mean = mean_of(state.position, state.kick, eps2)
         scaled = precond.sqrt_mv(noise)
         if reference_mode:
             scaled = jnp.sqrt(state.jac) * scaled
-        proposal = prev_mean + step_size * scaled
+        proposal = prev_mean + eps * scaled
 
         prop_lp, prop_kick, prop_jac = eval_point(proposal)
         prop_lp = jnp.where(jnp.isfinite(prop_lp), prop_lp, -jnp.inf)
-        prop_mean = mean_of(proposal, prop_kick)
+        prop_mean = mean_of(proposal, prop_kick, eps2)
 
         # mala_prop_adjustment (reference mala.ipp:30-70): both covariance
         # terms use the proposal's Jacobian, as in the reference.
-        sigma = prop_sigma(prop_jac)
+        sigma = prop_sigma(prop_jac, eps2)
         adj = stats.dmvnorm(state.position, prop_mean, sigma, log=True) \
             - stats.dmvnorm(proposal, prev_mean, sigma, log=True)
 
@@ -99,11 +112,21 @@ def build_mala_kernel(prob: common.Problem, precond: common.SPD, step_size,
         u = jax.random.uniform(k_accept, dtype=state.position.dtype)
         accepted = u < jnp.exp(comp)
 
+        da = state.da
+        if adapt_cfg is not None:
+            accept_stat = jnp.minimum(1.0, jnp.exp(comp))
+            accept_stat = jnp.where(jnp.isnan(accept_stat), 0.0, accept_stat)
+            da_new = adaptation.da_update(da, accept_stat, adapt_cfg["target"])
+            da = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(adapting, new, old), da_new, da)
+
         new_state = MALAState(
             position=jnp.where(accepted, proposal, state.position),
             log_prob=jnp.where(accepted, prop_lp, state.log_prob),
             kick=jnp.where(accepted, prop_kick, state.kick),
             jac=jnp.where(accepted, prop_jac, state.jac),
+            da=da,
+            draw_ind=state.draw_ind + 1,
         )
         return new_state, {"accepted": accepted}
 
@@ -111,24 +134,39 @@ def build_mala_kernel(prob: common.Problem, precond: common.SPD, step_size,
 
 
 def mala(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, mesh=None,
-         dtype=None, bounded_grad="reference") -> SamplerResult:
+         dtype=None, bounded_grad="reference", adapt_step_size=False,
+         target_accept=None) -> SamplerResult:
+    """``adapt_step_size=True`` tunes the step size toward 0.574 acceptance
+    during burn-in (no reference analog)."""
     algo, s = resolve_settings(settings, "mala_settings", MALASettings)
     key = resolve_key(key, algo)
 
     prob = common.setup_problem(initial_vals, log_kernel, algo, n_chains, dtype)
     precond = common.make_spd(s.precond_mat, prob.n_vals, prob.dtype)
 
-    init, step = build_mala_kernel(prob, precond, s.step_size, bounded_grad)
+    adapt_cfg = None
+    if adapt_step_size:
+        adapt_cfg = {
+            "n_burnin": s.n_burnin_draws,
+            "target": target_accept or adaptation.TARGET_ACCEPT["mala"],
+        }
+    init, step = build_mala_kernel(prob, precond, s.step_size, bounded_grad,
+                                   adapt_cfg)
     state0 = jax.vmap(init)(prob.first_draw)
 
-    _, draws, infos = common.run_sampler_loop(
+    final_state, draws, infos = common.run_sampler_loop(
         key, state0, step, s.n_burnin_draws, s.n_keep_draws,
         collect_fn=lambda st: st.position, mesh=mesh,
     )
 
     n_accept = infos["accepted"].sum(axis=0)
     draws = common.finalize_draws(draws, prob)
+    diagnostics = {}
+    if adapt_step_size:
+        diagnostics["adapted_step_size"] = jnp.exp(final_state.da.log_eps_bar)
     if prob.squeeze:
         draws = draws[:, 0, :]
         n_accept = n_accept[0]
-    return SamplerResult(draws=draws, n_accept_draws=n_accept)
+        diagnostics = {k: v[0] for k, v in diagnostics.items()}
+    return SamplerResult(draws=draws, n_accept_draws=n_accept,
+                         diagnostics=diagnostics)

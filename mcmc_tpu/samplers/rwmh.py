@@ -6,6 +6,10 @@ proposal is the Gaussian random walk ``z* = z + par_scale * chol(cov) @ xi``
 (reference src/rwmh.cpp:113,122-123) and the accept test is
 ``log u < min(0, delta_logK)`` (src/rwmh.cpp:133-136) with non-finite
 proposal log-kernels forced to -inf (src/rwmh.cpp:127-129).
+
+Extension (no reference analog): ``adapt_scale=True`` tunes the proposal
+scale by dual averaging toward the optimal 0.234 acceptance rate during
+burn-in, freezing the averaged iterate afterwards.
 """
 
 from __future__ import annotations
@@ -15,6 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from mcmc_tpu import adaptation
 from mcmc_tpu.results import SamplerResult
 from mcmc_tpu.settings import RWMHSettings
 from mcmc_tpu.samplers import common
@@ -26,18 +31,37 @@ __all__ = ["rwmh", "RWMHState", "build_rwmh_kernel"]
 class RWMHState(NamedTuple):
     position: jax.Array   # unconstrained coordinates, (n_vals,)
     log_prob: jax.Array   # box log-kernel at position
+    da: adaptation.DualAveraging
+    draw_ind: jax.Array
 
 
-def build_rwmh_kernel(box_log_kernel, prop_chol_mv, par_scale):
-    """Single-chain transition kernel ``(key, state) -> (state, info)``."""
+def build_rwmh_kernel(box_log_kernel, prop_chol_mv, par_scale,
+                      adapt_cfg=None):
+    """Single-chain transition kernel ``(key, state) -> (state, info)``.
+
+    ``adapt_cfg`` is ``None`` (fixed scale, reference behavior) or a dict
+    with ``n_burnin`` and ``target`` for dual-averaging scale adaptation.
+    """
 
     def init(position):
-        return RWMHState(position=position, log_prob=box_log_kernel(position))
+        return RWMHState(
+            position=position,
+            log_prob=box_log_kernel(position),
+            da=adaptation.da_init(jnp.asarray(par_scale, position.dtype)),
+            draw_ind=jnp.asarray(0, jnp.int32),
+        )
 
     def step(key, state: RWMHState):
         k_noise, k_accept = jax.random.split(key)
+        if adapt_cfg is None:
+            scale = par_scale
+        else:
+            adapting = state.draw_ind < adapt_cfg["n_burnin"]
+            scale = jnp.exp(jnp.where(adapting, state.da.log_eps,
+                                      state.da.log_eps_bar))
+
         noise = jax.random.normal(k_noise, state.position.shape, state.position.dtype)
-        proposal = state.position + par_scale * prop_chol_mv(noise)
+        proposal = state.position + scale * prop_chol_mv(noise)
 
         prop_lp = box_log_kernel(proposal)
         prop_lp = jnp.where(jnp.isfinite(prop_lp), prop_lp, -jnp.inf)
@@ -46,23 +70,35 @@ def build_rwmh_kernel(box_log_kernel, prop_chol_mv, par_scale):
         u = jax.random.uniform(k_accept, dtype=state.position.dtype)
         accepted = u < jnp.exp(comp)
 
+        da = state.da
+        if adapt_cfg is not None:
+            accept_stat = jnp.exp(comp)
+            accept_stat = jnp.where(jnp.isnan(accept_stat), 0.0, accept_stat)
+            da_new = adaptation.da_update(da, accept_stat, adapt_cfg["target"])
+            da = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(adapting, new, old), da_new, da)
+
         new_state = RWMHState(
             position=jnp.where(accepted, proposal, state.position),
             log_prob=jnp.where(accepted, prop_lp, state.log_prob),
+            da=da,
+            draw_ind=state.draw_ind + 1,
         )
         return new_state, {"accepted": accepted}
 
     return init, step
 
 
-def rwmh(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, mesh=None,
-         dtype=None) -> SamplerResult:
+def rwmh(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
+         mesh=None, dtype=None, adapt_scale=False,
+         target_accept=None) -> SamplerResult:
     """Run RWMH. ``log_kernel(params) -> scalar`` is a pure JAX function
     (closures replace the reference's ``void* target_data``).
 
     With ``n_chains`` set, ``initial_vals`` may be ``(n_vals,)`` (broadcast)
     or ``(n_chains, n_vals)``; draws come back as
-    ``(n_keep, n_chains, n_vals)``.
+    ``(n_keep, n_chains, n_vals)``. ``adapt_scale=True`` tunes the proposal
+    scale during burn-in (target acceptance 0.234 unless overridden).
     """
     algo, s = resolve_settings(settings, "rwmh_settings", RWMHSettings)
     key = resolve_key(key, algo)
@@ -70,17 +106,29 @@ def rwmh(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, me
     prob = common.setup_problem(initial_vals, log_kernel, algo, n_chains, dtype)
     cov = common.make_spd(s.cov_mat, prob.n_vals, prob.dtype)
 
-    init, step = build_rwmh_kernel(prob.box_log_kernel, cov.sqrt_mv, s.par_scale)
+    adapt_cfg = None
+    if adapt_scale:
+        adapt_cfg = {
+            "n_burnin": s.n_burnin_draws,
+            "target": target_accept or adaptation.TARGET_ACCEPT["rwmh"],
+        }
+    init, step = build_rwmh_kernel(prob.box_log_kernel, cov.sqrt_mv,
+                                   s.par_scale, adapt_cfg)
     state0 = jax.vmap(init)(prob.first_draw)
 
-    _, draws, infos = common.run_sampler_loop(
+    final_state, draws, infos = common.run_sampler_loop(
         key, state0, step, s.n_burnin_draws, s.n_keep_draws,
         collect_fn=lambda st: st.position, mesh=mesh,
     )
 
     n_accept = infos["accepted"].sum(axis=0)
     draws = common.finalize_draws(draws, prob)
+    diagnostics = {}
+    if adapt_scale:
+        diagnostics["adapted_scale"] = jnp.exp(final_state.da.log_eps_bar)
     if prob.squeeze:
         draws = draws[:, 0, :]
         n_accept = n_accept[0]
-    return SamplerResult(draws=draws, n_accept_draws=n_accept)
+        diagnostics = {k: v[0] for k, v in diagnostics.items()}
+    return SamplerResult(draws=draws, n_accept_draws=n_accept,
+                         diagnostics=diagnostics)

@@ -114,3 +114,36 @@ def test_hmc_bounded_positive_sigma(normal_data):
         assert (d[:, 1] > 0.1).all()
         assert d[:, 0].mean() == pytest.approx(x.mean(), abs=0.3)
         assert d[:, 1].mean() == pytest.approx(x.std(), abs=0.3)
+
+
+def test_step_size_adaptation_hits_targets():
+    """Dual-averaging scale/step adaptation (no reference analog) must land
+    near the standard target acceptance rates."""
+    log_kernel = lambda v: -0.5 * jnp.sum(v**2)
+    kw = dict(n_chains=16, key=jax.random.PRNGKey(0))
+
+    out = mcmc_tpu.rwmh(jnp.zeros(10), log_kernel,
+                        mcmc_tpu.RWMHSettings(n_burnin_draws=1500, n_keep_draws=1000,
+                                              par_scale=5.0),
+                        adapt_scale=True, **kw)
+    rate = float(np.asarray(out.accept_rate).mean())
+    assert 0.15 < rate < 0.35, rate
+    assert out.diagnostics["adapted_scale"].shape == (16,)
+
+    out = mcmc_tpu.mala(jnp.zeros(10), log_kernel,
+                        mcmc_tpu.MALASettings(n_burnin_draws=1500, n_keep_draws=1000,
+                                              step_size=3.0),
+                        adapt_step_size=True, **kw)
+    rate = float(np.asarray(out.accept_rate).mean())
+    assert 0.45 < rate < 0.75, rate
+
+    out = mcmc_tpu.hmc(jnp.zeros(10), log_kernel,
+                       mcmc_tpu.HMCSettings(n_burnin_draws=1500, n_keep_draws=1000,
+                                            step_size=2.0, n_leap_steps=4),
+                       adapt_step_size=True, **kw)
+    rate = float(np.asarray(out.accept_rate).mean())
+    assert 0.65 < rate < 0.95, rate
+    # sanity: posterior still right
+    d = np.asarray(out.draws)
+    np.testing.assert_allclose(d.mean(axis=(0, 1)), 0.0, atol=0.12)
+    np.testing.assert_allclose(d.var(axis=(0, 1)), 1.0, atol=0.2)
