@@ -48,8 +48,34 @@ from mcmc_tpu import models
 
 __version__ = "0.1.0"
 
+_SAMPLERS = {
+    "rwmh": rwmh, "mala": mala, "hmc": hmc, "nuts": nuts,
+    "rmhmc": rmhmc, "de": de, "aees": aees,
+}
+
+
+def sample(algorithm, initial_vals, log_kernel, settings=None, **kwargs):
+    """One-call dispatcher over the seven samplers.
+
+    ``sample("nuts", x0, log_kernel, settings, n_chains=..., ...)`` is
+    equivalent to calling the named entry point directly; RM-HMC requires a
+    ``metric_fn=`` keyword.
+    """
+    try:
+        fn = _SAMPLERS[algorithm]
+    except KeyError:
+        raise ValueError(
+            f"unknown algorithm {algorithm!r}; choose from {sorted(_SAMPLERS)}"
+        ) from None
+    if algorithm == "rmhmc":
+        metric_fn = kwargs.pop("metric_fn", None)
+        if metric_fn is None:
+            raise ValueError("rmhmc requires metric_fn=")
+        return fn(initial_vals, log_kernel, metric_fn, settings, **kwargs)
+    return fn(initial_vals, log_kernel, settings, **kwargs)
+
 __all__ = [
-    "rwmh", "mala", "hmc", "nuts", "rmhmc", "de", "aees",
+    "rwmh", "mala", "hmc", "nuts", "rmhmc", "de", "aees", "sample",
     "AlgoSettings", "RWMHSettings", "MALASettings", "HMCSettings",
     "NUTSSettings", "RMHMCSettings", "DESettings", "AEESSettings",
     "SamplerResult", "bounds", "stats", "diagnostics", "models",

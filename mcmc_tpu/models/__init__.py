@@ -16,6 +16,10 @@ from mcmc_tpu.models.targets import (
     banana_model,
     gaussian_mixture_model,
     normal_fisher_metric,
+    neals_funnel,
+    eight_schools_model,
+    poisson_regression_model,
+    student_t_regression_model,
 )
 
 __all__ = [
@@ -27,4 +31,8 @@ __all__ = [
     "banana_model",
     "gaussian_mixture_model",
     "normal_fisher_metric",
+    "neals_funnel",
+    "eight_schools_model",
+    "poisson_regression_model",
+    "student_t_regression_model",
 ]

@@ -141,3 +141,70 @@ def gaussian_mixture_model(mu, sig_sq, weights):
         return jax.scipy.special.logsumexp(log_comp)
 
     return log_kernel
+
+
+def neals_funnel(dim: int = 10, scale: float = 3.0):
+    """Neal's funnel: v ~ N(0, scale^2), x_i | v ~ N(0, e^v). The classic
+    pathological geometry for step-size/mass adaptation testing."""
+
+    def log_kernel(params):
+        v, x = params[0], params[1:]
+        lp_v = -0.5 * v**2 / scale**2
+        lp_x = -0.5 * jnp.sum(x**2) * jnp.exp(-v) - 0.5 * (dim - 1) * v
+        return lp_v + lp_x
+
+    log_kernel.dim = dim
+    return log_kernel
+
+
+def eight_schools_model(y=None, sigma=None, non_centered=True):
+    """The eight-schools hierarchical model (Rubin 1981). Parameters are
+    ``[mu, log_tau, theta_tilde_1..8]`` (non-centered) or
+    ``[mu, log_tau, theta_1..8]`` (centered). 10-dimensional."""
+    y = jnp.asarray(y) if y is not None else \
+        jnp.array([28.0, 8.0, -3.0, 7.0, -1.0, 1.0, 18.0, 12.0])
+    sigma = jnp.asarray(sigma) if sigma is not None else \
+        jnp.array([15.0, 10.0, 16.0, 11.0, 9.0, 11.0, 10.0, 18.0])
+
+    def log_kernel(params):
+        mu, log_tau = params[0], params[1]
+        tau = jnp.exp(log_tau)
+        lp = -0.5 * (mu / 5.0) ** 2 - 0.5 * (log_tau / 5.0) ** 2
+        if non_centered:
+            theta_t = params[2:]
+            theta = mu + tau * theta_t
+            lp = lp - 0.5 * jnp.sum(theta_t**2)
+        else:
+            theta = params[2:]
+            lp = lp - 0.5 * jnp.sum((theta - mu) ** 2) / tau**2 - 8.0 * log_tau
+        lp = lp - 0.5 * jnp.sum((y - theta) ** 2 / sigma**2)
+        return lp
+
+    log_kernel.dim = 10
+    return log_kernel
+
+
+def poisson_regression_model(X, y, prior_scale=5.0):
+    """Poisson GLM with log link: y_i ~ Poisson(exp(x_i . beta))."""
+    X = jnp.asarray(X)
+    y = jnp.asarray(y)
+
+    def log_kernel(beta):
+        eta = X @ beta
+        ll = jnp.sum(y * eta - jnp.exp(eta))
+        return ll - 0.5 * jnp.sum(beta**2) / prior_scale**2
+
+    return log_kernel
+
+
+def student_t_regression_model(X, y, df=4.0, scale=1.0, prior_scale=10.0):
+    """Robust linear regression with Student-t errors."""
+    X = jnp.asarray(X)
+    y = jnp.asarray(y)
+
+    def log_kernel(beta):
+        resid = (y - X @ beta) / scale
+        ll = -0.5 * (df + 1.0) * jnp.sum(jnp.log1p(resid**2 / df))
+        return ll - 0.5 * jnp.sum(beta**2) / prior_scale**2
+
+    return log_kernel

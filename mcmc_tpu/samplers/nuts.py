@@ -179,7 +179,14 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
             valid = (log_u <= -H).astype(jnp.int32)
             diverged = ~(log_u < _MAX_TUNING_PAR - H)
             n_new = c["n"] + valid
-            alpha_leaf = jnp.exp(jnp.minimum(0.0, alpha_base - H))
+            # NaN H (overflowed trajectory) must contribute alpha = 0, not
+            # poison dual averaging: jnp.minimum(0, NaN) is NaN, whereas the
+            # reference's std::min(0., NaN) returns 0 (C++ comparison
+            # semantics, nuts.ipp:152) — zero is also the statistically
+            # correct "rejected" value
+            alpha_leaf = jnp.where(
+                jnp.isnan(H), 0.0, jnp.exp(jnp.minimum(0.0, alpha_base - H))
+            )
 
             # reservoir proposal: take with prob valid / n_new
             zu = jax.random.uniform(k_res, dtype=dtype)

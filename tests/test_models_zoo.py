@@ -1,0 +1,80 @@
+"""Model-zoo sanity: every built-in target samples correctly with an
+appropriate sampler, plus the sample() dispatcher."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mcmc_tpu
+from mcmc_tpu import models
+
+
+def test_eight_schools_noncentered():
+    lk = models.eight_schools_model()
+    s = mcmc_tpu.NUTSSettings(n_burnin_draws=800, n_keep_draws=1000,
+                              n_adapt_draws=800, target_accept_rate=0.8)
+    out = mcmc_tpu.nuts(jnp.zeros(10), lk, s, n_chains=8,
+                        key=jax.random.PRNGKey(0), adapt_mass_matrix=True)
+    d = np.asarray(out.draws).reshape(-1, 10)
+    mu = d[:, 0]
+    # known posterior: mu around 4-5 with sd ~3
+    assert 2.0 < mu.mean() < 7.0
+    assert 2.0 < mu.std() < 5.0
+
+
+def test_funnel_runs_and_covers_v():
+    lk = models.neals_funnel(dim=6)
+    s = mcmc_tpu.NUTSSettings(n_burnin_draws=1000, n_keep_draws=1500,
+                              n_adapt_draws=1000, target_accept_rate=0.9)
+    out = mcmc_tpu.nuts(jnp.zeros(6), lk, s, n_chains=8,
+                        key=jax.random.PRNGKey(1))
+    v = np.asarray(out.draws)[:, :, 0].ravel()
+    # v ~ N(0, 9): the sampler must reach both wide and narrow regions
+    assert v.std() > 1.5
+    assert v.min() < -2.0 and v.max() > 2.0
+
+
+def test_poisson_regression_recovers_beta():
+    key = jax.random.PRNGKey(2)
+    k1, k2 = jax.random.split(key)
+    X = jax.random.normal(k1, (300, 3)) * 0.5
+    beta_true = jnp.array([0.5, -0.3, 0.8])
+    lam = jnp.exp(X @ beta_true)
+    y = jax.random.poisson(k2, lam).astype(jnp.float32)
+    lk = models.poisson_regression_model(X, y)
+    out = mcmc_tpu.nuts(jnp.zeros(3), lk,
+                        mcmc_tpu.NUTSSettings(n_burnin_draws=500, n_keep_draws=800,
+                                              n_adapt_draws=500),
+                        n_chains=4, key=jax.random.PRNGKey(3))
+    est = np.asarray(out.draws).reshape(-1, 3).mean(axis=0)
+    np.testing.assert_allclose(est, np.asarray(beta_true), atol=0.3)
+
+
+def test_student_t_regression_robust_to_outliers():
+    key = jax.random.PRNGKey(4)
+    k1, k2 = jax.random.split(key)
+    X = jax.random.normal(k1, (200, 2))
+    beta_true = jnp.array([1.0, -2.0])
+    y = X @ beta_true + 0.5 * jax.random.normal(k2, (200,))
+    y = y.at[:5].add(50.0)  # gross outliers
+    lk = models.student_t_regression_model(X, y, df=3.0, scale=0.5)
+    out = mcmc_tpu.mala(jnp.zeros(2), lk,
+                        mcmc_tpu.MALASettings(n_burnin_draws=1500, n_keep_draws=1500,
+                                              step_size=0.05),
+                        n_chains=4, key=jax.random.PRNGKey(5),
+                        adapt_step_size=True)
+    est = np.asarray(out.draws).reshape(-1, 2).mean(axis=0)
+    np.testing.assert_allclose(est, np.asarray(beta_true), atol=0.25)
+
+
+def test_sample_dispatcher():
+    lk = lambda v: -0.5 * jnp.sum(v**2)
+    out = mcmc_tpu.sample("rwmh", jnp.zeros(2), lk,
+                          mcmc_tpu.RWMHSettings(n_burnin_draws=100, n_keep_draws=100),
+                          key=jax.random.PRNGKey(0))
+    assert out.draws.shape == (100, 2)
+    with pytest.raises(ValueError, match="unknown algorithm"):
+        mcmc_tpu.sample("gibbs", jnp.zeros(2), lk)
+    with pytest.raises(ValueError, match="metric_fn"):
+        mcmc_tpu.sample("rmhmc", jnp.zeros(2), lk)
