@@ -9,7 +9,7 @@ the proposal-asymmetry term computed from two MVN log-densities
 in both asymmetry terms when bounded (mala.ipp:48-57) are preserved in
 ``bounded_grad="reference"`` mode.
 
-Unlike the reference (3 gernel+gradient evaluations per draw), the gradient
+Unlike the reference (3 kernel+gradient evaluations per draw), the gradient
 at the current point is carried in the chain state, so each draw costs one
 fresh ``value_and_grad`` of the target — the minimum possible.
 """
