@@ -64,9 +64,16 @@ class AEESCarry(NamedTuple):
     hist_draws: jax.Array  # (n_total, K, d)
 
 
-def aees(initial_vals, log_kernel, settings=None, *, key=None, dtype=None) -> SamplerResult:
+def aees(initial_vals, log_kernel, settings=None, *, key=None, n_runs=None,
+         dtype=None) -> SamplerResult:
     """Run AEES. Returns the final ``n_keep_draws`` draws of the T = 1 chain
-    (reference src/aees.cpp:255-270)."""
+    (reference src/aees.cpp:255-270).
+
+    ``n_runs`` vmaps that many independent ladder replicas (draws come back
+    as ``(n_keep, n_runs, n_vals)``). Note the EE branch's history sort then
+    executes every draw for every replica (vmap turns ``lax.cond`` into
+    ``select``), trading compute for batching — the intended use is many
+    replicas on a TPU where the sort batches well."""
     algo, s = resolve_settings(settings, "aees_settings", AEESSettings)
     key = resolve_key(key, algo)
 
@@ -211,18 +218,23 @@ def aees(initial_vals, log_kernel, settings=None, *, key=None, dtype=None) -> Sa
 
     first = prob.first_draw[0]
     val_init = box(first)
-    carry0 = AEESCarry(
-        key=key,
-        X=jnp.tile(first[None, :], (K, 1)),
-        cur_kv=jnp.full((K,), val_init, dt),
-        kv2=jnp.stack([val_init / jnp.roll(temps, 1), val_init / temps]),
-        hist_kv=jnp.full((n_total, K), val_init, dt),
-        hist_draws=jnp.tile(first[None, None, :], (n_total, K, 1)),
-    )
+    def run_one(run_key):
+        carry0 = AEESCarry(
+            key=run_key,
+            X=jnp.tile(first[None, :], (K, 1)),
+            cur_kv=jnp.full((K,), val_init, dt),
+            kv2=jnp.stack([val_init / jnp.roll(temps, 1), val_init / temps]),
+            hist_kv=jnp.full((n_total, K), val_init, dt),
+            hist_draws=jnp.tile(first[None, None, :], (n_total, K, 1)),
+        )
+        final, _ = lax.scan(body, carry0, idx_all)
+        return final.hist_draws[K * block :, K - 1, :]
 
-    final, _ = lax.scan(body, carry0, idx_all)
-
-    draws = final.hist_draws[K * block :, K - 1, :]
+    if n_runs is None:
+        draws = run_one(key)
+    else:
+        draws = jax.vmap(run_one)(jax.random.split(key, n_runs))
+        draws = jnp.moveaxis(draws, 0, 1)  # (n_keep, n_runs, n_vals)
     draws = common.finalize_draws(draws, prob)
     return SamplerResult(
         draws=draws,

@@ -89,3 +89,35 @@ def test_box_log_kernel_gradient_finite():
     box = bounds.make_box_log_kernel(log_kernel, True, CODES, LB, UB)
     g = jax.grad(box)(jnp.array([0.1, -0.2, 0.3, 0.0]))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_bounds_roundtrip_property():
+    """Randomized property test: for 40 random bound configurations and
+    random interior points, transform/inv_transform round-trips and the
+    box-kernel gradient stays finite."""
+    rng = np.random.default_rng(0)
+    for trial in range(40):
+        d = int(rng.integers(1, 6))
+        kind = rng.integers(1, 5, size=d)
+        lb = np.where(kind % 2 == 0, rng.normal(size=d), -np.inf)   # 2,4 lower
+        lb = np.where(kind == 3, -np.inf, lb)
+        ub = np.where(kind >= 3, lb + np.abs(rng.normal(size=d)) + 0.5, np.inf)
+        ub = np.where(kind == 2, np.inf, ub)
+        lb = np.where(kind == 1, -np.inf, lb)
+        lbj, ubj = jnp.asarray(lb, jnp.float32), jnp.asarray(ub, jnp.float32)
+        codes = bounds.determine_bounds_type(True, d, lbj, ubj)
+
+        # interior point
+        lo = np.where(np.isfinite(lb), lb, -2.0)
+        hi = np.where(np.isfinite(ub), ub, lo + 4.0)
+        x = jnp.asarray(lo + (hi - lo) * rng.uniform(0.2, 0.8, size=d), jnp.float32)
+
+        z = bounds.transform(x, codes, lbj, ubj)
+        x_back = bounds.inv_transform(z, codes, lbj, ubj)
+        np.testing.assert_allclose(np.asarray(x_back), np.asarray(x),
+                                   rtol=2e-3, atol=2e-3, err_msg=f"trial {trial}")
+
+        box = bounds.make_box_log_kernel(lambda v: -0.5 * jnp.sum(v**2),
+                                         True, codes, lbj, ubj)
+        g = jax.grad(box)(z)
+        assert np.isfinite(np.asarray(g)).all(), f"trial {trial}: {g}"

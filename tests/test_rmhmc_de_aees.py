@@ -174,3 +174,24 @@ def test_aees_sharded_requires_matching_mesh():
     with pytest.raises(ValueError, match="ladder size"):
         aees_sharded(jnp.zeros(2), lambda v: -jnp.sum(v**2), s,
                      mesh=make_mesh(4))
+
+
+def test_aees_multi_run_vmapped():
+    mu = jnp.array([[-2.0, -2.0], [2.0, 2.0]])
+    log_kernel = models.gaussian_mixture_model(
+        mu, sig_sq=jnp.array([0.5, 0.5]), weights=jnp.array([0.5, 0.5])
+    )
+    s = mcmc_tpu.AEESSettings(
+        n_initial_draws=150, n_burnin_draws=150, n_keep_draws=600,
+        n_rings=5, ee_prob_par=0.1, temper_vec=jnp.array([20.0, 4.0]),
+        cov_mat=0.5 * jnp.eye(2),
+    )
+    out = mcmc_tpu.aees(mu[0], log_kernel, s, key=jax.random.PRNGKey(0),
+                        n_runs=4)
+    d = np.asarray(out.draws)
+    assert d.shape == (600, 4, 2)
+    # replicas are independent: they must not be identical
+    assert np.abs(d[:, 0] - d[:, 1]).max() > 0
+    # pooled draws cover both modes
+    pooled = d.reshape(-1, 2)
+    assert (pooled[:, 0] > 0.1).mean() > 0.1 and (pooled[:, 0] < -0.1).mean() > 0.1
