@@ -27,7 +27,7 @@ runner = checkpoint.ChunkedRunner(
     jax.vmap(step), collect_fn=lambda st: st.position,
     directory="/tmp/mcmc_tpu_checkpointed_run",
 )
-final_state, draws = runner.run(
+final_state, draws, n_accept = runner.run(
     jax.random.PRNGKey(0), state0, n_draws=2000, chunk_size=500
 )
 print("draws:", draws.shape, "(memmapped from the native sink)")

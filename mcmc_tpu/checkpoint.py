@@ -108,22 +108,40 @@ class ChunkedRunner:
         return self._compiled
 
     def run(self, key, state0, n_draws, chunk_size=100, row_shape=None,
-            dtype=np.float32):
-        """Returns (final_state, draws) with draws memmapped from the sink."""
+            dtype=np.float32, n_burnin=0):
+        """Returns (final_state, draws, n_accept) with draws memmapped from
+        the sink. ``n_burnin`` draws execute first without being stored (the
+        reference's burn-in phase); acceptance — summed from each chunk's
+        ``info["accepted"]`` — is tallied only over kept draws, matching
+        reference src/rwmh.cpp:140-142, and survives resume via the
+        progress file."""
         n_chains = jax.tree_util.tree_leaves(state0)[0].shape[0]
         keys = jax.random.split(key, n_chains)
         state = state0
+        total = n_burnin + n_draws
 
         ckpt = self.dir / "state.npz"
         meta_path = self.dir / "progress.json"
         sink_path = self.dir / "draws.bin"
 
         done = 0
+        n_accept = np.zeros((n_chains,), np.int64)
         if meta_path.exists() and ckpt.exists():
             meta = json.loads(meta_path.read_text())
-            if meta.get("n_draws") == n_draws and meta.get("chunk_size") == chunk_size:
-                done = meta["done"]
-                keys, state = restore(ckpt, like=_key_data((keys, state)))
+            if (meta.get("n_draws") == n_draws and meta.get("chunk_size") == chunk_size
+                    and meta.get("n_burnin", 0) == n_burnin):
+                try:
+                    keys, state = restore(ckpt, like=_key_data((keys, state)))
+                    done = meta["done"]
+                    n_accept = np.asarray(meta.get("n_accept", n_accept.tolist()),
+                                          np.int64)
+                except (ValueError, KeyError) as e:
+                    # stale checkpoint from an incompatible sampler-state
+                    # layout: restart rather than crash
+                    import warnings
+                    warnings.warn(f"ignoring incompatible checkpoint in "
+                                  f"{self.dir}: {e}")
+                    done = 0
             else:
                 done = 0
 
@@ -138,29 +156,37 @@ class ChunkedRunner:
             sink_path.unlink()
 
         # re-open sink in append mode by rewriting completed prefix
+        kept_done = max(0, done - n_burnin)
         if not mode_new:
-            existing = np.array(read_draws(sink_path, mmap=False)[:done])
+            existing = np.array(read_draws(sink_path, mmap=False)[:kept_done])
         else:
             existing = None
 
         with DrawSink(sink_path, row_shape, dtype) as sink:
             if existing is not None:
                 sink.append(existing)
-            while done < n_draws:
-                step_n = min(chunk_size, n_draws - done)
-                if step_n != chunk_size:
-                    # final ragged chunk compiles once more
-                    run_ragged = jax.jit(lambda k, s: self._ragged(k, s, step_n))
-                    keys, state, draws, _ = run_ragged(keys, state)
+            while done < total:
+                # chunks never straddle the burn-in/keep boundary
+                if done < n_burnin:
+                    step_n = min(chunk_size, n_burnin - done)
                 else:
-                    keys, state, draws, _ = run_chunk(keys, state)
-                sink.append(np.asarray(draws))
+                    step_n = min(chunk_size, total - done)
+                if step_n != chunk_size:
+                    run_ragged = jax.jit(lambda k, s: self._ragged(k, s, step_n))
+                    keys, state, draws, infos = run_ragged(keys, state)
+                else:
+                    keys, state, draws, infos = run_chunk(keys, state)
+                if done >= n_burnin:
+                    sink.append(np.asarray(draws))
+                    if isinstance(infos, dict) and "accepted" in infos:
+                        n_accept += np.asarray(infos["accepted"]).sum(axis=0)
                 done += step_n
                 save(ckpt, _key_data((keys, state)))
                 meta_path.write_text(json.dumps(
-                    {"done": done, "n_draws": n_draws, "chunk_size": chunk_size}
+                    {"done": done, "n_draws": n_draws, "chunk_size": chunk_size,
+                     "n_burnin": n_burnin, "n_accept": n_accept.tolist()}
                 ))
-        return state, read_draws(sink_path)
+        return state, read_draws(sink_path), n_accept
 
     def _ragged(self, keys, state, length):
         def body(carry, _):

@@ -141,8 +141,16 @@ def _split_keys(keys):
     return pair[:, 0], pair[:, 1]
 
 
+def tally_accepts(infos):
+    """Post-burn-in acceptance count per chain, from either the in-memory
+    info trace or a checkpointed run's accumulated total."""
+    if "accepted" in infos:
+        return infos["accepted"].sum(axis=0)
+    return jnp.asarray(infos["n_accept_total"])
+
+
 def run_sampler_loop(key, state0, step_fn, n_burnin, n_keep, collect_fn,
-                     mesh=None):
+                     mesh=None, checkpoint_dir=None, checkpoint_every=500):
     """Burn-in + keep scans of a vmapped transition kernel.
 
     ``state0`` is chain-batched on the leading axis; ``step_fn`` is the
@@ -155,9 +163,27 @@ def run_sampler_loop(key, state0, step_fn, n_burnin, n_keep, collect_fn,
     the multi-chip replacement for the reference's OpenMP threads
     (SURVEY.md §2d).
 
+    With ``checkpoint_dir``, the run executes in restartable chunks through
+    :class:`mcmc_tpu.checkpoint.ChunkedRunner` — kept draws stream to the
+    native draw sink and a killed run resumes bit-identically. In that mode
+    ``infos`` carries only the accumulated ``n_accept_total`` (per-draw
+    traces are not retained).
+
     Returns ``(final_state, draws, infos)`` where ``draws`` stacks
     ``collect_fn(state)`` over kept iterations: shape ``(n_keep, n_chains, ...)``.
     """
+    if checkpoint_dir is not None:
+        if mesh is not None:
+            raise ValueError("checkpoint_dir and mesh are mutually exclusive "
+                             "for now — chunked runs execute unsharded")
+        from mcmc_tpu.checkpoint import ChunkedRunner
+        runner = ChunkedRunner(jax.vmap(step_fn), collect_fn, checkpoint_dir)
+        final, draws, n_accept = runner.run(
+            key, state0, n_draws=n_keep, n_burnin=n_burnin,
+            chunk_size=checkpoint_every,
+        )
+        return final, jnp.asarray(draws), {"n_accept_total": n_accept}
+
     n_chains = jax.tree_util.tree_leaves(state0)[0].shape[0]
     keys = jax.random.split(key, n_chains)
     # the named chain axis lets kernels pool cross-chain statistics with

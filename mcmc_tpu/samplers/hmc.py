@@ -91,7 +91,7 @@ def build_hmc_kernel(box_log_kernel, grad_fn, precond: common.SPD,
     return init, step
 
 
-def hmc(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, mesh=None,
+def hmc(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, mesh=None, checkpoint_dir=None, checkpoint_every=500,
         dtype=None, bounded_grad="reference", adapt_step_size=False,
         target_accept=None) -> SamplerResult:
     """Run HMC. See reference src/hmc.cpp and mcmc_structs.hpp:66-78 for the
@@ -121,11 +121,14 @@ def hmc(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, mes
     final_state, draws, infos = common.run_sampler_loop(
         key, state0, step, s.n_burnin_draws, s.n_keep_draws,
         collect_fn=lambda st: st.position, mesh=mesh,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
     )
 
-    n_accept = infos["accepted"].sum(axis=0)
+    n_accept = common.tally_accepts(infos)
     draws = common.finalize_draws(draws, prob)
-    diagnostics = {"energy_error": infos["energy_error"]}
+    diagnostics = {}
+    if "energy_error" in infos:
+        diagnostics["energy_error"] = infos["energy_error"]
     if adapt_step_size:
         diagnostics["adapted_step_size"] = jnp.exp(final_state.da.log_eps_bar)
     if prob.squeeze:

@@ -133,7 +133,7 @@ def build_mala_kernel(prob: common.Problem, precond: common.SPD, step_size,
     return init, step
 
 
-def mala(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, mesh=None,
+def mala(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, mesh=None, checkpoint_dir=None, checkpoint_every=500,
          dtype=None, bounded_grad="reference", adapt_step_size=False,
          target_accept=None) -> SamplerResult:
     """``adapt_step_size=True`` tunes the step size toward 0.574 acceptance
@@ -157,9 +157,10 @@ def mala(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, me
     final_state, draws, infos = common.run_sampler_loop(
         key, state0, step, s.n_burnin_draws, s.n_keep_draws,
         collect_fn=lambda st: st.position, mesh=mesh,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
     )
 
-    n_accept = infos["accepted"].sum(axis=0)
+    n_accept = common.tally_accepts(infos)
     draws = common.finalize_draws(draws, prob)
     diagnostics = {}
     if adapt_step_size:

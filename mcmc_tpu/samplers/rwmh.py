@@ -90,7 +90,7 @@ def build_rwmh_kernel(box_log_kernel, prop_chol_mv, par_scale,
 
 
 def rwmh(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
-         mesh=None, dtype=None, adapt_scale=False,
+         mesh=None, checkpoint_dir=None, checkpoint_every=500, dtype=None, adapt_scale=False,
          target_accept=None) -> SamplerResult:
     """Run RWMH. ``log_kernel(params) -> scalar`` is a pure JAX function
     (closures replace the reference's ``void* target_data``).
@@ -119,9 +119,10 @@ def rwmh(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
     final_state, draws, infos = common.run_sampler_loop(
         key, state0, step, s.n_burnin_draws, s.n_keep_draws,
         collect_fn=lambda st: st.position, mesh=mesh,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
     )
 
-    n_accept = infos["accepted"].sum(axis=0)
+    n_accept = common.tally_accepts(infos)
     draws = common.finalize_draws(draws, prob)
     diagnostics = {}
     if adapt_scale:

@@ -61,17 +61,18 @@ def _make_runner(tmp_path, name):
 def test_chunked_run_matches_uninterrupted(tmp_path):
     key = jax.random.PRNGKey(0)
     r1, s0 = _make_runner(tmp_path, "a")
-    _, draws_a = r1.run(key, s0, n_draws=60, chunk_size=20)
+    _, draws_a, acc_a = r1.run(key, s0, n_draws=60, chunk_size=20)
 
     r2, s0b = _make_runner(tmp_path, "b")
-    _, draws_b = r2.run(key, s0b, n_draws=60, chunk_size=30)
+    _, draws_b, acc_b = r2.run(key, s0b, n_draws=60, chunk_size=30)
+    np.testing.assert_array_equal(acc_a, acc_b)
     np.testing.assert_array_equal(np.asarray(draws_a), np.asarray(draws_b))
 
 
 def test_resume_is_bit_identical(tmp_path):
     key = jax.random.PRNGKey(7)
     r1, s0 = _make_runner(tmp_path, "full")
-    _, straight = r1.run(key, s0, n_draws=60, chunk_size=20)
+    _, straight, _ = r1.run(key, s0, n_draws=60, chunk_size=20)
     straight = np.array(straight)
 
     # simulate a crash after 40 draws: rewind the progress marker of an
@@ -91,7 +92,7 @@ def test_resume_is_bit_identical(tmp_path):
     )
 
     r4, s0d = _make_runner(tmp_path, "crash")
-    _, resumed = r4.run(key, s0d, n_draws=60, chunk_size=20)
+    _, resumed, _ = r4.run(key, s0d, n_draws=60, chunk_size=20)
     np.testing.assert_array_equal(np.array(resumed), straight)
 
 
@@ -112,3 +113,28 @@ def test_sampler_states_checkpoint(tmp_path):
     out = checkpoint.restore(path, like=state)
     for a, b in zip(jax.tree_util.tree_leaves(state), jax.tree_util.tree_leaves(out)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sampler_checkpoint_dir_kwarg(tmp_path):
+    """Public-API checkpointing: hmc(..., checkpoint_dir=...) must match the
+    statistics of a normal run and resume as a no-op."""
+    lk = lambda v: -0.5 * jnp.sum(v**2)
+    s = mcmc_tpu.HMCSettings(n_burnin_draws=200, n_keep_draws=400,
+                             step_size=0.3, n_leap_steps=5)
+    out = mcmc_tpu.hmc(jnp.zeros(3), lk, s, n_chains=8,
+                       key=jax.random.PRNGKey(0),
+                       checkpoint_dir=tmp_path / "run", checkpoint_every=100)
+    assert out.draws.shape == (400, 8, 3)
+    d = np.asarray(out.draws)
+    np.testing.assert_allclose(d.mean(axis=(0, 1)), 0.0, atol=0.15)
+    np.testing.assert_allclose(d.var(axis=(0, 1)), 1.0, atol=0.25)
+    assert out.n_accept_draws.shape == (8,)
+    assert (np.asarray(out.n_accept_draws) > 100).all()
+
+    # re-run: everything already done, must return identical draws
+    out2 = mcmc_tpu.hmc(jnp.zeros(3), lk, s, n_chains=8,
+                        key=jax.random.PRNGKey(0),
+                        checkpoint_dir=tmp_path / "run", checkpoint_every=100)
+    np.testing.assert_array_equal(np.asarray(out.draws), np.asarray(out2.draws))
+    np.testing.assert_array_equal(np.asarray(out.n_accept_draws),
+                                  np.asarray(out2.n_accept_draws))
