@@ -1,5 +1,6 @@
-from mcmc_tpu.parallel.mesh import make_mesh, chain_sharding
+from mcmc_tpu.parallel.mesh import make_mesh, chain_sharding, shard_chain_axis
 from mcmc_tpu.parallel.de_sharded import build_sharded_de_sweep
 from mcmc_tpu.parallel.aees_sharded import aees_sharded
 
-__all__ = ["make_mesh", "chain_sharding", "build_sharded_de_sweep", "aees_sharded"]
+__all__ = ["make_mesh", "chain_sharding", "shard_chain_axis",
+           "build_sharded_de_sweep", "aees_sharded"]
