@@ -94,17 +94,9 @@ class ChunkedRunner:
     def _chunk_fn(self, chunk_size):
         if self._compiled is None or self._compiled_size != chunk_size:
             self._compiled_size = chunk_size
-            def run_chunk(keys, state):
-                def body(carry, _):
-                    st, ks = carry
-                    pairs = jax.vmap(lambda k: jax.random.split(k, 2))(ks)
-                    st, info = self.step(pairs[:, 1], st)
-                    return (st, pairs[:, 0]), (self.collect(st), info)
-                (state, keys), (draws, infos) = jax.lax.scan(
-                    body, (state, keys), None, length=chunk_size
-                )
-                return keys, state, draws, infos
-            self._compiled = jax.jit(run_chunk)
+            self._compiled = jax.jit(
+                lambda keys, state: self._ragged(keys, state, chunk_size)
+            )
         return self._compiled
 
     def run(self, key, state0, n_draws, chunk_size=100, row_shape=None,

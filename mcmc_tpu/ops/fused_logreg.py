@@ -28,8 +28,6 @@ leapfrog, min(0.01, .) accept clamp, +inf guard).
 
 from __future__ import annotations
 
-import functools
-import math
 from typing import NamedTuple
 
 import jax

@@ -18,7 +18,7 @@ pass the global mesh; single-host multi-chip works out of the box.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np
