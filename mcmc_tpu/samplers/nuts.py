@@ -66,10 +66,11 @@ class NUTSState(NamedTuple):
     mu_val: jax.Array        # log(10 * eps_0); re-centered at window ends
     draw_ind: jax.Array      # global draw counter driving adaptation
     adapt_t0: jax.Array      # draw index of the last mass-window end
-    inv_mass: jax.Array      # diagonal inverse mass (ones when not adapting)
+    inv_mass: jax.Array      # inverse mass: (d,) diagonal or (d, d) dense
+    mass_chol: jax.Array     # chol of inv_mass (dense mode; (1,) otherwise)
     w_count: jax.Array       # Welford accumulators for the current window
     w_mean: jax.Array
-    w_m2: jax.Array
+    w_m2: jax.Array          # (d,) diagonal or (d, d) dense
 
 
 def _mass_window_schedule(n_adapt: int):
@@ -105,31 +106,46 @@ def _ctz(x):
 
 def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSettings,
                       n_adapt: int, pooled_adaptation: bool = False,
-                      adapt_mass_matrix: bool = False):
+                      adapt_mass_matrix=False):
     max_depth = int(cfg.max_tree_depth)
+    # adapt_mass_matrix: False | "diag" (True) | "dense"
+    mass_mode = {False: None, True: "diag"}.get(adapt_mass_matrix,
+                                                adapt_mass_matrix)
+    if mass_mode not in (None, "diag", "dense"):
+        raise ValueError(f"adapt_mass_matrix must be False/True/'diag'/'dense', "
+                         f"got {adapt_mass_matrix!r}")
+    adapt_mass = mass_mode is not None
     mass_collect, mass_window_end = _mass_window_schedule(n_adapt) \
-        if adapt_mass_matrix else (None, None)
+        if adapt_mass else (None, None)
 
     def potential(z):
         u = -box_log_kernel(z)
         return jnp.where(jnp.isfinite(u), u, jnp.inf)
 
     def kinetic(r, inv_mass=None):
-        if adapt_mass_matrix:
+        if mass_mode == "diag":
             return 0.5 * jnp.sum(r * r * inv_mass)
+        if mass_mode == "dense":
+            return 0.5 * r @ (inv_mass @ r)     # inv_mass = Sigma = M^{-1}
         return integrators.kinetic_energy(r, precond.inv_mv)
 
     def leapfrog1(z, r, eps, inv_mass=None):
-        if adapt_mass_matrix:
+        if mass_mode == "diag":
             inv_mv = lambda v: inv_mass * v
+        elif mass_mode == "dense":
+            inv_mv = lambda v: inv_mass @ v
         else:
             inv_mv = precond.inv_mv
         return integrators.leapfrog(grad_fn, inv_mv, eps, 1, z, r)
 
-    def sample_momentum(noise, inv_mass=None):
-        if adapt_mass_matrix:
+    def sample_momentum(noise, inv_mass=None, mass_chol=None):
+        if mass_mode == "diag":
             # M = diag(1/inv_mass) => chol(M) = 1/sqrt(inv_mass)
             return noise * jax.lax.rsqrt(inv_mass)
+        if mass_mode == "dense":
+            # Sigma = L L^T, M = Sigma^{-1} => p = L^{-T} xi ~ N(0, M)
+            return jax.scipy.linalg.solve_triangular(mass_chol.T, noise,
+                                                     lower=False)
         return precond.sqrt_mv(noise)
 
     def find_initial_step_size(z0, r0, inv_mass=None):
@@ -238,9 +254,16 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
     def init(key, position):
         dtype = position.dtype
         dim = position.shape[0]
-        inv_mass0 = jnp.ones((dim,), dtype)
+        if mass_mode == "dense":
+            inv_mass0 = jnp.eye(dim, dtype=dtype)
+            chol0 = jnp.eye(dim, dtype=dtype)
+            w_m2_0 = jnp.zeros((dim, dim), dtype)
+        else:
+            inv_mass0 = jnp.ones((dim,), dtype)
+            chol0 = jnp.ones((1,), dtype)
+            w_m2_0 = jnp.zeros((dim,), dtype)
         noise = jax.random.normal(key, position.shape, dtype)
-        r0 = sample_momentum(noise, inv_mass0)
+        r0 = sample_momentum(noise, inv_mass0, chol0)
         eps0 = find_initial_step_size(position, r0, inv_mass0)
         if pooled_adaptation:
             # geometric mean across chains so the shared trajectory starts
@@ -256,9 +279,10 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
             draw_ind=jnp.asarray(0, jnp.int32),
             adapt_t0=jnp.asarray(0, jnp.int32),
             inv_mass=inv_mass0,
+            mass_chol=chol0,
             w_count=jnp.asarray(0, jnp.int32),
             w_mean=jnp.zeros((dim,), dtype),
-            w_m2=jnp.zeros((dim,), dtype),
+            w_m2=w_m2_0,
         )
 
     def step(key, state: NUTSState):
@@ -268,7 +292,7 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
 
         noise = jax.random.normal(k_mom, (dim,), dtype)
         inv_mass = state.inv_mass
-        r0 = sample_momentum(noise, inv_mass)
+        r0 = sample_momentum(noise, inv_mass, state.mass_chol)
         prev_K = kinetic(r0, inv_mass)
         log_u = jnp.log(jax.random.uniform(k_slice, dtype=dtype)) \
             - state.potential - prev_K
@@ -358,29 +382,42 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
         mu_out = state.mu_val
         t0_out = state.adapt_t0
         inv_mass_out = state.inv_mass
+        chol_out = state.mass_chol
         wc, wm, wv = state.w_count, state.w_mean, state.w_m2
 
-        if adapt_mass_matrix:
+        if adapt_mass:
             idx = jnp.minimum(state.draw_ind, mass_collect.shape[0] - 1)
             collecting = adapting & mass_collect[idx]
             window_end = adapting & mass_window_end[idx]
 
-            # Welford over the (possibly updated) position
+            # Welford over the (possibly updated) position; m2 is the
+            # diagonal or the full outer-product accumulator per mode
             cnt1 = wc + 1
             delta = out["draw"] - wm
             wm1 = wm + delta / cnt1.astype(dtype)
-            wv1 = wv + delta * (out["draw"] - wm1)
+            if mass_mode == "dense":
+                wv1 = wv + jnp.outer(delta, out["draw"] - wm1)
+            else:
+                wv1 = wv + delta * (out["draw"] - wm1)
             wc = jnp.where(collecting, cnt1, wc)
             wm = jnp.where(collecting, wm1, wm)
             wv = jnp.where(collecting, wv1, wv)
 
-            # window end: regularized variance -> new diagonal inverse mass
-            # (shrunk toward 1e-3 as in Stan), reset Welford + dual averaging
+            # window end: regularized (co)variance -> new inverse mass
+            # (shrunk toward 1e-3 I as in Stan), reset Welford + dual
+            # averaging
             n_w = jnp.maximum(wc, 2).astype(dtype)
             var = wv / (n_w - 1.0)
             if pooled_adaptation:
                 var = lax.pmean(var, common.CHAIN_AXIS_NAME)
-            var = (n_w / (n_w + 5.0)) * var + 1e-3 * (5.0 / (n_w + 5.0))
+            shrink = 1e-3 * (5.0 / (n_w + 5.0))
+            if mass_mode == "dense":
+                var = (n_w / (n_w + 5.0)) * 0.5 * (var + var.T) \
+                    + shrink * jnp.eye(dim, dtype=dtype)
+                chol_new = jnp.linalg.cholesky(var)
+                chol_out = jnp.where(window_end, chol_new, chol_out)
+            else:
+                var = (n_w / (n_w + 5.0)) * var + shrink
             inv_mass_out = jnp.where(window_end, var, inv_mass_out)
             wc = jnp.where(window_end, 0, wc)
             wm = jnp.where(window_end, jnp.zeros_like(wm), wm)
@@ -400,6 +437,7 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
             draw_ind=state.draw_ind + 1,
             adapt_t0=t0_out,
             inv_mass=inv_mass_out,
+            mass_chol=chol_out,
             w_count=wc,
             w_mean=wm,
             w_m2=wv,
@@ -426,12 +464,14 @@ def nuts(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, me
     over the chain axis — a cross-chain generalization the single-chain
     reference cannot express (SURVEY.md §7 step 8: psum warmup statistics).
 
-    ``adapt_mass_matrix=True`` adds Stan-style windowed diagonal
-    mass-matrix adaptation during warmup (doubling slow windows of Welford
-    variance estimates; dual averaging restarts at window ends). The
-    reference has no analog — its preconditioner is a fixed user matrix
-    (mcmc_structs.hpp:93). Combine with ``pooled_adaptation`` to estimate
-    one shared mass from all chains. Incompatible with a user
+    ``adapt_mass_matrix=True`` (or ``"diag"``) adds Stan-style windowed
+    diagonal mass-matrix adaptation during warmup (doubling slow windows of
+    Welford variance estimates; dual averaging restarts at window ends);
+    ``"dense"`` estimates the full posterior covariance instead (O(d^2)
+    state per chain — right for strongly correlated posteriors of modest
+    dimension). The reference has no analog — its preconditioner is a fixed
+    user matrix (mcmc_structs.hpp:93). Combine with ``pooled_adaptation``
+    to estimate one shared mass from all chains. Incompatible with a user
     ``precond_mat``.
     """
     algo, s = resolve_settings(settings, "nuts_settings", NUTSSettings)

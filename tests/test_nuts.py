@@ -129,3 +129,37 @@ def test_nuts_banana():
     assert abs(d[:, 0].mean()) < 0.4
     assert d[:, 0].var() == pytest.approx(sigma**2, rel=0.3)
     assert abs(d[:, 1].mean()) < 0.5
+
+
+def test_nuts_dense_mass_correlated_gaussian():
+    """Dense mass adaptation must learn the full covariance of a strongly
+    correlated Gaussian and beat the diagonal metric on min-ESS."""
+    rho = 0.95
+    dim = 6
+    cov = (1 - rho) * np.eye(dim) + rho * np.ones((dim, dim))
+    prec = jnp.asarray(np.linalg.inv(cov), jnp.float32)
+    log_kernel = lambda v: -0.5 * v @ prec @ v
+
+    s = mcmc_tpu.NUTSSettings(n_burnin_draws=800, n_keep_draws=600,
+                              n_adapt_draws=800)
+    out_dense = mcmc_tpu.nuts(jnp.zeros(dim), log_kernel, s, n_chains=8,
+                              key=jax.random.PRNGKey(0),
+                              adapt_mass_matrix="dense", pooled_adaptation=True)
+    out_diag = mcmc_tpu.nuts(jnp.zeros(dim), log_kernel, s, n_chains=8,
+                             key=jax.random.PRNGKey(0),
+                             adapt_mass_matrix="diag", pooled_adaptation=True)
+
+    # learned Sigma tracks the true covariance
+    sigma = np.asarray(out_dense.diagnostics["inv_mass_diag"])
+    # (for dense mode the diagnostic holds the full matrix per chain)
+    assert sigma.shape[-2:] == (dim, dim)
+    np.testing.assert_allclose(sigma[0], cov, atol=0.35)
+
+    from mcmc_tpu import diagnostics as diag
+    ess_dense = float(np.asarray(diag.ess(out_dense.draws)).min())
+    ess_diag = float(np.asarray(diag.ess(out_diag.draws)).min())
+    assert ess_dense > 1.5 * ess_diag, (ess_dense, ess_diag)
+
+    d = np.asarray(out_dense.draws).reshape(-1, dim)
+    emp = np.cov(d.T)
+    np.testing.assert_allclose(emp, cov, atol=0.4)
