@@ -126,12 +126,15 @@ def moments_rhat(m):
 
 
 def summary(draws):
-    """Posterior summary dict: mean, sd, split R-hat, ESS."""
+    """Posterior summary dict: mean, sd, MCSE, split R-hat, ESS."""
     draws = _ensure_3d(draws)
     axes = (0, 1)
+    sd = draws.std(axis=axes)
+    n_eff = ess(draws)
     return {
         "mean": draws.mean(axis=axes),
-        "sd": draws.std(axis=axes),
+        "sd": sd,
+        "mcse": sd / jnp.sqrt(n_eff),
         "rhat": split_rhat(draws),
-        "ess": ess(draws),
+        "ess": n_eff,
     }

@@ -1,4 +1,5 @@
-"""Pallas fused HMC trajectory for Bayesian logistic regression.
+"""Pallas fused HMC trajectories for GLM posteriors (logistic / Poisson /
+linear links; logistic regression is the BASELINE flagship).
 
 Why this kernel exists: under plain XLA, each gradient of the logistic
 log-posterior materializes the ``(n_chains, n_data)`` logits tensor in HBM —
@@ -48,15 +49,22 @@ class FusedHMCState(NamedTuple):
     potential: jax.Array  # (n_chains,) f32
 
 
+_LINKS = ("logistic", "poisson", "linear")
+
+
 def make_fused_trajectory(X, y, prior_scale: float, step_size: float,
                           n_leap: int, block_chains: int = 256,
-                          interpret: bool = False):
+                          interpret: bool = False, link: str = "logistic"):
     """Build ``traj(z, p) -> (z_new, p_new, U_new)`` over padded arrays.
 
     ``X`` is (n_data, dim); internally padded to (Np, Dp) multiples of
     (512, 128) with a row mask so padded data rows contribute exactly zero
-    to both gradient and log-density.
+    to both gradient and log-density. ``link`` selects the GLM family: all
+    three share the gradient structure ``X^T (y - mu(eta)) - z / s^2`` so
+    one kernel covers them.
     """
+    if link not in _LINKS:
+        raise ValueError(f"link must be one of {_LINKS}, got {link!r}")
     X = jnp.asarray(X, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
     n_data, dim = X.shape
@@ -80,15 +88,25 @@ def make_fused_trajectory(X, y, prior_scale: float, step_size: float,
         mv = m_ref[:]
 
         def grad_of(z, want_u):
-            logits = jnp.dot(z.astype(jnp.bfloat16), xt,
-                             preferred_element_type=jnp.float32)
-            s = jax.nn.sigmoid(logits)
-            r = (yv - s) * mv
+            eta = jnp.dot(z.astype(jnp.bfloat16), xt,
+                          preferred_element_type=jnp.float32)
+            if link == "logistic":
+                mu = jax.nn.sigmoid(eta)
+            elif link == "poisson":
+                mu = jnp.exp(eta)
+            else:
+                mu = eta
+            r = (yv - mu) * mv
             g = jnp.dot(r.astype(jnp.bfloat16), x,
                         preferred_element_type=jnp.float32) - z * inv_pv
             if want_u:
-                ll = jnp.sum(mv * (yv * logits - jax.nn.softplus(logits)),
-                             axis=1, keepdims=True)
+                if link == "logistic":
+                    ll_terms = yv * eta - jax.nn.softplus(eta)
+                elif link == "poisson":
+                    ll_terms = yv * eta - mu
+                else:
+                    ll_terms = -0.5 * (yv - eta) ** 2
+                ll = jnp.sum(mv * ll_terms, axis=1, keepdims=True)
                 u = -(ll - 0.5 * jnp.sum(z * z, axis=1, keepdims=True) * inv_pv)
             else:
                 u = None
@@ -148,12 +166,13 @@ def make_fused_trajectory(X, y, prior_scale: float, step_size: float,
 
 
 def make_fused_hmc_step(X, y, prior_scale=10.0, step_size=0.01, n_leap=4,
-                        block_chains: int = 256, interpret: bool = False):
+                        block_chains: int = 256, interpret: bool = False,
+                        link: str = "logistic"):
     """Batched HMC transition ``step(key, state) -> (state, info)`` with the
     trajectory fused in Pallas; RNG is batch-generated from one key per step
     (counter-based, deterministic) instead of per-chain key splitting."""
     traj = make_fused_trajectory(X, y, prior_scale, step_size, n_leap,
-                                 block_chains, interpret)
+                                 block_chains, interpret, link)
     dim, Dp = traj.dim, traj.dim_padded
 
     X32 = jnp.asarray(X, jnp.float32)
@@ -161,9 +180,14 @@ def make_fused_hmc_step(X, y, prior_scale=10.0, step_size=0.01, n_leap=4,
     inv_pv = 1.0 / (prior_scale * prior_scale)
 
     def reference_potential(zp):
-        logits = X32 @ zp[:dim]
-        return -(jnp.sum(y32 * logits - jax.nn.softplus(logits))
-                 - 0.5 * jnp.sum(zp[:dim] ** 2) * inv_pv)
+        eta = X32 @ zp[:dim]
+        if link == "logistic":
+            ll = jnp.sum(y32 * eta - jax.nn.softplus(eta))
+        elif link == "poisson":
+            ll = jnp.sum(y32 * eta - jnp.exp(eta))
+        else:
+            ll = jnp.sum(-0.5 * (y32 - eta) ** 2)
+        return -(ll - 0.5 * jnp.sum(zp[:dim] ** 2) * inv_pv)
 
     def init(positions):
         n_chains = positions.shape[0]

@@ -109,3 +109,46 @@ def test_whole_sampler_kernel():
     # distinct seeds give distinct streams
     zf2, *_ = sampler(jnp.int32(4), z, U)
     assert np.abs(np.asarray(zf2) - np.asarray(zf)).max() > 0
+
+
+def test_fused_trajectory_glm_links():
+    """Poisson and linear links in the fused kernel match the XLA gradient
+    path (interpret mode)."""
+    import numpy as np
+    from mcmc_tpu.ops.fused_logreg import make_fused_trajectory
+
+    key = jax.random.PRNGKey(7)
+    k1, k2 = jax.random.split(key)
+    n, d = 48, 6
+    X = jax.random.normal(k1, (n, d)) * 0.3
+    for link in ("poisson", "linear"):
+        if link == "poisson":
+            y = jax.random.poisson(k2, jnp.exp(X @ jnp.ones(d) * 0.2)).astype(jnp.float32)
+            def lk(b):
+                eta = X @ b
+                return jnp.sum(y * eta - jnp.exp(eta)) - 0.5 * jnp.sum(b**2) / 100.0
+        else:
+            y = X @ jnp.ones(d) + 0.1 * jax.random.normal(k2, (n,))
+            def lk(b):
+                eta = X @ b
+                return jnp.sum(-0.5 * (y - eta) ** 2) - 0.5 * jnp.sum(b**2) / 100.0
+
+        traj = make_fused_trajectory(X, y, 10.0, 0.02, 3, block_chains=8,
+                                     interpret=True, link=link)
+        Dp = traj.dim_padded
+        z0 = 0.05 * jax.random.normal(jax.random.PRNGKey(1), (8, d))
+        p0 = jax.random.normal(jax.random.PRNGKey(2), (8, d))
+        zp = jnp.zeros((8, Dp)).at[:, :d].set(z0)
+        pp = jnp.zeros((8, Dp)).at[:, :d].set(p0)
+        z1, p1, U1 = traj(zp, pp)
+
+        grad = jax.grad(lk)
+        z, p = z0, p0
+        for _ in range(3):
+            p = p + 0.5 * 0.02 * jax.vmap(grad)(z)
+            z = z + 0.02 * p
+            p = p + 0.5 * 0.02 * jax.vmap(grad)(z)
+        np.testing.assert_allclose(np.asarray(z1[:, :d]), np.asarray(z),
+                                   rtol=2e-2, atol=2e-2, err_msg=link)
+        np.testing.assert_allclose(np.asarray(U1), np.asarray(-jax.vmap(lk)(z)),
+                                   rtol=2e-2, atol=0.5, err_msg=link)
