@@ -74,8 +74,30 @@ def sample(algorithm, initial_vals, log_kernel, settings=None, **kwargs):
         return fn(initial_vals, log_kernel, metric_fn, settings, **kwargs)
     return fn(initial_vals, log_kernel, settings, **kwargs)
 
+
+def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
+        key=None, mesh=None, dense_mass=False, target_accept=0.8,
+        max_tree_depth=10):
+    """One-call posterior fit with full automatic warmup.
+
+    Runs NUTS with pooled dual-averaging step-size adaptation and windowed
+    mass-matrix adaptation (diagonal, or full-covariance with
+    ``dense_mass=True``), then attaches ``diagnostics.summary`` (mean, sd,
+    MCSE, split R-hat, ESS). The "it just works" entry point the reference's
+    fixed-settings API cannot offer.
+    """
+    s = NUTSSettings(
+        n_burnin_draws=n_warmup, n_keep_draws=n_draws, n_adapt_draws=n_warmup,
+        target_accept_rate=target_accept, max_tree_depth=max_tree_depth,
+    )
+    out = nuts(initial_vals, log_kernel, s, n_chains=n_chains, key=key,
+               mesh=mesh, pooled_adaptation=True,
+               adapt_mass_matrix="dense" if dense_mass else "diag")
+    out.diagnostics["summary"] = diagnostics.summary(out.draws)
+    return out
+
 __all__ = [
-    "rwmh", "mala", "hmc", "nuts", "rmhmc", "de", "aees", "sample",
+    "rwmh", "mala", "hmc", "nuts", "rmhmc", "de", "aees", "sample", "fit",
     "AlgoSettings", "RWMHSettings", "MALASettings", "HMCSettings",
     "NUTSSettings", "RMHMCSettings", "DESettings", "AEESSettings",
     "SamplerResult", "bounds", "stats", "diagnostics", "models",

@@ -78,3 +78,18 @@ def test_sample_dispatcher():
         mcmc_tpu.sample("gibbs", jnp.zeros(2), lk)
     with pytest.raises(ValueError, match="metric_fn"):
         mcmc_tpu.sample("rmhmc", jnp.zeros(2), lk)
+
+
+def test_fit_one_call():
+    """mcmc_tpu.fit: automatic warmup lands a correct posterior with healthy
+    diagnostics on an ill-conditioned target, no tuning inputs."""
+    lk = models.ill_conditioned_gaussian(6, condition_number=300.0)
+    out = mcmc_tpu.fit(jnp.zeros(6), lk, n_chains=8, n_warmup=600, n_draws=600,
+                       key=jax.random.PRNGKey(0))
+    summ = out.diagnostics["summary"]
+    assert float(np.asarray(summ["rhat"]).max()) < 1.1
+    mean = np.abs(np.asarray(summ["mean"]))
+    tol = 4 * np.asarray(summ["mcse"]) + 0.3
+    assert (mean <= tol).all(), (mean, tol)
+    emp_var = np.asarray(out.draws).reshape(-1, 6).var(axis=0)
+    np.testing.assert_allclose(emp_var / np.asarray(lk.variances), 1.0, atol=0.5)
