@@ -1,0 +1,70 @@
+"""Edge cases: zero burn-in, single draw, 1-d problems, extreme settings."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import mcmc_tpu
+
+LK = lambda v: -0.5 * jnp.sum(v**2)
+
+
+def test_zero_burnin():
+    out = mcmc_tpu.rwmh(jnp.zeros(2), LK,
+                        mcmc_tpu.RWMHSettings(n_burnin_draws=0, n_keep_draws=50),
+                        key=jax.random.PRNGKey(0))
+    assert out.draws.shape == (50, 2)
+
+
+def test_single_keep_draw():
+    out = mcmc_tpu.hmc(jnp.zeros(2), LK,
+                       mcmc_tpu.HMCSettings(n_burnin_draws=10, n_keep_draws=1,
+                                            step_size=0.3),
+                       key=jax.random.PRNGKey(1))
+    assert out.draws.shape == (1, 2)
+    assert int(out.n_accept_draws) in (0, 1)
+
+
+def test_one_dimensional():
+    out = mcmc_tpu.nuts(jnp.zeros(1), LK,
+                        mcmc_tpu.NUTSSettings(n_burnin_draws=100, n_keep_draws=200,
+                                              n_adapt_draws=100),
+                        key=jax.random.PRNGKey(2))
+    assert out.draws.shape == (200, 1)
+    assert abs(float(out.draws.mean())) < 0.5
+
+
+def test_nuts_adapt_exceeds_burnin():
+    """Reference quirk: adaptation continues into kept draws when
+    n_adapt > n_burnin (src/nuts.cpp:54 has no guard)."""
+    out = mcmc_tpu.nuts(jnp.zeros(2), LK,
+                        mcmc_tpu.NUTSSettings(n_burnin_draws=50, n_keep_draws=150,
+                                              n_adapt_draws=150),
+                        key=jax.random.PRNGKey(3))
+    ss = np.asarray(out.diagnostics["step_size"])
+    # step size still moving inside the keep phase (draws 0..100 kept are
+    # adapt draws 50..150), then frozen
+    assert ss[:90].std() > 0
+    assert ss[110:].std() == 0
+
+
+def test_de_tiny_population():
+    """n_pop=3 is the smallest population with distinct (i, c1, c2)."""
+    out = mcmc_tpu.de(jnp.zeros(1), LK,
+                      mcmc_tpu.DESettings(n_pop=3, n_burnin_draws=50,
+                                          n_keep_draws=50),
+                      key=jax.random.PRNGKey(4))
+    assert out.draws.shape == (50, 3, 1)
+    assert np.isfinite(np.asarray(out.draws)).all()
+
+
+def test_initial_vals_per_chain():
+    """(n_chains, dim) initial values are used as-is, not broadcast."""
+    inits = jnp.array([[5.0, 5.0], [-5.0, -5.0]])
+    out = mcmc_tpu.hmc(inits, LK,
+                       mcmc_tpu.HMCSettings(n_burnin_draws=0, n_keep_draws=1,
+                                            step_size=1e-6),
+                       key=jax.random.PRNGKey(5))
+    d = np.asarray(out.draws)[0]
+    # with a negligible step the first kept draw stays near each chain's init
+    np.testing.assert_allclose(d, np.asarray(inits), atol=0.01)
