@@ -1,0 +1,135 @@
+#!/usr/bin/env python
+"""Benchmark suite over every BASELINE.md config:
+
+  1. RWMH on the 2-d Gaussian mean/scale model
+  2. MALA + HMC (autodiff gradients) on Bayesian logistic regression
+  3. NUTS on the 100-d ill-conditioned Gaussian and the banana
+  4. DE-MCMC on a multimodal Gaussian mixture
+  5. AEES + RM-HMC on multimodal / (mu, sigma) posteriors
+
+For each: wall-clock, chain-draws/sec, min ESS/sec, max split R-hat.
+Prints one JSON line per config plus a trailing summary line. The primary
+single-line metric for the driver remains bench.py; this suite is the
+breadth harness (SURVEY.md §7 step 8).
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+
+def run_all(quick=False):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    import mcmc_tpu
+    from mcmc_tpu import models, diagnostics
+
+    scale = 4 if quick else 1
+    results = []
+
+    def record(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        jax.block_until_ready(out.draws)
+        el = time.perf_counter() - t0
+        d = out.draws if out.draws.ndim == 3 else out.draws[:, None, :]
+        row = {
+            "config": name,
+            "seconds": round(el, 2),
+            "chain_draws_per_sec": round(d.shape[0] * d.shape[1] / el, 1),
+            "min_ess_per_sec": round(float(diagnostics.ess(d).min()) / el, 1),
+            "max_split_rhat": round(float(diagnostics.split_rhat(d).max()), 4),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    key = jax.random.PRNGKey(0)
+
+    # 1. RWMH, 2-d Gaussian mean/scale
+    x2 = 2.0 + 2.0 * jax.random.normal(key, (1000,))
+    lk_ms = models.gaussian_mean_scale_model(x2)
+    record("rwmh_gaussian_2d", lambda: mcmc_tpu.rwmh(
+        jnp.array([2.0, 2.0]), lk_ms,
+        mcmc_tpu.RWMHSettings(n_burnin_draws=2000 // scale,
+                              n_keep_draws=4000 // scale, par_scale=0.1),
+        n_chains=256, key=jax.random.PRNGKey(1)))
+
+    # 2. MALA + HMC, logistic regression (jax.grad = the autodiff path)
+    X, y, _ = models.make_logistic_regression_data(jax.random.PRNGKey(2), 500, 25)
+    lk_lr = models.logistic_regression_model(X, y)
+    record("mala_logreg_25d", lambda: mcmc_tpu.mala(
+        jnp.zeros(25), lk_lr,
+        mcmc_tpu.MALASettings(n_burnin_draws=1000 // scale,
+                              n_keep_draws=2000 // scale, step_size=0.05),
+        n_chains=256, key=jax.random.PRNGKey(3), adapt_step_size=True))
+    record("hmc_logreg_25d", lambda: mcmc_tpu.hmc(
+        jnp.zeros(25), lk_lr,
+        mcmc_tpu.HMCSettings(n_burnin_draws=1000 // scale,
+                             n_keep_draws=2000 // scale,
+                             step_size=0.1, n_leap_steps=8),
+        n_chains=256, key=jax.random.PRNGKey(4), adapt_step_size=True))
+
+    # 3. NUTS, 100-d ill-conditioned + banana
+    lk_ill = models.ill_conditioned_gaussian(100, 1e4)
+    record("nuts_ill_conditioned_100d", lambda: mcmc_tpu.nuts(
+        jnp.zeros(100), lk_ill,
+        mcmc_tpu.NUTSSettings(n_burnin_draws=600 // scale,
+                              n_keep_draws=600 // scale,
+                              n_adapt_draws=600 // scale),
+        n_chains=64, key=jax.random.PRNGKey(5),
+        adapt_mass_matrix=True, pooled_adaptation=True))
+    record("nuts_banana", lambda: mcmc_tpu.nuts(
+        jnp.zeros(2), models.banana_model(b=0.1, sigma=3.0),
+        mcmc_tpu.NUTSSettings(n_burnin_draws=800 // scale,
+                              n_keep_draws=1600 // scale,
+                              n_adapt_draws=800 // scale,
+                              target_accept_rate=0.8),
+        n_chains=64, key=jax.random.PRNGKey(6), adapt_mass_matrix="dense"))
+
+    # 4. DE, multimodal mixture
+    mu = jnp.array([[-2.0, -2.0], [2.0, 2.0]])
+    lk_mix = models.gaussian_mixture_model(mu, jnp.array([0.5, 0.5]),
+                                           jnp.array([0.5, 0.5]))
+    record("de_mixture", lambda: mcmc_tpu.de(
+        jnp.zeros(2), lk_mix,
+        mcmc_tpu.DESettings(n_pop=200, n_burnin_draws=1000 // scale,
+                            n_keep_draws=2000 // scale,
+                            initial_lb=jnp.array([-4.0, -4.0]),
+                            initial_ub=jnp.array([4.0, 4.0])),
+        key=jax.random.PRNGKey(7)))
+
+    # 5. AEES (multimodal) + RM-HMC ((mu, sigma) with Fisher metric)
+    aees_settings = mcmc_tpu.AEESSettings(
+        n_initial_draws=500 // scale, n_burnin_draws=500 // scale,
+        n_keep_draws=4000 // scale, n_rings=11, ee_prob_par=0.05,
+        temper_vec=jnp.array([60.0, 9.0]), cov_mat=0.35 * jnp.eye(2))
+    lk_hard = models.gaussian_mixture_model(mu, jnp.array([0.1, 0.1]),
+                                            jnp.array([0.5, 0.5]))
+    record("aees_mixture", lambda: mcmc_tpu.aees(
+        mu[0], lk_hard, aees_settings, key=jax.random.PRNGKey(8), n_runs=8))
+    record("rmhmc_fisher", lambda: mcmc_tpu.rmhmc(
+        jnp.array([2.5, 2.5]), lk_ms, models.normal_fisher_metric(1000),
+        mcmc_tpu.RMHMCSettings(n_burnin_draws=500 // scale,
+                               n_keep_draws=1000 // scale,
+                               step_size=0.15, n_leap_steps=3),
+        n_chains=64, key=jax.random.PRNGKey(9)))
+
+    worst_rhat = max(r["max_split_rhat"] for r in results)
+    print(json.dumps({"suite": "baseline_configs", "n_configs": len(results),
+                      "worst_split_rhat": worst_rhat,
+                      "platform": jax.devices()[0].platform}))
+
+
+if __name__ == "__main__":
+    quick = "--quick" in sys.argv
+    if "--cpu" in sys.argv:
+        import os
+        os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    run_all(quick=quick)
