@@ -178,8 +178,12 @@ def aees_sharded(initial_vals, log_kernel, settings=None, *, mesh: Mesh,
     draws_all = sharded(dev_keys)          # (K, n_keep, dim)
     draws = draws_all[K - 1]
     draws = common.finalize_draws(draws, prob)
+    # the reference's AEES tracks no acceptance at all (aees_settings_t has
+    # no n_accept_draws field); report the cold chain's kept-draw move count
+    # — the draw changed iff a local or EE move was accepted
+    moved = jnp.any(draws[1:] != draws[:-1], axis=-1).sum(axis=0)
     return SamplerResult(
         draws=draws,
-        n_accept_draws=jnp.asarray(s.n_keep_draws),
+        n_accept_draws=moved,
         diagnostics={"temperatures": temps},
     )

@@ -236,8 +236,12 @@ def aees(initial_vals, log_kernel, settings=None, *, key=None, n_runs=None,
         draws = jax.vmap(run_one)(jax.random.split(key, n_runs))
         draws = jnp.moveaxis(draws, 0, 1)  # (n_keep, n_runs, n_vals)
     draws = common.finalize_draws(draws, prob)
+    # the reference's AEES tracks no acceptance at all (aees_settings_t has
+    # no n_accept_draws field); report the cold chain's kept-draw move count
+    # — the draw changed iff a local or EE move was accepted
+    moved = jnp.any(draws[1:] != draws[:-1], axis=-1).sum(axis=0)
     return SamplerResult(
         draws=draws,
-        n_accept_draws=jnp.asarray(s.n_keep_draws),
+        n_accept_draws=moved,
         diagnostics={"temperatures": temps},
     )
