@@ -123,7 +123,7 @@ class ChunkedRunner:
             if (meta.get("n_draws") == n_draws and meta.get("chunk_size") == chunk_size
                     and meta.get("n_burnin", 0) == n_burnin):
                 try:
-                    keys, state = restore(ckpt, like=_key_data((keys, state)))
+                    keys, state = restore(ckpt, like=(keys, state))
                     done = meta["done"]
                     n_accept = np.asarray(meta.get("n_accept", n_accept.tolist()),
                                           np.int64)
@@ -173,6 +173,9 @@ class ChunkedRunner:
                     if isinstance(infos, dict) and "accepted" in infos:
                         n_accept += np.asarray(infos["accepted"]).sum(axis=0)
                 done += step_n
+                # the native sink writes asynchronously: drain it before the
+                # progress marker claims these draws are durable
+                sink.flush()
                 save(ckpt, _key_data((keys, state)))
                 meta_path.write_text(json.dumps(
                     {"done": done, "n_draws": n_draws, "chunk_size": chunk_size,

@@ -150,7 +150,12 @@ class DrawSink:
 
 
 def read_draws(path, mmap=True):
-    """Read a sink file back as a numpy array of shape (n_rows, *row_shape)."""
+    """Read a sink file back as a numpy array of shape (n_rows, *row_shape).
+
+    If the header's row count was never finalized (the writing process was
+    killed before close()), the count is recovered from the file size — any
+    torn trailing partial row is dropped."""
+    import os
     with open(path, "rb") as f:
         raw = f.read(_HEADER_SIZE)
     magic, version, code, ndim, _res, d0, d1, d2, d3, n_rows = struct.unpack(
@@ -158,8 +163,15 @@ def read_draws(path, mmap=True):
     )
     if magic != _MAGIC:
         raise ValueError(f"{path} is not a draw-sink file")
-    shape = (n_rows,) + tuple(int(d) for d in (d0, d1, d2, d3)[:ndim])
     dtype = _DTYPES[code]
+    row_shape = tuple(int(d) for d in (d0, d1, d2, d3)[:ndim])
+    row_bytes = int(np.prod(row_shape)) * np.dtype(dtype).itemsize
+    data_bytes = os.path.getsize(path) - _HEADER_SIZE
+    rows_on_disk = data_bytes // row_bytes if row_bytes else 0
+    if n_rows == 0 and rows_on_disk > 0:
+        n_rows = rows_on_disk          # crash recovery
+    n_rows = min(n_rows, rows_on_disk)  # never trust header past the data
+    shape = (n_rows,) + row_shape
     if mmap:
         return np.memmap(path, dtype=dtype, mode="r", offset=_HEADER_SIZE,
                          shape=shape)

@@ -138,3 +138,79 @@ def test_sampler_checkpoint_dir_kwarg(tmp_path):
     np.testing.assert_array_equal(np.asarray(out.draws), np.asarray(out2.draws))
     np.testing.assert_array_equal(np.asarray(out.n_accept_draws),
                                   np.asarray(out2.n_accept_draws))
+
+
+def test_read_draws_recovers_unclosed_sink(tmp_path):
+    """A killed writer never finalizes the header; read_draws must recover
+    the row count from the file size (dropping any torn trailing row)."""
+    path = tmp_path / "crash.bin"
+    sink = DrawSink(path, (2, 3), force_python=True)
+    data = np.arange(18, dtype=np.float32).reshape(3, 2, 3)
+    sink.append(data)
+    sink._file.flush()          # simulate crash: data on disk, no close()
+    out = read_draws(path, mmap=False)
+    assert out.shape == (3, 2, 3)
+    np.testing.assert_array_equal(out, data)
+    # torn partial row at the end is dropped
+    with open(path, "ab") as f:
+        f.write(b"\x00" * 7)
+    out2 = read_draws(path, mmap=False)
+    assert out2.shape == (3, 2, 3)
+
+
+def test_true_crash_resume_via_subprocess(tmp_path):
+    """Kill the process for real after 3 chunk appends (os._exit, no
+    cleanup); resume must produce draws bit-identical to an uninterrupted
+    run."""
+    import subprocess, sys, textwrap, pathlib
+    root = pathlib.Path(__file__).resolve().parent.parent
+    script = textwrap.dedent("""
+        import sys, os
+        sys.path.insert(0, %r)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        import jax.numpy as jnp
+        from mcmc_tpu import checkpoint
+        from mcmc_tpu.samplers.rwmh import build_rwmh_kernel
+
+        crash_after = int(sys.argv[2])
+        init, step = build_rwmh_kernel(lambda v: -0.5 * jnp.sum(v**2),
+                                       lambda v: v, 0.7)
+        state0 = jax.vmap(init)(jnp.zeros((4, 2)))
+        runner = checkpoint.ChunkedRunner(jax.vmap(step),
+                                          lambda st: st.position, sys.argv[1])
+        if crash_after > 0:
+            orig = checkpoint.DrawSink.append
+            counter = {"n": 0}
+            def crashing(self, arr):
+                orig(self, arr)
+                counter["n"] += 1
+                if counter["n"] > crash_after:
+                    self.flush()
+                    os._exit(17)      # hard kill: no close(), no atexit
+            checkpoint.DrawSink.append = crashing
+        _, draws, _ = runner.run(jax.random.PRNGKey(3), state0,
+                                 n_draws=100, chunk_size=20)
+        import numpy as np
+        np.save(sys.argv[1] + "/final.npy", np.array(draws))
+    """) % str(root)
+    sp = tmp_path / "runner.py"
+    sp.write_text(script)
+
+    crash_dir, clean_dir = tmp_path / "crash", tmp_path / "clean"
+    r = subprocess.run([sys.executable, str(sp), str(crash_dir), "3"],
+                       capture_output=True, timeout=300)
+    assert r.returncode == 17, r.stderr.decode()[-500:]
+    # resume to completion (no crash injection)
+    r = subprocess.run([sys.executable, str(sp), str(crash_dir), "0"],
+                       capture_output=True, timeout=300)
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+    # uninterrupted reference
+    r = subprocess.run([sys.executable, str(sp), str(clean_dir), "0"],
+                       capture_output=True, timeout=300)
+    assert r.returncode == 0, r.stderr.decode()[-500:]
+
+    a = np.load(crash_dir / "final.npy")
+    b = np.load(clean_dir / "final.npy")
+    assert a.shape == (100, 4, 2)
+    np.testing.assert_array_equal(a, b)
