@@ -10,6 +10,10 @@ are forced to +inf so they are always rejected (src/hmc.cpp:180-182).
 Gradients come from :func:`jax.grad` of the user kernel, replacing the
 reference's ``grad_out*`` out-parameter convention and its optional external
 ``autodiff`` library (reference README.md:290-402).
+
+Extensions (no reference analog): dual-averaging step-size adaptation
+(``adapt_step_size=True``) and windowed diagonal mass-matrix adaptation
+(``adapt_mass_matrix=True``, sharing NUTS's Stan-style warmup schedule).
 """
 
 from __future__ import annotations
@@ -34,42 +38,75 @@ class HMCState(NamedTuple):
     potential: jax.Array     # U = -box_log_kernel(position)
     da: adaptation.DualAveraging
     draw_ind: jax.Array
+    inv_mass: jax.Array      # diagonal inverse mass (ones when not adapting)
+    w_count: jax.Array       # Welford window accumulators
+    w_mean: jax.Array
+    w_m2: jax.Array
 
 
 def build_hmc_kernel(box_log_kernel, grad_fn, precond: common.SPD,
-                     step_size, n_leap_steps, adapt_cfg=None):
+                     step_size, n_leap_steps, adapt_cfg=None,
+                     mass_cfg=None):
+    """``adapt_cfg``: dual-averaging step-size tuning (n_burnin, target).
+    ``mass_cfg``: windowed diagonal mass adaptation — dict with ``n_burnin``
+    plus the collect/window-end masks from
+    :func:`mcmc_tpu.samplers.nuts._mass_window_schedule`. With mass
+    adaptation on, the preconditioner must be identity (the mass is
+    learned)."""
+    adapt_mass = mass_cfg is not None
+
+    def kinetic(r, inv_mass):
+        if adapt_mass:
+            return 0.5 * jnp.sum(r * r * inv_mass)
+        return integrators.kinetic_energy(r, precond.inv_mv)
+
     def init(position):
+        dim = position.shape[0]
         return HMCState(
             position=position,
             potential=-box_log_kernel(position),
             da=adaptation.da_init(jnp.asarray(step_size, position.dtype)),
             draw_ind=jnp.asarray(0, jnp.int32),
+            inv_mass=jnp.ones((dim,), position.dtype),
+            w_count=jnp.asarray(0, jnp.int32),
+            w_mean=jnp.zeros((dim,), position.dtype),
+            w_m2=jnp.zeros((dim,), position.dtype),
         )
 
     def step(key, state: HMCState):
+        dtype = state.position.dtype
         k_mom, k_accept = jax.random.split(key)
         if adapt_cfg is None:
             eps = step_size
+            adapting_eps = None
         else:
-            adapting = state.draw_ind < adapt_cfg["n_burnin"]
-            eps = jnp.exp(jnp.where(adapting, state.da.log_eps,
+            adapting_eps = state.draw_ind < adapt_cfg["n_burnin"]
+            eps = jnp.exp(jnp.where(adapting_eps, state.da.log_eps,
                                     state.da.log_eps_bar))
-        noise = jax.random.normal(k_mom, state.position.shape, state.position.dtype)
-        momentum = precond.sqrt_mv(noise)
-        prev_K = integrators.kinetic_energy(momentum, precond.inv_mv)
+
+        inv_mass = state.inv_mass
+        noise = jax.random.normal(k_mom, state.position.shape, dtype)
+        if adapt_mass:
+            momentum = noise * jax.lax.rsqrt(inv_mass)
+            inv_mv = lambda v: inv_mass * v
+        else:
+            momentum = precond.sqrt_mv(noise)
+            inv_mv = precond.inv_mv
+        prev_K = kinetic(momentum, inv_mass)
 
         new_pos, new_mom = integrators.leapfrog(
-            grad_fn, precond.inv_mv, eps, n_leap_steps,
-            state.position, momentum,
+            grad_fn, inv_mv, eps, n_leap_steps, state.position, momentum,
         )
 
         prop_U = -box_log_kernel(new_pos)
         prop_U = jnp.where(jnp.isfinite(prop_U), prop_U, jnp.inf)
-        prop_K = integrators.kinetic_energy(new_mom, precond.inv_mv)
+        prop_K = kinetic(new_mom, inv_mass)
 
         comp = jnp.minimum(0.01, -(prop_U + prop_K) + (state.potential + prev_K))
-        u = jax.random.uniform(k_accept, dtype=state.position.dtype)
+        u = jax.random.uniform(k_accept, dtype=dtype)
         accepted = u < jnp.exp(comp)
+
+        position = jnp.where(accepted, new_pos, state.position)
 
         da = state.da
         if adapt_cfg is not None:
@@ -77,13 +114,50 @@ def build_hmc_kernel(box_log_kernel, grad_fn, precond: common.SPD,
             accept_stat = jnp.where(jnp.isnan(accept_stat), 0.0, accept_stat)
             da_new = adaptation.da_update(da, accept_stat, adapt_cfg["target"])
             da = jax.tree_util.tree_map(
-                lambda new, old: jnp.where(adapting, new, old), da_new, da)
+                lambda new, old: jnp.where(adapting_eps, new, old), da_new, da)
+
+        inv_mass_out = state.inv_mass
+        wc, wm, wv = state.w_count, state.w_mean, state.w_m2
+        if adapt_mass:
+            idx = jnp.minimum(state.draw_ind, mass_cfg["collect"].shape[0] - 1)
+            in_warmup = state.draw_ind < mass_cfg["n_burnin"]
+            collecting = in_warmup & mass_cfg["collect"][idx]
+            window_end = in_warmup & mass_cfg["window_end"][idx]
+
+            cnt1 = wc + 1
+            delta = position - wm
+            wm1 = wm + delta / cnt1.astype(dtype)
+            wv1 = wv + delta * (position - wm1)
+            wc = jnp.where(collecting, cnt1, wc)
+            wm = jnp.where(collecting, wm1, wm)
+            wv = jnp.where(collecting, wv1, wv)
+
+            n_w = jnp.maximum(wc, 2).astype(dtype)
+            var = wv / (n_w - 1.0)
+            var = (n_w / (n_w + 5.0)) * var + 1e-3 * (5.0 / (n_w + 5.0))
+            inv_mass_out = jnp.where(window_end, var, inv_mass_out)
+            wc = jnp.where(window_end, 0, wc)
+            wm = jnp.where(window_end, jnp.zeros_like(wm), wm)
+            wv = jnp.where(window_end, jnp.zeros_like(wv), wv)
+            if adapt_cfg is not None:
+                # restart dual averaging around the current step at the new
+                # metric (Stan-style)
+                eps_now = jnp.exp(da.log_eps)
+                da = adaptation.DualAveraging(
+                    log_eps=da.log_eps,
+                    log_eps_bar=jnp.where(window_end, da.log_eps, da.log_eps_bar),
+                    h=jnp.where(window_end, 0.0, da.h),
+                    t=jnp.where(window_end, 0.0, da.t),
+                    mu=jnp.where(window_end, jnp.log(10.0 * eps_now), da.mu),
+                )
 
         new_state = HMCState(
-            position=jnp.where(accepted, new_pos, state.position),
+            position=position,
             potential=jnp.where(accepted, prop_U, state.potential),
             da=da,
             draw_ind=state.draw_ind + 1,
+            inv_mass=inv_mass_out,
+            w_count=wc, w_mean=wm, w_m2=wv,
         )
         info = {"accepted": accepted, "energy_error": -(prop_U + prop_K) + (state.potential + prev_K)}
         return new_state, info
@@ -93,12 +167,13 @@ def build_hmc_kernel(box_log_kernel, grad_fn, precond: common.SPD,
 
 def hmc(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, mesh=None, checkpoint_dir=None, checkpoint_every=500,
         dtype=None, bounded_grad="reference", adapt_step_size=False,
-        target_accept=None) -> SamplerResult:
+        target_accept=None, adapt_mass_matrix=False) -> SamplerResult:
     """Run HMC. See reference src/hmc.cpp and mcmc_structs.hpp:66-78 for the
     settings fields; ``bounded_grad`` selects the constrained-space gradient
     convention (see mcmc_tpu.integrators). ``adapt_step_size=True`` tunes
-    the step size by dual averaging toward 0.8 acceptance during burn-in
-    (no reference analog)."""
+    the step size by dual averaging toward 0.8 acceptance during burn-in;
+    ``adapt_mass_matrix=True`` adds windowed diagonal mass adaptation
+    (neither has a reference analog)."""
     algo, s = resolve_settings(settings, "hmc_settings", HMCSettings)
     key = resolve_key(key, algo)
 
@@ -112,9 +187,18 @@ def hmc(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, mes
             "n_burnin": s.n_burnin_draws,
             "target": target_accept or adaptation.TARGET_ACCEPT["hmc"],
         }
+    mass_cfg = None
+    if adapt_mass_matrix:
+        if s.precond_mat is not None:
+            raise ValueError("adapt_mass_matrix is incompatible with a user "
+                             "precond_mat — the mass matrix is learned")
+        from mcmc_tpu.samplers.nuts import _mass_window_schedule
+        collect, window_end = _mass_window_schedule(s.n_burnin_draws)
+        mass_cfg = {"n_burnin": s.n_burnin_draws, "collect": collect,
+                    "window_end": window_end}
     init, step = build_hmc_kernel(
         prob.box_log_kernel, grad_fn, precond, s.step_size, s.n_leap_steps,
-        adapt_cfg,
+        adapt_cfg, mass_cfg,
     )
     state0 = jax.vmap(init)(prob.first_draw)
 
@@ -131,10 +215,15 @@ def hmc(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, mes
         diagnostics["energy_error"] = infos["energy_error"]
     if adapt_step_size:
         diagnostics["adapted_step_size"] = jnp.exp(final_state.da.log_eps_bar)
+    if adapt_mass_matrix:
+        diagnostics["inv_mass_diag"] = final_state.inv_mass
     if prob.squeeze:
         draws = draws[:, 0, :]
         n_accept = n_accept[0]
-        diagnostics = {k: (v[:, 0] if v.ndim == 2 else v[0])
-                       for k, v in diagnostics.items()}
+        def _squeeze(k, v):
+            if k == "inv_mass_diag":
+                return v[0]
+            return v[:, 0] if v.ndim == 2 else v[0]
+        diagnostics = {k: _squeeze(k, v) for k, v in diagnostics.items()}
     return SamplerResult(draws=draws, n_accept_draws=n_accept,
                          diagnostics=diagnostics)

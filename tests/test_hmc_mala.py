@@ -147,3 +147,22 @@ def test_step_size_adaptation_hits_targets():
     d = np.asarray(out.draws)
     np.testing.assert_allclose(d.mean(axis=(0, 1)), 0.0, atol=0.12)
     np.testing.assert_allclose(d.var(axis=(0, 1)), 1.0, atol=0.2)
+
+
+def test_hmc_mass_adaptation_ill_conditioned():
+    """HMC with windowed diagonal mass adaptation (shared NUTS machinery)
+    must learn the scales and sample the ill-conditioned target well."""
+    from mcmc_tpu import models, diagnostics as diag
+    lk = models.ill_conditioned_gaussian(6, condition_number=1e3)
+    s = mcmc_tpu.HMCSettings(n_burnin_draws=1200, n_keep_draws=2000,
+                             step_size=0.5, n_leap_steps=8)
+    out = mcmc_tpu.hmc(jnp.zeros(6), lk, s, n_chains=8,
+                       key=jax.random.PRNGKey(0),
+                       adapt_step_size=True, adapt_mass_matrix=True)
+    inv_mass = np.asarray(out.diagnostics["inv_mass_diag"])
+    ratio = inv_mass[0] / np.asarray(lk.variances)
+    assert (ratio > 0.2).all() and (ratio < 5.0).all(), ratio
+    emp_var = np.asarray(out.draws).reshape(-1, 6).var(axis=0)
+    np.testing.assert_allclose(emp_var / np.asarray(lk.variances), 1.0,
+                               atol=0.5)
+    assert float(np.asarray(diag.split_rhat(out.draws)).max()) < 1.15
