@@ -100,7 +100,7 @@ class ChunkedRunner:
         return self._compiled
 
     def run(self, key, state0, n_draws, chunk_size=100, row_shape=None,
-            dtype=np.float32, n_burnin=0):
+            dtype=None, n_burnin=0):
         """Returns (final_state, draws, n_accept) with draws memmapped from
         the sink. ``n_burnin`` draws execute first without being stored (the
         reference's burn-in phase); acceptance — summed from each chunk's
@@ -112,6 +112,15 @@ class ChunkedRunner:
         state = state0
         total = n_burnin + n_draws
 
+        # the sink stores exactly what collect() produces — deriving shape
+        # AND dtype from it keeps float64 runs bit-exact (no silent f32 cast)
+        sample = np.asarray(self.collect(state0))
+        if row_shape is None:
+            row_shape = tuple(sample.shape)
+        if dtype is None:
+            dtype = sample.dtype
+        dtype_name = np.dtype(dtype).name
+
         ckpt = self.dir / "state.npz"
         meta_path = self.dir / "progress.json"
         sink_path = self.dir / "draws.bin"
@@ -121,7 +130,8 @@ class ChunkedRunner:
         if meta_path.exists() and ckpt.exists():
             meta = json.loads(meta_path.read_text())
             if (meta.get("n_draws") == n_draws and meta.get("chunk_size") == chunk_size
-                    and meta.get("n_burnin", 0) == n_burnin):
+                    and meta.get("n_burnin", 0) == n_burnin
+                    and meta.get("dtype", dtype_name) == dtype_name):
                 try:
                     keys, state = restore(ckpt, like=(keys, state))
                     done = meta["done"]
@@ -136,10 +146,6 @@ class ChunkedRunner:
                     done = 0
             else:
                 done = 0
-
-        if row_shape is None:
-            sample = self.collect(state)
-            row_shape = tuple(sample.shape)
 
         run_chunk = self._chunk_fn(chunk_size)
 
@@ -179,7 +185,8 @@ class ChunkedRunner:
                 save(ckpt, _key_data((keys, state)))
                 meta_path.write_text(json.dumps(
                     {"done": done, "n_draws": n_draws, "chunk_size": chunk_size,
-                     "n_burnin": n_burnin, "n_accept": n_accept.tolist()}
+                     "n_burnin": n_burnin, "n_accept": n_accept.tolist(),
+                     "dtype": dtype_name}
                 ))
         return state, read_draws(sink_path), n_accept
 

@@ -11,7 +11,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["split_rhat", "ess", "summary",
+__all__ = ["split_rhat", "ess", "rank_normalized_rhat", "bulk_ess", "tail_ess",
+           "summary",
            "moments_init", "moments_update", "moments_finalize", "moments_rhat"]
 
 
@@ -75,17 +76,60 @@ def ess(draws):
     # rho_t = 1 - (W - mean_acov_t) / var_plus
     rho = 1.0 - (mean_acov[0] - mean_acov) / var_plus  # (n, dim)
 
-    # Geyer: sum consecutive pairs, keep while positive, enforce monotone.
-    n_pairs = (n - 1) // 2
-    pair_sums = rho[1 : 2 * n_pairs : 2] + rho[2 : 2 * n_pairs + 1 : 2]  # (n_pairs, dim)
+    # Geyer: Stan's pairing P_k = rho_{2k} + rho_{2k+1} starting at rho_0;
+    # keep while positive, enforce a monotone non-increasing envelope,
+    # tau = -1 + 2 * sum(P_kept).
+    n_pairs = n // 2
+    pair_sums = rho[0 : 2 * n_pairs : 2] + rho[1 : 2 * n_pairs : 2]  # (n_pairs, dim)
 
     positive = pair_sums > 0
     keep = jnp.cumprod(positive, axis=0).astype(bool)
-    # monotone non-increasing envelope
     capped = jax.lax.associative_scan(jnp.minimum, jnp.where(keep, pair_sums, 0.0), axis=0)
-    tau = -1.0 + 2.0 * jnp.sum(jnp.where(keep, capped, 0.0), axis=0) + rho[0]
+    tau = -1.0 + 2.0 * jnp.sum(jnp.where(keep, capped, 0.0), axis=0)
     tau = jnp.maximum(tau, 1.0 / jnp.log10(jnp.asarray(float(n * m))))
     return n * m / tau
+
+
+def _rank_normalize(draws):
+    """Fractional-rank normal-score transform (Vehtari et al. 2021 eq. 14):
+    pooled ranks over (draws, chains) per dimension mapped through the
+    normal quantile function with the (r - 3/8)/(S + 1/4) offset."""
+    n, m, dim = draws.shape
+    flat = draws.reshape(n * m, dim)
+    # double argsort gives 0-based ranks (ties broken by order — fine for
+    # continuous draws; indicator inputs get an arbitrary-but-consistent
+    # tie order, which leaves the autocorrelation structure intact)
+    ranks = jnp.argsort(jnp.argsort(flat, axis=0), axis=0).astype(draws.dtype)
+    z = jax.scipy.special.ndtri((ranks + 1.0 - 0.375) / (n * m + 0.25))
+    return z.reshape(n, m, dim)
+
+
+def rank_normalized_rhat(draws):
+    """Rank-normalized split R-hat (Vehtari, Gelman, Simpson, Carpenter,
+    Burkner 2021): the max of split R-hat on rank-normalized draws (bulk)
+    and on rank-normalized folded draws |x - median| (tails). The modern
+    convergence gate — use <= 1.01 as the pass criterion."""
+    draws = _ensure_3d(draws)
+    z = _rank_normalize(draws)
+    folded = jnp.abs(draws - jnp.median(draws, axis=(0, 1)))
+    zf = _rank_normalize(folded)
+    return jnp.maximum(split_rhat(z), split_rhat(zf))
+
+
+def bulk_ess(draws):
+    """Bulk effective sample size: Geyer ESS of rank-normalized draws."""
+    draws = _ensure_3d(draws)
+    return ess(_rank_normalize(draws))
+
+
+def tail_ess(draws):
+    """Tail effective sample size: the min of the ESS of the 5% and 95%
+    quantile exceedance indicators (Vehtari et al. 2021 §4.3)."""
+    draws = _ensure_3d(draws)
+    q = jnp.quantile(draws, jnp.asarray([0.05, 0.95], draws.dtype), axis=(0, 1))
+    e05 = ess((draws <= q[0]).astype(draws.dtype))
+    e95 = ess((draws <= q[1]).astype(draws.dtype))
+    return jnp.minimum(e05, e95)
 
 
 def moments_init(n_chains, n_vals, dtype=jnp.float32):
@@ -137,4 +181,7 @@ def summary(draws):
         "mcse": sd / jnp.sqrt(n_eff),
         "rhat": split_rhat(draws),
         "ess": n_eff,
+        "rhat_rank": rank_normalized_rhat(draws),
+        "ess_bulk": bulk_ess(draws),
+        "ess_tail": tail_ess(draws),
     }

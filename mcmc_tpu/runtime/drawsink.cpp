@@ -70,10 +70,12 @@ class DrawSink {
         return 0;
     }
 
-    // Block until everything queued so far reaches the OS.
+    // Block until everything queued so far reaches the OS. A chunk the
+    // worker has popped but not yet fwritten counts as pending (writing_),
+    // so callers may mark draws durable once this returns.
     void flush() {
         std::unique_lock<std::mutex> lk(mu_);
-        cv_space_.wait(lk, [this] { return queue_.empty(); });
+        cv_space_.wait(lk, [this] { return queue_.empty() && !writing_; });
         if (f_) std::fflush(f_);
     }
 
@@ -81,7 +83,7 @@ class DrawSink {
         {
             std::unique_lock<std::mutex> lk(mu_);
             if (stop_) return;
-            cv_space_.wait(lk, [this] { return queue_.empty(); });
+            cv_space_.wait(lk, [this] { return queue_.empty() && !writing_; });
             stop_ = true;
         }
         cv_data_.notify_all();
@@ -111,11 +113,16 @@ class DrawSink {
                 queue_.pop_front();
                 rows = pending_rows_.front();
                 pending_rows_.pop_front();
+                writing_ = true;
             }
             if (std::fwrite(buf.data(), 1, buf.size(), f_) != buf.size()) {
                 error_ = true;
             }
             n_rows_ += rows;
+            {
+                std::lock_guard<std::mutex> lk(mu_);
+                writing_ = false;
+            }
             cv_space_.notify_all();
         }
     }
@@ -128,6 +135,7 @@ class DrawSink {
     std::condition_variable cv_data_, cv_space_;
     std::deque<std::vector<char>> queue_;
     std::deque<uint64_t> pending_rows_;
+    bool writing_ = false;  // guarded by mu_: a popped chunk is mid-fwrite
     std::atomic<bool> stop_;
     std::atomic<bool> error_;
     std::atomic<uint64_t> n_rows_;

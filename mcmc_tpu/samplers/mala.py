@@ -41,6 +41,20 @@ class MALAState(NamedTuple):
     draw_ind: jax.Array
 
 
+def _log_mvn_general(x, mu, sigma):
+    """MVN log-density on a general (possibly asymmetric) matrix via an
+    explicit solve + slogdet. The bounded dense-preconditioner path builds
+    ``eps^2 * J * M``, which is *not* symmetric; the reference evaluates
+    dmvnorm on it directly with QUAD_FORM_INV + LOG_DET (mala.ipp:54-57,
+    dmvnorm.hpp:28-54), so a Cholesky — which silently reads only the lower
+    triangle — would diverge from the reference. Quirk reproduced."""
+    cent = x - mu
+    k = x.shape[-1]
+    quad = cent @ jnp.linalg.solve(sigma, cent)
+    _sign, logdet = jnp.linalg.slogdet(sigma)
+    return -0.5 * k * stats.LOG_2PI - 0.5 * (logdet + quad)
+
+
 def build_mala_kernel(prob: common.Problem, precond: common.SPD, step_size,
                       bounded_grad="reference", adapt_cfg=None):
     reference_mode = prob.vals_bound and bounded_grad == "reference"
@@ -105,8 +119,13 @@ def build_mala_kernel(prob: common.Problem, precond: common.SPD, step_size,
         # mala_prop_adjustment (reference mala.ipp:30-70): both covariance
         # terms use the proposal's Jacobian, as in the reference.
         sigma = prop_sigma(prop_jac, eps2)
-        adj = stats.dmvnorm(state.position, prop_mean, sigma, log=True) \
-            - stats.dmvnorm(proposal, prev_mean, sigma, log=True)
+        if reference_mode and precond.kind == "full":
+            # eps^2 * J * M is asymmetric; evaluate it the reference's way
+            adj = _log_mvn_general(state.position, prop_mean, sigma) \
+                - _log_mvn_general(proposal, prev_mean, sigma)
+        else:
+            adj = stats.dmvnorm(state.position, prop_mean, sigma, log=True) \
+                - stats.dmvnorm(proposal, prev_mean, sigma, log=True)
 
         comp = jnp.minimum(0.01, prop_lp - state.log_prob + adj)
         u = jax.random.uniform(k_accept, dtype=state.position.dtype)

@@ -40,6 +40,47 @@ def test_ess_ar1_matches_theory():
     assert ess == pytest.approx(expected, rel=0.2)
 
 
+def test_ess_iid_near_sample_size():
+    """iid chains must report ESS ~ n*m (the pre-fix formula dropped rho_0
+    from the Geyer pairing and reported ~4.9x the sample size)."""
+    n, m = 2000, 8
+    draws = jax.random.normal(jax.random.PRNGKey(7), (n, m, 3))
+    e = np.asarray(diagnostics.ess(draws))
+    assert (e > 0.7 * n * m).all()
+    assert (e < 1.3 * n * m).all()
+
+
+def test_rank_normalized_diagnostics():
+    n, m = 1000, 8
+    draws = jax.random.normal(jax.random.PRNGKey(3), (n, m, 2))
+    # iid: rank R-hat ~ 1, bulk/tail ESS near sample size
+    r = np.asarray(diagnostics.rank_normalized_rhat(draws))
+    assert (r < 1.01).all()
+    assert (np.asarray(diagnostics.bulk_ess(draws)) > 0.5 * n * m).all()
+    assert (np.asarray(diagnostics.tail_ess(draws)) > 0.3 * n * m).all()
+    # a heavy-tailed scale mismatch between chains is invisible to the
+    # classical split R-hat of the mean but caught by the folded/rank form
+    scales = jnp.array([1.0, 1.0, 1.0, 1.0, 3.0, 3.0, 3.0, 3.0])
+    bad = draws * scales[None, :, None]
+    r_bad = np.asarray(diagnostics.rank_normalized_rhat(bad))
+    assert (r_bad > 1.05).all()
+
+
+def test_ess_ar1_rank_normalized_consistent():
+    """bulk_ess should roughly agree with plain ess for a Gaussian AR(1)."""
+    rho = 0.5
+    n, m = 8000, 4
+    rng = np.random.default_rng(1)
+    x = np.zeros((n, m, 1), np.float64)
+    innov = rng.normal(size=(n, m, 1)) * math.sqrt(1 - rho**2)
+    for t in range(1, n):
+        x[t] = rho * x[t - 1] + innov[t]
+    xj = jnp.asarray(x, jnp.float32)
+    e_plain = float(np.asarray(diagnostics.ess(xj))[0])
+    e_bulk = float(np.asarray(diagnostics.bulk_ess(xj))[0])
+    assert e_bulk == pytest.approx(e_plain, rel=0.25)
+
+
 def test_streaming_moments_match_batch():
     draws = jax.random.normal(jax.random.PRNGKey(2), (500, 6, 3)) \
         + jnp.arange(3.0)
