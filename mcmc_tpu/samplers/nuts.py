@@ -51,7 +51,7 @@ from mcmc_tpu.settings import NUTSSettings
 from mcmc_tpu.samplers import common
 from mcmc_tpu.samplers._resolve import resolve_settings, resolve_key
 
-__all__ = ["nuts", "NUTSState", "build_nuts_kernel"]
+__all__ = ["nuts", "NUTSState", "build_nuts_kernel", "make_subtree_builder"]
 
 _MAX_TUNING_PAR = 1000.0  # Delta_max, reference nuts.ipp:124
 _LOG_HALF = math.log(0.5)
@@ -104,79 +104,23 @@ def _ctz(x):
     return lax.population_count((~x) & (x - 1))
 
 
-def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSettings,
-                      n_adapt: int, pooled_adaptation: bool = False,
-                      adapt_mass_matrix=False):
-    max_depth = int(cfg.max_tree_depth)
-    # adapt_mass_matrix: False | "diag" (True) | "dense"
-    mass_mode = {False: None, True: "diag"}.get(adapt_mass_matrix,
-                                                adapt_mass_matrix)
-    if mass_mode not in (None, "diag", "dense"):
-        raise ValueError(f"adapt_mass_matrix must be False/True/'diag'/'dense', "
-                         f"got {adapt_mass_matrix!r}")
-    adapt_mass = mass_mode is not None
-    mass_collect, mass_window_end = _mass_window_schedule(n_adapt) \
-        if adapt_mass else (None, None)
+def make_subtree_builder(potential, kinetic, leapfrog1, max_depth):
+    """Masked-iterative equivalent of the reference's recursive
+    ``nuts_build_tree`` (nuts.ipp:99-241). Module-level so tests can verify
+    tree equivalence against a direct recursion port
+    (tests/test_nuts.py::test_subtree_matches_reference_recursion).
 
-    def potential(z):
-        u = -box_log_kernel(z)
-        return jnp.where(jnp.isfinite(u), u, jnp.inf)
-
-    def kinetic(r, inv_mass=None):
-        if mass_mode == "diag":
-            return 0.5 * jnp.sum(r * r * inv_mass)
-        if mass_mode == "dense":
-            return 0.5 * r @ (inv_mass @ r)     # inv_mass = Sigma = M^{-1}
-        return integrators.kinetic_energy(r, precond.inv_mv)
-
-    def leapfrog1(z, r, eps, inv_mass=None):
-        if mass_mode == "diag":
-            inv_mv = lambda v: inv_mass * v
-        elif mass_mode == "dense":
-            inv_mv = lambda v: inv_mass @ v
-        else:
-            inv_mv = precond.inv_mv
-        return integrators.leapfrog(grad_fn, inv_mv, eps, 1, z, r)
-
-    def sample_momentum(noise, inv_mass=None, mass_chol=None):
-        if mass_mode == "diag":
-            # M = diag(1/inv_mass) => chol(M) = 1/sqrt(inv_mass)
-            return noise * jax.lax.rsqrt(inv_mass)
-        if mass_mode == "dense":
-            # Sigma = L L^T, M = Sigma^{-1} => p = L^{-T} xi ~ N(0, M)
-            return jax.scipy.linalg.solve_triangular(mass_chol.T, noise,
-                                                     lower=False)
-        return precond.sqrt_mv(noise)
-
-    def find_initial_step_size(z0, r0, inv_mass=None):
-        """Reference nuts.ipp:30-93 (doubling-only; see module docstring)."""
-        dtype = z0.dtype
-        H0 = potential(z0) + kinetic(r0, inv_mass)
-
-        z, r = leapfrog1(z0, r0, jnp.asarray(1.0, dtype), inv_mass)
-        dH = -(potential(z) + kinetic(r, inv_mass)) + H0
-
-        def cond(c):
-            eps, z, r, dH, it = c
-            return (dH > _LOG_HALF) & (it < 64)
-
-        def body(c):
-            eps, z, r, dH, it = c
-            eps = eps * 2.0
-            z, r = leapfrog1(z, r, eps, inv_mass)
-            dH = -(potential(z) + kinetic(r, inv_mass)) + H0
-            return (eps, z, r, dH, it + 1)
-
-        eps, _, _, _, _ = lax.while_loop(
-            cond, body, (jnp.asarray(1.0, dtype), z, r, dH, jnp.asarray(0, jnp.int32))
-        )
-        return eps
+    ``potential(z)``, ``kinetic(r, inv_mass)``, ``leapfrog1(z, r, eps,
+    inv_mass)`` are the Hamiltonian pieces; returns ``build_subtree``.
+    """
 
     def build_subtree(key, depth, v, z0, r0, eps, log_u, alpha_base, dim, dtype,
                       inv_mass=None):
         """One subtree of 2^depth leapfrog steps in direction v from (z0, r0).
 
-        Returns (prop_z, prop_U, n, s, alpha, n_alpha, z_end, r_end, diverged).
+        Returns a dict with the proposal (prop_z/prop_U), leaf count n, stop
+        flag s, dual-averaging alpha/n_alpha, trajectory endpoint (z, r), and
+        the divergence flag.
         """
         n_steps = lax.shift_left(jnp.asarray(1, jnp.int32), depth)
         ckpt_z = jnp.zeros((max_depth + 1, dim), dtype)
@@ -250,6 +194,79 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
         }
         out = lax.while_loop(cond, body, init)
         return out
+
+    return build_subtree
+
+
+def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSettings,
+                      n_adapt: int, pooled_adaptation: bool = False,
+                      adapt_mass_matrix=False):
+    max_depth = int(cfg.max_tree_depth)
+    # adapt_mass_matrix: False | "diag" (True) | "dense"
+    mass_mode = {False: None, True: "diag"}.get(adapt_mass_matrix,
+                                                adapt_mass_matrix)
+    if mass_mode not in (None, "diag", "dense"):
+        raise ValueError(f"adapt_mass_matrix must be False/True/'diag'/'dense', "
+                         f"got {adapt_mass_matrix!r}")
+    adapt_mass = mass_mode is not None
+    mass_collect, mass_window_end = _mass_window_schedule(n_adapt) \
+        if adapt_mass else (None, None)
+
+    def potential(z):
+        u = -box_log_kernel(z)
+        return jnp.where(jnp.isfinite(u), u, jnp.inf)
+
+    def kinetic(r, inv_mass=None):
+        if mass_mode == "diag":
+            return 0.5 * jnp.sum(r * r * inv_mass)
+        if mass_mode == "dense":
+            return 0.5 * r @ (inv_mass @ r)     # inv_mass = Sigma = M^{-1}
+        return integrators.kinetic_energy(r, precond.inv_mv)
+
+    def leapfrog1(z, r, eps, inv_mass=None):
+        if mass_mode == "diag":
+            inv_mv = lambda v: inv_mass * v
+        elif mass_mode == "dense":
+            inv_mv = lambda v: inv_mass @ v
+        else:
+            inv_mv = precond.inv_mv
+        return integrators.leapfrog(grad_fn, inv_mv, eps, 1, z, r)
+
+    def sample_momentum(noise, inv_mass=None, mass_chol=None):
+        if mass_mode == "diag":
+            # M = diag(1/inv_mass) => chol(M) = 1/sqrt(inv_mass)
+            return noise * jax.lax.rsqrt(inv_mass)
+        if mass_mode == "dense":
+            # Sigma = L L^T, M = Sigma^{-1} => p = L^{-T} xi ~ N(0, M)
+            return jax.scipy.linalg.solve_triangular(mass_chol.T, noise,
+                                                     lower=False)
+        return precond.sqrt_mv(noise)
+
+    def find_initial_step_size(z0, r0, inv_mass=None):
+        """Reference nuts.ipp:30-93 (doubling-only; see module docstring)."""
+        dtype = z0.dtype
+        H0 = potential(z0) + kinetic(r0, inv_mass)
+
+        z, r = leapfrog1(z0, r0, jnp.asarray(1.0, dtype), inv_mass)
+        dH = -(potential(z) + kinetic(r, inv_mass)) + H0
+
+        def cond(c):
+            eps, z, r, dH, it = c
+            return (dH > _LOG_HALF) & (it < 64)
+
+        def body(c):
+            eps, z, r, dH, it = c
+            eps = eps * 2.0
+            z, r = leapfrog1(z, r, eps, inv_mass)
+            dH = -(potential(z) + kinetic(r, inv_mass)) + H0
+            return (eps, z, r, dH, it + 1)
+
+        eps, _, _, _, _ = lax.while_loop(
+            cond, body, (jnp.asarray(1.0, dtype), z, r, dH, jnp.asarray(0, jnp.int32))
+        )
+        return eps
+
+    build_subtree = make_subtree_builder(potential, kinetic, leapfrog1, max_depth)
 
     def init(key, position):
         dtype = position.dtype

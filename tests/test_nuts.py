@@ -163,3 +163,131 @@ def test_nuts_dense_mass_correlated_gaussian():
     d = np.asarray(out_dense.draws).reshape(-1, dim)
     emp = np.cov(d.T)
     np.testing.assert_allclose(emp, cov, atol=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Tree equivalence: iterative masked subtree vs a direct port of the
+# reference recursion (nuts.ipp:99-241), stubbed RNG. The compared outputs
+# (leaf count n, stop flag s, traversal endpoint, alpha sum, leaf count
+# n_alpha, divergence flag) are RNG-independent: only the proposal choice
+# consumes randomness, and it does not feed back into the tree walk.
+# ---------------------------------------------------------------------------
+
+def _reference_build_tree(v, eps, log_u, prev_H, z, r, depth,
+                          potential, kinetic, leapfrog1):
+    """Test-local port of the reference's recursive nuts_build_tree
+    (nuts.ipp:99-241). Returns a dict of the subtree summary. The proposal
+    swap (nuts.ipp:213-218) is stubbed out (draw recorded as None) since the
+    compared quantities do not depend on it."""
+    if depth == 0:
+        z1, r1 = leapfrog1(z, r, v * eps)
+        U = float(potential(z1))
+        if not np.isfinite(U):
+            U = np.inf
+        K = float(kinetic(r1))
+        H = U + K
+        n = int(log_u <= -H)
+        s = int(log_u < 1000.0 - H)
+        alpha = float(np.exp(min(0.0, -H + prev_H)))
+        return {
+            "pos": (z1, r1), "neg": (z1, r1), "n": n, "s": s,
+            "alpha": alpha, "n_alpha": 1, "div": s == 0,
+        }
+
+    first = _reference_build_tree(v, eps, log_u, prev_H, z, r, depth - 1,
+                                  potential, kinetic, leapfrog1)
+    if first["s"] != 1:
+        return first
+
+    # extend from the outer end of the first half (nuts.ipp:186-216)
+    start = first["neg"] if v == -1 else first["pos"]
+    second = _reference_build_tree(v, eps, log_u, prev_H, start[0], start[1],
+                                   depth - 1, potential, kinetic, leapfrog1)
+
+    pos = first["pos"] if v == -1 else second["pos"]
+    neg = second["neg"] if v == -1 else first["neg"]
+    span = pos[0] - neg[0]
+    check1 = float(np.dot(span, neg[1])) >= 0.0
+    check2 = float(np.dot(span, pos[1])) >= 0.0
+    return {
+        "pos": pos, "neg": neg,
+        "n": first["n"] + second["n"],
+        "s": int(second["s"] * check1 * check2),
+        "alpha": first["alpha"] + second["alpha"],
+        "n_alpha": first["n_alpha"] + second["n_alpha"],
+        "div": first["div"] or second["div"],
+    }
+
+
+def test_subtree_matches_reference_recursion():
+    """The iterative masked subtree must agree with the recursion port on
+    (n, s, endpoint, alpha, n_alpha, div) over random Gaussian targets,
+    depths 0..4, both directions — 100 random cases."""
+    from mcmc_tpu.samplers.nuts import make_subtree_builder
+    from mcmc_tpu import integrators
+
+    max_depth = 4
+    rng = np.random.default_rng(0)
+    n_checked = 0
+    n_stopped = 0
+    for case in range(100):
+        dim = int(rng.integers(1, 5))
+        scales = jnp.asarray(np.exp(rng.normal(0.0, 1.0, dim)), jnp.float32)
+
+        def logk(z, scales=scales):
+            return -0.5 * jnp.sum((z / scales) ** 2)
+
+        grad_fn = jax.grad(logk)
+
+        def potential(z):
+            u = -logk(z)
+            return jnp.where(jnp.isfinite(u), u, jnp.inf)
+
+        def kinetic(r, inv_mass=None):
+            return 0.5 * jnp.dot(r, r)
+
+        def leapfrog1(z, r, eps, inv_mass=None):
+            return integrators.leapfrog(grad_fn, lambda p: p, eps, 1, z, r)
+
+        build = make_subtree_builder(potential, kinetic, leapfrog1, max_depth)
+
+        z0 = jnp.asarray(rng.normal(0.0, 1.0, dim), jnp.float32)
+        r0 = jnp.asarray(rng.normal(0.0, 1.0, dim), jnp.float32)
+        # eps large enough that U-turns/divergences actually happen
+        eps = jnp.asarray(float(np.exp(rng.uniform(np.log(0.05), np.log(2.0)))),
+                          jnp.float32)
+        H0 = float(potential(z0) + kinetic(r0))
+        log_u = jnp.asarray(float(np.log(rng.uniform())) - H0, jnp.float32)
+        depth = int(rng.integers(0, max_depth + 1))
+        v = float(rng.choice([-1.0, 1.0]))
+
+        # alpha baseline = prev_U + prev_K = H0 (src/nuts.cpp:236-249)
+        out = build(jax.random.PRNGKey(case), jnp.asarray(depth, jnp.int32),
+                    jnp.asarray(v, jnp.float32), z0, r0, eps, log_u,
+                    jnp.asarray(H0, jnp.float32), dim, jnp.float32)
+
+        ref = _reference_build_tree(
+            v, eps, float(log_u), H0, z0, r0, depth,
+            potential, kinetic,
+            lambda z, r, e: leapfrog1(z, r, e),
+        )
+
+        assert int(out["n"]) == ref["n"], (case, int(out["n"]), ref["n"])
+        assert int(out["s"]) == ref["s"], (case, int(out["s"]), ref["s"])
+        assert int(out["n_alpha"]) == ref["n_alpha"], case
+        assert bool(out["div"]) == ref["div"], case
+        np.testing.assert_allclose(float(out["alpha"]), ref["alpha"],
+                                   rtol=1e-4, atol=1e-5, err_msg=str(case))
+        # traversal endpoint = the subtree's outer end in direction v
+        end = ref["neg"] if v == -1 else ref["pos"]
+        np.testing.assert_allclose(np.asarray(out["z"]), np.asarray(end[0]),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(case))
+        np.testing.assert_allclose(np.asarray(out["r"]), np.asarray(end[1]),
+                                   rtol=1e-5, atol=1e-6, err_msg=str(case))
+        n_checked += 1
+        if ref["s"] == 0:
+            n_stopped += 1
+
+    assert n_checked == 100
+    # the case mix must actually exercise U-turn/divergence stopping
+    assert 10 < n_stopped < 95, n_stopped
