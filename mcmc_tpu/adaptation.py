@@ -15,7 +15,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["DualAveraging", "da_init", "da_update", "TARGET_ACCEPT"]
+__all__ = ["DualAveraging", "da_init", "da_update", "TARGET_ACCEPT",
+           "window_schedule", "WindowedVariance", "wv_init", "wv_update"]
 
 TARGET_ACCEPT = {"rwmh": 0.234, "mala": 0.574, "hmc": 0.8}
 
@@ -50,3 +51,77 @@ def da_update(state: DualAveraging, accept_stat, target,
     log_eps_bar = (1.0 - w) * state.log_eps_bar + w * log_eps
     return DualAveraging(log_eps=log_eps, log_eps_bar=log_eps_bar,
                          h=h, t=t, mu=state.mu)
+
+
+def window_schedule(n_adapt: int):
+    """Stan-style warmup schedule: an initial fast interval, doubling slow
+    windows in which posterior variance is accumulated, and a terminal fast
+    interval. Returns (collect_mask, window_end_mask) as length-n_adapt
+    boolean arrays. (No reference analog — MCMCLib's preconditioners are
+    fixed user matrices, mcmc_structs.hpp:77,93,130.)"""
+    import numpy as np
+    collect = np.zeros(max(n_adapt, 1), bool)
+    window_end = np.zeros(max(n_adapt, 1), bool)
+    init_fast = min(75, int(0.15 * n_adapt))
+    term_fast = min(50, int(0.1 * n_adapt))
+    b, e = init_fast, n_adapt - term_fast
+    if e - b >= 20:
+        collect[b:e] = True
+        w = 25
+        pos = b
+        while pos < e:
+            end = pos + w
+            if end * 2 - pos > e:  # last window absorbs the remainder
+                end = e
+            window_end[min(end, e) - 1] = True
+            pos = end
+            w *= 2
+    return jnp.asarray(collect), jnp.asarray(window_end)
+
+
+class WindowedVariance(NamedTuple):
+    """Welford accumulator + the currently adopted diagonal variance.
+
+    ``var`` is the regularized posterior-variance estimate adopted at the
+    last window end — the diagonal preconditioner/mass shared by HMC/NUTS
+    mass adaptation and the RWMH/MALA proposal-covariance adaptation."""
+    count: jax.Array
+    mean: jax.Array
+    m2: jax.Array
+    var: jax.Array
+
+
+def wv_init(dim, dtype):
+    return WindowedVariance(
+        count=jnp.asarray(0, jnp.int32),
+        mean=jnp.zeros((dim,), dtype),
+        m2=jnp.zeros((dim,), dtype),
+        var=jnp.ones((dim,), dtype),
+    )
+
+
+def wv_update(wv: WindowedVariance, x, collecting, window_end,
+              axis_name=None) -> WindowedVariance:
+    """Fold one draw; at a window end adopt the regularized variance
+    (shrunk toward 1e-3, Stan-style) and reset the accumulator. With
+    ``axis_name`` the estimate is pooled across that vmap/mesh axis."""
+    dtype = x.dtype
+    cnt1 = wv.count + 1
+    delta = x - wv.mean
+    mean1 = wv.mean + delta / cnt1.astype(dtype)
+    m21 = wv.m2 + delta * (x - mean1)
+    count = jnp.where(collecting, cnt1, wv.count)
+    mean = jnp.where(collecting, mean1, wv.mean)
+    m2 = jnp.where(collecting, m21, wv.m2)
+
+    n = jnp.maximum(count, 2).astype(dtype)
+    var_est = m2 / (n - 1.0)
+    if axis_name is not None:
+        var_est = jax.lax.pmean(var_est, axis_name)
+    var_reg = (n / (n + 5.0)) * var_est + 1e-3 * (5.0 / (n + 5.0))
+
+    var = jnp.where(window_end, var_reg, wv.var)
+    count = jnp.where(window_end, 0, count)
+    mean = jnp.where(window_end, jnp.zeros_like(mean), mean)
+    m2 = jnp.where(window_end, jnp.zeros_like(m2), m2)
+    return WindowedVariance(count=count, mean=mean, m2=m2, var=var)

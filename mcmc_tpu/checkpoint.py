@@ -72,22 +72,57 @@ def _key_data(tree):
     return jax.tree_util.tree_map(conv, tree)
 
 
-class ChunkedRunner:
-    """Restartable chunked execution of a batched transition kernel.
+def _sum_info(totals, infos):
+    """Fold one chunk's per-draw info traces into the running totals.
 
-    ``step_batched(keys, state) -> (state, info)`` operates on chain-batched
-    state with per-chain keys (exactly what ``jax.vmap`` of a single-chain
-    kernel gives). Draws stream to a native :class:`DrawSink`; sampler state
-    checkpoints after every chunk. Calling :meth:`run` again with the same
-    directory resumes from the last completed chunk and is bit-identical to
-    an uninterrupted run (counter-based PRNG + deterministic kernels).
+    Every numeric/bool leaf of ``infos`` (shape ``(chunk, ...)``) is summed
+    over the draw axis — booleans/ints as int64 counts, floats as float64
+    sums. The per-draw traces themselves are not retained in checkpointed
+    runs; callers reconstruct means by dividing by the kept-draw count.
+    """
+    for k, v in infos.items():
+        arr = np.asarray(v)
+        if arr.dtype == np.bool_ or np.issubdtype(arr.dtype, np.integer):
+            s = arr.sum(axis=0).astype(np.int64)
+        else:
+            s = arr.astype(np.float64).sum(axis=0)
+        if k in totals:
+            totals[k] = totals[k] + s
+        else:
+            totals[k] = s
+    return totals
+
+
+class ChunkedRunner:
+    """Restartable chunked execution of a transition kernel.
+
+    Default (per-chain keys): ``step_batched(keys, state) -> (state, info)``
+    operates on chain-batched state with per-chain keys (exactly what
+    ``jax.vmap`` of a single-chain kernel gives). With ``single_key=True``
+    the kernel is a whole-state step ``step(key, state)`` taking one key per
+    draw (the DE population sweep / AEES ladder convention).
+
+    Draws stream to a native :class:`DrawSink`; sampler state checkpoints
+    after every chunk; per-draw info entries are accumulated into per-chain
+    sums that survive resume (kept draws only, matching the reference's
+    post-burn-in acceptance counting, src/rwmh.cpp:140-142). With ``mesh``,
+    state (and keys) are sharded over the mesh's leading axis so the jitted
+    chunk runs GSPMD-partitioned — checkpoint files always hold the gathered
+    global state, so a run may resume on a different mesh.
+
+    Calling :meth:`run` again with the same directory resumes from the last
+    completed chunk and is bit-identical to an uninterrupted run
+    (counter-based PRNG + deterministic kernels).
     """
 
-    def __init__(self, step_batched, collect_fn, directory):
+    def __init__(self, step_batched, collect_fn, directory, mesh=None,
+                 single_key=False):
         self.step = step_batched
         self.collect = collect_fn
         self.dir = pathlib.Path(directory)
         self.dir.mkdir(parents=True, exist_ok=True)
+        self.mesh = mesh
+        self.single_key = single_key
         self._compiled = None
         self._compiled_size = None
 
@@ -99,16 +134,26 @@ class ChunkedRunner:
             )
         return self._compiled
 
+    def _shard(self, keys, state):
+        if self.mesh is None:
+            return keys, state
+        from mcmc_tpu.parallel.mesh import shard_chain_axis
+        state = shard_chain_axis(state, self.mesh)
+        if not self.single_key:
+            keys = shard_chain_axis(keys, self.mesh)
+        return keys, state
+
     def run(self, key, state0, n_draws, chunk_size=100, row_shape=None,
             dtype=None, n_burnin=0):
-        """Returns (final_state, draws, n_accept) with draws memmapped from
-        the sink. ``n_burnin`` draws execute first without being stored (the
-        reference's burn-in phase); acceptance — summed from each chunk's
-        ``info["accepted"]`` — is tallied only over kept draws, matching
-        reference src/rwmh.cpp:140-142, and survives resume via the
-        progress file."""
-        n_chains = jax.tree_util.tree_leaves(state0)[0].shape[0]
-        keys = jax.random.split(key, n_chains)
+        """Returns ``(final_state, draws, info_totals)`` with draws memmapped
+        from the sink and ``info_totals`` a dict of per-chain sums of every
+        info entry over kept draws (``accepted`` being the acceptance count).
+        ``n_burnin`` draws execute first without being stored."""
+        if self.single_key:
+            keys = key
+        else:
+            n_chains = jax.tree_util.tree_leaves(state0)[0].shape[0]
+            keys = jax.random.split(key, n_chains)
         state = state0
         total = n_burnin + n_draws
 
@@ -126,7 +171,7 @@ class ChunkedRunner:
         sink_path = self.dir / "draws.bin"
 
         done = 0
-        n_accept = np.zeros((n_chains,), np.int64)
+        totals = {}
         if meta_path.exists() and ckpt.exists():
             meta = json.loads(meta_path.read_text())
             if (meta.get("n_draws") == n_draws and meta.get("chunk_size") == chunk_size
@@ -135,8 +180,8 @@ class ChunkedRunner:
                 try:
                     keys, state = restore(ckpt, like=(keys, state))
                     done = meta["done"]
-                    n_accept = np.asarray(meta.get("n_accept", n_accept.tolist()),
-                                          np.int64)
+                    totals = {k: np.asarray(v) for k, v in
+                              meta.get("info_totals", {}).items()}
                 except (ValueError, KeyError) as e:
                     # stale checkpoint from an incompatible sampler-state
                     # layout: restart rather than crash
@@ -147,6 +192,7 @@ class ChunkedRunner:
             else:
                 done = 0
 
+        keys, state = self._shard(keys, state)
         run_chunk = self._chunk_fn(chunk_size)
 
         mode_new = done == 0
@@ -176,8 +222,8 @@ class ChunkedRunner:
                     keys, state, draws, infos = run_chunk(keys, state)
                 if done >= n_burnin:
                     sink.append(np.asarray(draws))
-                    if isinstance(infos, dict) and "accepted" in infos:
-                        n_accept += np.asarray(infos["accepted"]).sum(axis=0)
+                    if isinstance(infos, dict):
+                        totals = _sum_info(totals, infos)
                 done += step_n
                 # the native sink writes asynchronously: drain it before the
                 # progress marker claims these draws are durable
@@ -185,17 +231,25 @@ class ChunkedRunner:
                 save(ckpt, _key_data((keys, state)))
                 meta_path.write_text(json.dumps(
                     {"done": done, "n_draws": n_draws, "chunk_size": chunk_size,
-                     "n_burnin": n_burnin, "n_accept": n_accept.tolist(),
-                     "dtype": dtype_name}
+                     "n_burnin": n_burnin, "dtype": dtype_name,
+                     "info_totals": {k: np.asarray(v).tolist()
+                                     for k, v in totals.items()}}
                 ))
-        return state, read_draws(sink_path), n_accept
+        return state, read_draws(sink_path), totals
 
     def _ragged(self, keys, state, length):
-        def body(carry, _):
-            st, ks = carry
-            pairs = jax.vmap(lambda k: jax.random.split(k, 2))(ks)
-            st, info = self.step(pairs[:, 1], st)
-            return (st, pairs[:, 0]), (self.collect(st), info)
+        if self.single_key:
+            def body(carry, _):
+                st, k = carry
+                k, sub = jax.random.split(k)
+                st, info = self.step(sub, st)
+                return (st, k), (self.collect(st), info)
+        else:
+            def body(carry, _):
+                st, ks = carry
+                pairs = jax.vmap(lambda k: jax.random.split(k, 2))(ks)
+                st, info = self.step(pairs[:, 1], st)
+                return (st, pairs[:, 0]), (self.collect(st), info)
         (state, keys), (draws, infos) = jax.lax.scan(
             body, (state, keys), None, length=length
         )

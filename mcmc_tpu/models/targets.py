@@ -157,10 +157,17 @@ def neals_funnel(dim: int = 10, scale: float = 3.0):
     return log_kernel
 
 
-def eight_schools_model(y=None, sigma=None, non_centered=True):
+def eight_schools_model(y=None, sigma=None, non_centered=True,
+                        tau_prior="lognormal"):
     """The eight-schools hierarchical model (Rubin 1981). Parameters are
     ``[mu, log_tau, theta_tilde_1..8]`` (non-centered) or
-    ``[mu, log_tau, theta_1..8]`` (centered). 10-dimensional."""
+    ``[mu, log_tau, theta_1..8]`` (centered). 10-dimensional.
+
+    ``tau_prior="half_cauchy"`` uses the Stan-manual prior set
+    (mu ~ N(0,5), tau ~ HalfCauchy(0,5)) whose published posterior is
+    E[mu] ~ 4.4, E[tau] ~ 3.6 — the reference configuration for
+    cross-checking diagnostics; the default keeps the round-1
+    log-normal-tau variant."""
     y = jnp.asarray(y) if y is not None else \
         jnp.array([28.0, 8.0, -3.0, 7.0, -1.0, 1.0, 18.0, 12.0])
     sigma = jnp.asarray(sigma) if sigma is not None else \
@@ -169,7 +176,12 @@ def eight_schools_model(y=None, sigma=None, non_centered=True):
     def log_kernel(params):
         mu, log_tau = params[0], params[1]
         tau = jnp.exp(log_tau)
-        lp = -0.5 * (mu / 5.0) ** 2 - 0.5 * (log_tau / 5.0) ** 2
+        if tau_prior == "half_cauchy":
+            # log p(tau) + log|dtau/dlog_tau| = -log(1 + (tau/5)^2) + log_tau
+            lp = -0.5 * (mu / 5.0) ** 2 \
+                - jnp.log1p((tau / 5.0) ** 2) + log_tau
+        else:
+            lp = -0.5 * (mu / 5.0) ** 2 - 0.5 * (log_tau / 5.0) ** 2
         if non_centered:
             theta_t = params[2:]
             theta = mu + tau * theta_t

@@ -37,11 +37,17 @@ __all__ = ["aees_sharded"]
 
 
 def aees_sharded(initial_vals, log_kernel, settings=None, *, mesh: Mesh,
-                 key=None, dtype=None, axis_name: str = "chains") -> SamplerResult:
+                 key=None, history_capacity=None, dtype=None,
+                 axis_name: str = "chains") -> SamplerResult:
     """Run AEES with the temperature ladder sharded over ``mesh``.
 
     Requires ``len(temper_vec) + 1 == mesh size``. Returns the T = 1 chain's
     kept draws like :func:`mcmc_tpu.aees`.
+
+    ``history_capacity=C`` replaces each device's full received-history
+    buffer with a C-slot reservoir sample of the same window (algorithm R),
+    making device memory and the per-EE-draw sort cost independent of the
+    run length — see :mod:`mcmc_tpu.samplers.aees` (bounded-memory mode).
     """
     algo, s = resolve_settings(settings, "aees_settings", AEESSettings)
     key = resolve_key(key, algo)
@@ -70,6 +76,9 @@ def aees_sharded(initial_vals, log_kernel, settings=None, *, mesh: Mesh,
     val_init = box(first)
     idx_all = jnp.arange(n_total)
     ring_perm = [(i, i + 1) for i in range(K - 1)]
+    capped = history_capacity is not None
+    H = int(history_capacity) if capped else n_total
+    idx_slots = jnp.arange(H)
 
     def mh_step(key_, x, val_prev, temper):
         k_n, k_u = jax.random.split(key_)
@@ -89,11 +98,15 @@ def aees_sharded(initial_vals, log_kernel, settings=None, *, mesh: Mesh,
 
         def ee_move(key_, draw_ind, x, cur_kv, kv2, hot_kv, hot_x):
             length = draw_ind - begin              # window [begin, draw_ind-1]
-            spacing = length // n_rings
+            avail = jnp.minimum(length, H) if capped else length
+            spacing = avail // n_rings
 
             def jump(_):
                 k_pick, k_acc = jax.random.split(key_)
-                mask = (idx_all >= begin) & (idx_all < draw_ind)
+                if capped:
+                    mask = idx_slots < avail
+                else:
+                    mask = (idx_slots >= begin) & (idx_slots < draw_ind)
                 masked = jnp.where(mask, hot_kv, jnp.inf)
                 order = jnp.argsort(masked)
                 sorted_vals = masked[order]
@@ -120,7 +133,7 @@ def aees_sharded(initial_vals, log_kernel, settings=None, *, mesh: Mesh,
 
         def body(carry, draw_ind):
             key_, x, cur_kv, kv2, hot_kv, hot_x = carry
-            key_, k_sel, k_move = jax.random.split(key_, 3)
+            key_, k_sel, k_move, k_res = jax.random.split(key_, 4)
 
             def hottest(_):
                 xn, vn = mh_step(k_move, x, cur_kv, my_temp)
@@ -149,8 +162,21 @@ def aees_sharded(initial_vals, log_kernel, settings=None, *, mesh: Mesh,
             # device; entry 0 of the ring receives nothing meaningful.
             recv_kv = lax.ppermute(kv_new, axis_name, ring_perm)
             recv_x = lax.ppermute(x_new, axis_name, ring_perm)
-            hot_kv = hot_kv.at[draw_ind].set(recv_kv)
-            hot_x = hot_x.at[draw_ind].set(recv_x)
+            if not capped:
+                hot_kv = hot_kv.at[draw_ind].set(recv_kv)
+                hot_x = hot_x.at[draw_ind].set(recv_x)
+            else:
+                # reservoir (algorithm R) over the window [begin, draw_ind]
+                t = draw_ind - begin + 1
+                in_window = t >= 1
+                k_u, k_slot = jax.random.split(k_res)
+                u = jax.random.uniform(k_u, dtype=dt)
+                rand_slot = jax.random.randint(k_slot, (), 0, H)
+                accept_repl = u * t.astype(dt) < float(H)
+                slot = jnp.where(t <= H, jnp.maximum(t - 1, 0), rand_slot)
+                do = in_window & ((t <= H) | accept_repl)
+                hot_kv = jnp.where(do, hot_kv.at[slot].set(recv_kv), hot_kv)
+                hot_x = jnp.where(do, hot_x.at[slot].set(recv_x), hot_x)
 
             return (key_, x_new, kv_new, pair_new, hot_kv, hot_x), x_new
 
@@ -162,8 +188,8 @@ def aees_sharded(initial_vals, log_kernel, settings=None, *, mesh: Mesh,
             lax.pcast(first, axis_name, to='varying'),
             lax.pcast(val_init, axis_name, to='varying'),
             jnp.array([val_init / hotter_temp, val_init / my_temp]),
-            lax.pcast(jnp.full((n_total,), val_init, dt), axis_name, to='varying'),
-            lax.pcast(jnp.tile(first[None, :], (n_total, 1)), axis_name, to='varying'),
+            lax.pcast(jnp.full((H,), val_init, dt), axis_name, to='varying'),
+            lax.pcast(jnp.tile(first[None, :], (H, 1)), axis_name, to='varying'),
         )
         _, all_draws = lax.scan(body, carry0, idx_all)
         # every device returns its own draw trace; caller keeps ladder pos K-1

@@ -13,9 +13,10 @@ drawn from the ring matching the chain's current energy, and it is accepted
 by the two-temperature ratio (src/aees.cpp:187-240).
 
 Design notes (TPU/XLA):
-- the draw loop is one ``lax.scan`` whose carry holds the full history
-  buffers (``(n_total, K)`` kernel values, ``(n_total, K, d)`` draws) —
-  XLA aliases the ``.at[].set`` updates in place;
+- the sampler is a pure ``(key, state) -> (state, info)`` transition kernel
+  with the draw counter in the state, so it runs through the standard scan
+  driver, composes with ``checkpoint_dir`` chunked execution, and vmaps over
+  replicas;
 - the ladder loop is unrolled over the static K with ``lax.cond`` so the
   expensive ring sort only executes on actual EE draws;
 - the dynamic-length history window is sorted via masked full-length argsort
@@ -23,6 +24,18 @@ Design notes (TPU/XLA):
   ``searchsorted`` over the ascending ring boundaries;
 - each chain's current kernel value is carried, saving the reference's
   re-evaluations (aees.ipp:48, src/aees.cpp:243).
+
+**Bounded-memory mode** (``history_capacity=C``): the reference keeps every
+draw of every chain resident — ``draw_storage(n_vals, K, n_total)`` grows
+with the run length (src/aees.cpp:143-147, the memory-scaling pain point of
+SURVEY.md §5). With a capacity, each chain instead maintains a fixed-size
+**reservoir sample** of its history window (Vitter's algorithm R: the t-th
+window entry replaces a uniformly random slot with probability C/t), so the
+stored subset is uniform over the same window the reference sorts, ring
+boundaries become quantile estimates of the same energy distribution, and
+memory is O(C * K * d) independent of ``n_total``. Deviation (documented):
+ring boundaries/jump candidates come from the uniform subsample rather than
+the full window — statistically the same rings, not element-identical.
 
 Deviations from the reference, all fixing uninitialized/undefined behavior
 (observed at the cited lines, reproduced here with deterministic intended
@@ -52,46 +65,31 @@ from mcmc_tpu.settings import AEESSettings
 from mcmc_tpu.samplers import common
 from mcmc_tpu.samplers._resolve import resolve_settings, resolve_key
 
-__all__ = ["aees"]
+__all__ = ["aees", "AEESState", "build_aees_kernel"]
 
 
-class AEESCarry(NamedTuple):
-    key: jax.Array
+class AEESState(NamedTuple):
     X: jax.Array          # (K, d) current states per ladder position
     cur_kv: jax.Array     # (K,) current kernel values (temperature 1)
     kv2: jax.Array        # (2, K) tempered pairs from the previous draw
-    hist_kv: jax.Array    # (n_total, K)
-    hist_draws: jax.Array  # (n_total, K, d)
+    hist_kv: jax.Array    # (H, K) energy history/reservoir
+    hist_draws: jax.Array  # (H, K, d) state history/reservoir
+    draw_ind: jax.Array   # global draw counter (drives activation + windows)
 
 
-def aees(initial_vals, log_kernel, settings=None, *, key=None, n_runs=None,
-         dtype=None) -> SamplerResult:
-    """Run AEES. Returns the final ``n_keep_draws`` draws of the T = 1 chain
-    (reference src/aees.cpp:255-270).
+def build_aees_kernel(box, temps, s: AEESSettings, dim, dt,
+                      history_capacity=None):
+    """Returns ``(make_state0, step)`` for the AEES transition kernel.
 
-    ``n_runs`` vmaps that many independent ladder replicas (draws come back
-    as ``(n_keep, n_runs, n_vals)``). Note the EE branch's history sort then
-    executes every draw for every replica (vmap turns ``lax.cond`` into
-    ``select``), trading compute for batching — the intended use is many
-    replicas on a TPU where the sort batches well."""
-    algo, s = resolve_settings(settings, "aees_settings", AEESSettings)
-    key = resolve_key(key, algo)
-
-    prob = common.setup_problem(initial_vals, log_kernel, algo, None, dtype)
-    dim = prob.n_vals
-    dt = prob.dtype
-    box = prob.box_log_kernel
-
-    # ladder: user temps + T = 1, descending (intended semantics of
-    # src/aees.cpp:60-72)
-    user_temps = jnp.asarray(s.temper_vec, dt) if s.temper_vec is not None \
-        else jnp.zeros((0,), dt)
-    temps = jnp.sort(jnp.concatenate([user_temps, jnp.ones((1,), dt)]))[::-1]
+    ``history_capacity=None`` keeps the reference's full ``(n_total, K)``
+    history; an int C keeps a per-chain reservoir of C entries instead (see
+    module docstring)."""
     K = int(temps.shape[0])
-
     block = s.n_initial_draws + s.n_burnin_draws
     n_total = s.n_keep_draws + K * block
     n_rings = int(s.n_rings)
+    capped = history_capacity is not None
+    H = int(history_capacity) if capped else n_total
 
     cov = common.make_spd(s.cov_mat, dim, dt)
 
@@ -109,9 +107,28 @@ def aees(initial_vals, log_kernel, settings=None, *, key=None, n_runs=None,
         acc = jax.random.uniform(k_u, dtype=dt) < jnp.exp(comp)
         return jnp.where(acc, prop, x), jnp.where(acc, val_new, val_prev)
 
-    idx_all = jnp.arange(n_total)
+    idx_slots = jnp.arange(H)
 
-    def ee_move(key, k, draw_ind, carry: AEESCarry, hist_kv, hist_draws):
+    def store(hist_kv, hist_draws, j, kv, x, draw_ind, k_res):
+        """Record chain j's draw into its history slot (full mode) or
+        reservoir (capped mode). The donor window for reader j+1 starts at
+        j*block (reference begin = (k-1)*block, src/aees.cpp:196)."""
+        if not capped:
+            return (hist_kv.at[draw_ind, j].set(kv),
+                    hist_draws.at[draw_ind, j].set(x))
+        t = draw_ind - j * block + 1          # window entries seen so far
+        in_window = t >= 1
+        k_u, k_slot = jax.random.split(k_res)
+        u = jax.random.uniform(k_u, dtype=dt)
+        rand_slot = jax.random.randint(k_slot, (), 0, H)
+        accept_repl = u * t.astype(dt) < float(H)   # prob C/t
+        slot = jnp.where(t <= H, jnp.maximum(t - 1, 0), rand_slot)
+        do = in_window & ((t <= H) | accept_repl)
+        hist_kv = jnp.where(do, hist_kv.at[slot, j].set(kv), hist_kv)
+        hist_draws = jnp.where(do, hist_draws.at[slot, j].set(x), hist_draws)
+        return hist_kv, hist_draws
+
+    def ee_move(key, k, draw_ind, state: AEESState, hist_kv, hist_draws):
         """Equi-energy jump for ladder position k (src/aees.cpp:187-240).
 
         ``hist_kv``/``hist_draws`` already contain the *current* draw's
@@ -121,20 +138,24 @@ def aees(initial_vals, log_kernel, settings=None, *, key=None, n_runs=None,
         [begin, draw_ind] (src/aees.cpp:196-199, 243)."""
         begin = (k - 1) * block
         length = draw_ind - begin + 1
-        spacing = length // n_rings
+        avail = jnp.minimum(length, H) if capped else length
+        spacing = avail // n_rings
 
         def jump(_):
             k_pick, k_acc = jax.random.split(key)
             row = hist_kv[:, k - 1]
-            mask = (idx_all >= begin) & (idx_all <= draw_ind)
+            if capped:
+                mask = idx_slots < avail
+            else:
+                mask = (idx_slots >= begin) & (idx_slots <= draw_ind)
             masked = jnp.where(mask, row, jnp.inf)
-            order = jnp.argsort(masked)            # absolute indices, ascending energy
+            order = jnp.argsort(masked)        # slot indices, ascending energy
             sorted_vals = masked[order]
 
             ring_pos = jnp.arange(1, n_rings) * spacing      # (n_rings - 1,)
             ring_vals = 0.5 * (sorted_vals[ring_pos] + sorted_vals[ring_pos - 1])
 
-            cur_e = carry.cur_kv[k]
+            cur_e = state.cur_kv[k]
             which = jnp.searchsorted(ring_vals, cur_e)       # rings strictly below
 
             z = jax.random.uniform(k_pick, dtype=dt)
@@ -147,94 +168,177 @@ def aees(initial_vals, log_kernel, settings=None, *, key=None, n_runs=None,
 
             comp = jnp.minimum(
                 0.01,
-                (new_pair[1] - carry.kv2[1, k]) + (carry.kv2[0, k] - new_pair[0]),
+                (new_pair[1] - state.kv2[1, k]) + (state.kv2[0, k] - new_pair[0]),
             )
             rej = jax.random.uniform(k_acc, dtype=dt) > jnp.exp(comp)
 
-            x_out = jnp.where(rej, carry.X[k], x_cand)
-            pair_out = jnp.where(rej, carry.kv2[:, k], new_pair)
-            kv_out = jnp.where(rej, carry.cur_kv[k], val)
+            x_out = jnp.where(rej, state.X[k], x_cand)
+            pair_out = jnp.where(rej, state.kv2[:, k], new_pair)
+            kv_out = jnp.where(rej, state.cur_kv[k], val)
             return x_out, kv_out, pair_out
 
         def stay(_):
-            return carry.X[k], carry.cur_kv[k], carry.kv2[:, k]
+            return state.X[k], state.cur_kv[k], state.kv2[:, k]
 
         return lax.cond(spacing > 0, jump, stay, None)
 
-    def chain_update(key, k, draw_ind, carry: AEESCarry, hist_kv, hist_draws):
+    def chain_update(key, k, draw_ind, state: AEESState, hist_kv, hist_draws):
         """Per-draw update for ladder position k >= 1 (src/aees.cpp:166-247).
 
         State reads (X, kernel pairs) come from the previous draw's snapshot
-        ``carry`` (reference copies X_prev/kernel_vals_prev before the ladder
+        ``state`` (reference copies X_prev/kernel_vals_prev before the ladder
         loop, src/aees.cpp:153-154); only the ring history sees the current
         draw's hotter-chain entries."""
         k_sel, k_move = jax.random.split(key)
 
         def local_branch(_):
-            x_new, val = mh_step(k_move, carry.X[k], carry.cur_kv[k], temps[k])
+            x_new, val = mh_step(k_move, state.X[k], state.cur_kv[k], temps[k])
             pair = jnp.array([val / temps[k - 1], val / temps[k]])
             return x_new, val, pair
 
         def ee_branch(_):
-            return ee_move(k_move, k, draw_ind, carry, hist_kv, hist_draws)
+            return ee_move(k_move, k, draw_ind, state, hist_kv, hist_draws)
 
         def active_branch(_):
             z_eps = jax.random.uniform(k_sel, dtype=dt)
             return lax.cond(z_eps > s.ee_prob_par, local_branch, ee_branch, None)
 
         def inactive_branch(_):
-            return carry.X[k], carry.cur_kv[k], carry.kv2[:, k]
+            return state.X[k], state.cur_kv[k], state.kv2[:, k]
 
         active = draw_ind > k * block
         return lax.cond(active, active_branch, inactive_branch, None)
 
-    def body(carry: AEESCarry, draw_ind):
-        key = carry.key
-        keys = jax.random.split(key, K + 1)
-        key_next = keys[0]
+    def step(key, state: AEESState):
+        draw_ind = state.draw_ind
+        keys = jax.random.split(key, 2 * K)
 
         # hottest chain (src/aees.cpp:160-164)
-        x0, val0 = mh_step(keys[1], carry.X[0], carry.cur_kv[0], temps[0])
-        X_new = carry.X.at[0].set(x0)
-        cur_kv = carry.cur_kv.at[0].set(val0)
-        kv2 = carry.kv2.at[:, 0].set(val0)
-        hist_kv = carry.hist_kv.at[draw_ind, 0].set(val0)
-        hist_draws = carry.hist_draws.at[draw_ind, 0].set(x0)
+        x0, val0 = mh_step(keys[0], state.X[0], state.cur_kv[0], temps[0])
+        X_new = state.X.at[0].set(x0)
+        cur_kv = state.cur_kv.at[0].set(val0)
+        kv2 = state.kv2.at[:, 0].set(val0)
+        hist_kv, hist_draws = store(state.hist_kv, state.hist_draws, 0,
+                                    val0, x0, draw_ind, keys[K])
 
         # ladder loop, statically unrolled; each chain's history entry is
         # written before the next (colder) chain reads the ring window
         for k in range(1, K):
-            xk, kvk, pairk = chain_update(keys[1 + k], k, draw_ind, carry,
+            xk, kvk, pairk = chain_update(keys[k], k, draw_ind, state,
                                           hist_kv, hist_draws)
             X_new = X_new.at[k].set(xk)
             cur_kv = cur_kv.at[k].set(kvk)
             kv2 = kv2.at[:, k].set(pairk)
-            hist_kv = hist_kv.at[draw_ind, k].set(kvk)
-            hist_draws = hist_draws.at[draw_ind, k].set(xk)
+            hist_kv, hist_draws = store(hist_kv, hist_draws, k, kvk, xk,
+                                        draw_ind, keys[K + k])
 
-        new_carry = AEESCarry(key=key_next, X=X_new, cur_kv=cur_kv, kv2=kv2,
-                              hist_kv=hist_kv, hist_draws=hist_draws)
-        return new_carry, None
+        new_state = AEESState(X=X_new, cur_kv=cur_kv, kv2=kv2,
+                              hist_kv=hist_kv, hist_draws=hist_draws,
+                              draw_ind=draw_ind + 1)
+        return new_state, {}
 
-    first = prob.first_draw[0]
-    val_init = box(first)
-    def run_one(run_key):
-        carry0 = AEESCarry(
-            key=run_key,
+    def make_state0(first, val_init):
+        return AEESState(
             X=jnp.tile(first[None, :], (K, 1)),
             cur_kv=jnp.full((K,), val_init, dt),
             kv2=jnp.stack([val_init / jnp.roll(temps, 1), val_init / temps]),
-            hist_kv=jnp.full((n_total, K), val_init, dt),
-            hist_draws=jnp.tile(first[None, None, :], (n_total, K, 1)),
+            hist_kv=jnp.full((H, K), val_init, dt),
+            hist_draws=jnp.tile(first[None, None, :], (H, K, 1)),
+            draw_ind=jnp.asarray(0, jnp.int32),
         )
-        final, _ = lax.scan(body, carry0, idx_all)
-        return final.hist_draws[K * block :, K - 1, :]
 
-    if n_runs is None:
-        draws = run_one(key)
+    return make_state0, step
+
+
+def aees(initial_vals, log_kernel, settings=None, *, key=None, n_runs=None,
+         checkpoint_dir=None, checkpoint_every=500, history_capacity=None,
+         dtype=None) -> SamplerResult:
+    """Run AEES. Returns the final ``n_keep_draws`` draws of the T = 1 chain
+    (reference src/aees.cpp:255-270).
+
+    ``n_runs`` vmaps that many independent ladder replicas (draws come back
+    as ``(n_keep, n_runs, n_vals)``). Note the EE branch's history sort then
+    executes every draw for every replica (vmap turns ``lax.cond`` into
+    ``select``), trading compute for batching — the intended use is many
+    replicas on a TPU where the sort batches well; ``history_capacity``
+    bounds that sort to O(C log C) as well as making memory independent of
+    the run length (see module docstring)."""
+    algo, s = resolve_settings(settings, "aees_settings", AEESSettings)
+    key = resolve_key(key, algo)
+
+    prob = common.setup_problem(initial_vals, log_kernel, algo, None, dtype)
+    dim = prob.n_vals
+    dt = prob.dtype
+    box = prob.box_log_kernel
+
+    # ladder: user temps + T = 1, descending (intended semantics of
+    # src/aees.cpp:60-72)
+    user_temps = jnp.asarray(s.temper_vec, dt) if s.temper_vec is not None \
+        else jnp.zeros((0,), dt)
+    temps = jnp.sort(jnp.concatenate([user_temps, jnp.ones((1,), dt)]))[::-1]
+    K = int(temps.shape[0])
+    block = s.n_initial_draws + s.n_burnin_draws
+
+    make_state0, step = build_aees_kernel(box, temps, s, dim, dt,
+                                          history_capacity)
+
+    first = prob.first_draw[0]
+    val_init = box(first)
+    state0 = make_state0(first, val_init)
+
+    n_burn = K * block
+    n_keep = s.n_keep_draws
+
+    if checkpoint_dir is not None:
+        from mcmc_tpu.checkpoint import ChunkedRunner
+        if n_runs is None:
+            runner = ChunkedRunner(step, collect_fn=lambda st: st.X[K - 1],
+                                   directory=checkpoint_dir, single_key=True)
+            st0 = state0
+        else:
+            runner = ChunkedRunner(jax.vmap(step),
+                                   collect_fn=lambda st: st.X[:, K - 1],
+                                   directory=checkpoint_dir)
+            st0 = jax.tree_util.tree_map(
+                lambda x: jnp.broadcast_to(x, (n_runs,) + x.shape), state0)
+        _, draws, _totals = runner.run(key, st0, n_draws=n_keep,
+                                       n_burnin=n_burn,
+                                       chunk_size=checkpoint_every)
+        draws = jnp.asarray(draws)
+    elif n_runs is None:
+        def body(carry, _):
+            st, k = carry
+            k, sub = jax.random.split(k)
+            st, _info = step(sub, st)
+            return (st, k), st.X[K - 1]
+
+        def body_burn(carry, _):
+            carry, _out = body(carry, None)
+            return carry, None
+
+        carry = (state0, key)
+        carry, _ = lax.scan(body_burn, carry, None, length=n_burn)
+        _, draws = lax.scan(body, carry, None, length=n_keep)
     else:
+        def run_one(run_key):
+            def body(carry, _):
+                st, k = carry
+                k, sub = jax.random.split(k)
+                st, _info = step(sub, st)
+                return (st, k), st.X[K - 1]
+
+            def body_burn(carry, _):
+                carry, _out = body(carry, None)
+                return carry, None
+
+            carry = (state0, run_key)
+            carry, _ = lax.scan(body_burn, carry, None, length=n_burn)
+            _, d = lax.scan(body, carry, None, length=n_keep)
+            return d
+
         draws = jax.vmap(run_one)(jax.random.split(key, n_runs))
         draws = jnp.moveaxis(draws, 0, 1)  # (n_keep, n_runs, n_vals)
+
     draws = common.finalize_draws(draws, prob)
     # the reference's AEES tracks no acceptance at all (aees_settings_t has
     # no n_accept_draws field); report the cold chain's kept-draw move count

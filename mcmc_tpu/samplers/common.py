@@ -146,7 +146,7 @@ def tally_accepts(infos):
     info trace or a checkpointed run's accumulated total."""
     if "accepted" in infos:
         return infos["accepted"].sum(axis=0)
-    return jnp.asarray(infos["n_accept_total"])
+    return jnp.asarray(infos["totals"]["accepted"])
 
 
 def run_sampler_loop(key, state0, step_fn, n_burnin, n_keep, collect_fn,
@@ -166,23 +166,24 @@ def run_sampler_loop(key, state0, step_fn, n_burnin, n_keep, collect_fn,
     With ``checkpoint_dir``, the run executes in restartable chunks through
     :class:`mcmc_tpu.checkpoint.ChunkedRunner` — kept draws stream to the
     native draw sink and a killed run resumes bit-identically. In that mode
-    ``infos`` carries only the accumulated ``n_accept_total`` (per-draw
-    traces are not retained).
+    ``infos`` carries only ``{"totals": {...}}`` — per-chain sums of every
+    per-draw info entry over kept draws (per-draw traces are not retained);
+    it composes with ``mesh`` (chunks run GSPMD-partitioned).
 
     Returns ``(final_state, draws, infos)`` where ``draws`` stacks
     ``collect_fn(state)`` over kept iterations: shape ``(n_keep, n_chains, ...)``.
     """
     if checkpoint_dir is not None:
-        if mesh is not None:
-            raise ValueError("checkpoint_dir and mesh are mutually exclusive "
-                             "for now — chunked runs execute unsharded")
         from mcmc_tpu.checkpoint import ChunkedRunner
-        runner = ChunkedRunner(jax.vmap(step_fn), collect_fn, checkpoint_dir)
-        final, draws, n_accept = runner.run(
+        runner = ChunkedRunner(
+            jax.vmap(step_fn, axis_name=CHAIN_AXIS_NAME), collect_fn,
+            checkpoint_dir, mesh=mesh,
+        )
+        final, draws, totals = runner.run(
             key, state0, n_draws=n_keep, n_burnin=n_burnin,
             chunk_size=checkpoint_every,
         )
-        return final, jnp.asarray(draws), {"n_accept_total": n_accept}
+        return final, jnp.asarray(draws), {"totals": totals}
 
     n_chains = jax.tree_util.tree_leaves(state0)[0].shape[0]
     keys = jax.random.split(key, n_chains)

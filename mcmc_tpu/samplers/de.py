@@ -108,7 +108,7 @@ def build_de_sweep(box_log_kernel, cfg: DESettings, n_vals: int):
 
 
 def de(initial_vals, log_kernel, settings=None, *, key=None, mesh=None,
-       dtype=None) -> SamplerResult:
+       checkpoint_dir=None, checkpoint_every=500, dtype=None) -> SamplerResult:
     """Run DE-MCMC. Returns draws of shape ``(n_keep, n_pop, n_vals)`` — the
     reference's ``Cube_t draws_out(n_pop, n_vals, n_keep)`` with the
     generation axis leading.
@@ -140,6 +140,32 @@ def de(initial_vals, log_kernel, settings=None, *, key=None, mesh=None,
     kv0 = jnp.where(jnp.isfinite(kv0), kv0, -jnp.inf)
 
     state0 = DEState(X=X0, kernel_vals=kv0, gen_ind=jnp.asarray(0, jnp.int32))
+
+    if checkpoint_dir is not None:
+        # restartable chunked execution; the unsharded sweep consumes one key
+        # per generation (single_key), the sharded sweep per-walker keys —
+        # both conventions match the in-memory paths below bit-for-bit
+        from mcmc_tpu.checkpoint import ChunkedRunner
+        if mesh is None:
+            step, single = build_de_sweep(prob.box_log_kernel, s, n_vals), True
+        else:
+            from mcmc_tpu.parallel.de_sharded import build_sharded_de_sweep
+            step = build_sharded_de_sweep(prob.box_log_kernel, s, n_vals, mesh)
+            single = False
+        runner = ChunkedRunner(step, collect_fn=lambda st: st.X,
+                               directory=checkpoint_dir, mesh=mesh,
+                               single_key=single)
+        _, draws, totals = runner.run(
+            key, state0, n_draws=s.n_keep_draws, n_burnin=s.n_burnin_draws,
+            chunk_size=checkpoint_every,
+        )
+        draws = common.finalize_draws(jnp.asarray(draws), prob)
+        per_walker = jnp.asarray(totals["accepted"])
+        return SamplerResult(
+            draws=draws, n_accept_draws=per_walker.sum(),
+            diagnostics={"accept_rate_per_walker":
+                         per_walker / s.n_keep_draws},
+        )
 
     if mesh is None:
         sweep = build_de_sweep(prob.box_log_kernel, s, n_vals)

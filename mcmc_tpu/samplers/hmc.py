@@ -192,8 +192,7 @@ def hmc(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, mes
         if s.precond_mat is not None:
             raise ValueError("adapt_mass_matrix is incompatible with a user "
                              "precond_mat — the mass matrix is learned")
-        from mcmc_tpu.samplers.nuts import _mass_window_schedule
-        collect, window_end = _mass_window_schedule(s.n_burnin_draws)
+        collect, window_end = adaptation.window_schedule(s.n_burnin_draws)
         mass_cfg = {"n_burnin": s.n_burnin_draws, "collect": collect,
                     "window_end": window_end}
     init, step = build_hmc_kernel(

@@ -35,9 +35,11 @@ __all__ = ["mala", "MALAState", "build_mala_kernel"]
 class MALAState(NamedTuple):
     position: jax.Array
     log_prob: jax.Array
-    kick: jax.Array      # drift direction at position: J * (M @ grad) or M @ grad
+    grad: jax.Array      # raw target gradient at position (constrained-space
+                         # user gradient in reference mode, box gradient else)
     jac: jax.Array       # inv-Jacobian diagonal at position (ones when unused)
     da: adaptation.DualAveraging
+    wv: adaptation.WindowedVariance   # preconditioner adaptation
     draw_ind: jax.Array
 
 
@@ -56,31 +58,41 @@ def _log_mvn_general(x, mu, sigma):
 
 
 def build_mala_kernel(prob: common.Problem, precond: common.SPD, step_size,
-                      bounded_grad="reference", adapt_cfg=None):
+                      bounded_grad="reference", adapt_cfg=None,
+                      precond_cfg=None):
     reference_mode = prob.vals_bound and bounded_grad == "reference"
+    adapt_m = precond_cfg is not None
 
     if reference_mode:
         user_vg = jax.value_and_grad(prob.log_kernel)
 
         def eval_point(z):
-            """Returns (box_log_prob, kick, jac) at z."""
+            """Returns (box_log_prob, raw gradient, jac) at z."""
             x = bounds_mod.inv_transform(z, prob.codes, prob.lower_bounds, prob.upper_bounds)
             val, grad_x = user_vg(x)
             lp = val + bounds_mod.log_jacobian(z, prob.codes, prob.lower_bounds, prob.upper_bounds)
             jac = bounds_mod.inv_jacobian_diag(z, prob.codes, prob.lower_bounds, prob.upper_bounds)
-            return lp, jac * precond.mv(grad_x), jac
+            return lp, grad_x, jac
     else:
         box_vg = jax.value_and_grad(prob.box_log_kernel)
 
         def eval_point(z):
             val, grad_z = box_vg(z)
-            return val, precond.mv(grad_z), jnp.ones_like(z)
+            return val, grad_z, jnp.ones_like(z)
+
+    def kick_of(grad, jac, pvar):
+        """Drift direction J * (M @ grad); M is the fixed preconditioner or
+        the adapted diagonal variance."""
+        mg = pvar * grad if adapt_m else precond.mv(grad)
+        return jac * mg if reference_mode else mg
 
     def mean_of(z, kick, eps2):
         return z + 0.5 * eps2 * kick
 
-    def prop_sigma(jac, eps2):
+    def prop_sigma(jac, eps2, pvar):
         """Proposal covariance eps^2 * J * M in the cheapest representation."""
+        if adapt_m:
+            return eps2 * jac * pvar
         if precond.kind == "identity":
             return eps2 * jac
         if precond.kind == "diag":
@@ -88,10 +100,11 @@ def build_mala_kernel(prob: common.Problem, precond: common.SPD, step_size,
         return eps2 * jac[:, None] * precond.mat
 
     def init(position):
-        lp, kick, jac = eval_point(position)
+        lp, grad, jac = eval_point(position)
         return MALAState(
-            position=position, log_prob=lp, kick=kick, jac=jac,
+            position=position, log_prob=lp, grad=grad, jac=jac,
             da=adaptation.da_init(jnp.asarray(step_size, position.dtype)),
+            wv=adaptation.wv_init(position.shape[0], position.dtype),
             draw_ind=jnp.asarray(0, jnp.int32),
         )
 
@@ -104,22 +117,24 @@ def build_mala_kernel(prob: common.Problem, precond: common.SPD, step_size,
             eps = jnp.exp(jnp.where(adapting, state.da.log_eps,
                                     state.da.log_eps_bar))
         eps2 = eps * eps
+        pvar = state.wv.var
         noise = jax.random.normal(k_noise, state.position.shape, state.position.dtype)
 
-        prev_mean = mean_of(state.position, state.kick, eps2)
-        scaled = precond.sqrt_mv(noise)
+        prev_mean = mean_of(state.position,
+                            kick_of(state.grad, state.jac, pvar), eps2)
+        scaled = jnp.sqrt(pvar) * noise if adapt_m else precond.sqrt_mv(noise)
         if reference_mode:
             scaled = jnp.sqrt(state.jac) * scaled
         proposal = prev_mean + eps * scaled
 
-        prop_lp, prop_kick, prop_jac = eval_point(proposal)
+        prop_lp, prop_grad, prop_jac = eval_point(proposal)
         prop_lp = jnp.where(jnp.isfinite(prop_lp), prop_lp, -jnp.inf)
-        prop_mean = mean_of(proposal, prop_kick, eps2)
+        prop_mean = mean_of(proposal, kick_of(prop_grad, prop_jac, pvar), eps2)
 
         # mala_prop_adjustment (reference mala.ipp:30-70): both covariance
         # terms use the proposal's Jacobian, as in the reference.
-        sigma = prop_sigma(prop_jac, eps2)
-        if reference_mode and precond.kind == "full":
+        sigma = prop_sigma(prop_jac, eps2, pvar)
+        if reference_mode and precond.kind == "full" and not adapt_m:
             # eps^2 * J * M is asymmetric; evaluate it the reference's way
             adj = _log_mvn_general(state.position, prop_mean, sigma) \
                 - _log_mvn_general(proposal, prev_mean, sigma)
@@ -131,6 +146,8 @@ def build_mala_kernel(prob: common.Problem, precond: common.SPD, step_size,
         u = jax.random.uniform(k_accept, dtype=state.position.dtype)
         accepted = u < jnp.exp(comp)
 
+        new_position = jnp.where(accepted, proposal, state.position)
+
         da = state.da
         if adapt_cfg is not None:
             accept_stat = jnp.minimum(1.0, jnp.exp(comp))
@@ -139,12 +156,26 @@ def build_mala_kernel(prob: common.Problem, precond: common.SPD, step_size,
             da = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(adapting, new, old), da_new, da)
 
+        wv = state.wv
+        if adapt_m:
+            idx = jnp.minimum(state.draw_ind, precond_cfg["collect"].shape[0] - 1)
+            in_warmup = state.draw_ind < precond_cfg["n_adapt"]
+            collecting = in_warmup & precond_cfg["collect"][idx]
+            wend = in_warmup & precond_cfg["window_end"][idx]
+            wv = adaptation.wv_update(wv, new_position, collecting, wend,
+                                      precond_cfg["axis_name"])
+            if adapt_cfg is not None:
+                da_reset = adaptation.da_init(jnp.exp(da.log_eps))
+                da = jax.tree_util.tree_map(
+                    lambda r, old: jnp.where(wend, r, old), da_reset, da)
+
         new_state = MALAState(
-            position=jnp.where(accepted, proposal, state.position),
+            position=new_position,
             log_prob=jnp.where(accepted, prop_lp, state.log_prob),
-            kick=jnp.where(accepted, prop_kick, state.kick),
+            grad=jnp.where(accepted, prop_grad, state.grad),
             jac=jnp.where(accepted, prop_jac, state.jac),
             da=da,
+            wv=wv,
             draw_ind=state.draw_ind + 1,
         )
         return new_state, {"accepted": accepted}
@@ -154,14 +185,23 @@ def build_mala_kernel(prob: common.Problem, precond: common.SPD, step_size,
 
 def mala(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, mesh=None, checkpoint_dir=None, checkpoint_every=500,
          dtype=None, bounded_grad="reference", adapt_step_size=False,
+         adapt_precond=False, pooled_adaptation=False,
          target_accept=None) -> SamplerResult:
     """``adapt_step_size=True`` tunes the step size toward 0.574 acceptance
-    during burn-in (no reference analog)."""
+    during burn-in; ``adapt_precond=True`` learns a diagonal preconditioner
+    (drift **and** proposal covariance) from windowed Welford variance
+    estimates — the Stan-style schedule NUTS mass adaptation uses — pooled
+    across chains with ``pooled_adaptation``. Incompatible with a user
+    ``precond_mat``. (No reference analog; MCMCLib's ``precond_mat`` is a
+    fixed user matrix, mcmc_structs.hpp:130.)"""
     algo, s = resolve_settings(settings, "mala_settings", MALASettings)
     key = resolve_key(key, algo)
 
     prob = common.setup_problem(initial_vals, log_kernel, algo, n_chains, dtype)
     precond = common.make_spd(s.precond_mat, prob.n_vals, prob.dtype)
+    if adapt_precond and s.precond_mat is not None:
+        raise ValueError("adapt_precond is incompatible with a user "
+                         "precond_mat — the preconditioner is learned")
 
     adapt_cfg = None
     if adapt_step_size:
@@ -169,9 +209,17 @@ def mala(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, me
             "n_burnin": s.n_burnin_draws,
             "target": target_accept or adaptation.TARGET_ACCEPT["mala"],
         }
+    precond_cfg = None
+    if adapt_precond:
+        collect, wend = adaptation.window_schedule(s.n_burnin_draws)
+        precond_cfg = {
+            "n_adapt": s.n_burnin_draws, "collect": collect,
+            "window_end": wend,
+            "axis_name": common.CHAIN_AXIS_NAME if pooled_adaptation else None,
+        }
     init, step = build_mala_kernel(prob, precond, s.step_size, bounded_grad,
-                                   adapt_cfg)
-    state0 = jax.vmap(init)(prob.first_draw)
+                                   adapt_cfg, precond_cfg)
+    state0 = jax.vmap(init, axis_name=common.CHAIN_AXIS_NAME)(prob.first_draw)
 
     final_state, draws, infos = common.run_sampler_loop(
         key, state0, step, s.n_burnin_draws, s.n_keep_draws,
@@ -184,6 +232,8 @@ def mala(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, me
     diagnostics = {}
     if adapt_step_size:
         diagnostics["adapted_step_size"] = jnp.exp(final_state.da.log_eps_bar)
+    if adapt_precond:
+        diagnostics["precond_var"] = final_state.wv.var
     if prob.squeeze:
         draws = draws[:, 0, :]
         n_accept = n_accept[0]

@@ -19,12 +19,21 @@ masked, fixed-structure iterative form (SURVEY.md §7 step 4):
   to the reference's pairwise ``n''/(n'+n'')`` swaps (nuts.ipp:213-218) since
   every valid leaf ends up equally likely.
 
+**Deviation (default ``tree_variant="endpoint"``):** the reference's outer
+doubling loop restarts every subtree from the *current draw* with the
+draw's *initial momentum* instead of extending the trajectory from the
+tree's endpoint (src/nuts.cpp:242-255 passes ``prev_draw``/``mntm_vec``
+every iteration; Hoffman-Gelman Algorithm 6 extends from
+``theta^-/r^-`` or ``theta^+/r^+``). That breaks the reversibility of the
+doubling construction and measurably biases asymmetric posteriors: on the
+eight-schools model (half-Cauchy tau) the reference-shaped tree gives
+E[tau] ~ 4.5 where exact 2-d quadrature gives 3.59 (and long RWMH runs
+3.49); the endpoint variant is unbiased. The default therefore implements
+Algorithm 6 correctly; pass ``tree_variant="reference"`` for bug-level
+parity with the C++.
+
 Reference quirks reproduced deliberately (verified against the C++ source):
 
-- Each new subtree starts from the *current draw* and the draw's initial
-  momentum — not from the tree's endpoint — and the current draw may have
-  been updated by an earlier acceptance inside the same doubling loop
-  (src/nuts.cpp:199-290 passes ``prev_draw``/``mntm_vec`` every iteration).
 - The initial step-size heuristic (nuts.ipp:30-93) can only *double*
   epsilon: its loop condition and its ``a`` update test the same inequality,
   so the halving branch is unreachable; the leapfrog also continues from the
@@ -46,6 +55,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from mcmc_tpu import integrators
+from mcmc_tpu.adaptation import window_schedule
 from mcmc_tpu.results import SamplerResult
 from mcmc_tpu.settings import NUTSSettings
 from mcmc_tpu.samplers import common
@@ -71,32 +81,8 @@ class NUTSState(NamedTuple):
     w_count: jax.Array       # Welford accumulators for the current window
     w_mean: jax.Array
     w_m2: jax.Array          # (d,) diagonal or (d, d) dense
-
-
-def _mass_window_schedule(n_adapt: int):
-    """Stan-style warmup schedule: an initial fast interval, doubling slow
-    windows in which posterior variance is accumulated, and a terminal fast
-    interval. Returns (collect_mask, window_end_mask) as length-n_adapt
-    boolean arrays. (This adaptation has no reference analog — MCMCLib's
-    preconditioner is a fixed user matrix, mcmc_structs.hpp:77.)"""
-    import numpy as np
-    collect = np.zeros(max(n_adapt, 1), bool)
-    window_end = np.zeros(max(n_adapt, 1), bool)
-    init_fast = min(75, int(0.15 * n_adapt))
-    term_fast = min(50, int(0.1 * n_adapt))
-    b, e = init_fast, n_adapt - term_fast
-    if e - b >= 20:
-        collect[b:e] = True
-        w = 25
-        pos = b
-        while pos < e:
-            end = pos + w
-            if end * 2 - pos > e:  # last window absorbs the remainder
-                end = e
-            window_end[min(end, e) - 1] = True
-            pos = end
-            w *= 2
-    return jnp.asarray(collect), jnp.asarray(window_end)
+    depth_hist: jax.Array    # (max_depth + 1,) warmup tree-depth counts
+    depth_cap: jax.Array     # doubling budget for the sampling phase
 
 
 def _ctz(x):
@@ -200,7 +186,12 @@ def make_subtree_builder(potential, kinetic, leapfrog1, max_depth):
 
 def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSettings,
                       n_adapt: int, pooled_adaptation: bool = False,
-                      adapt_mass_matrix=False):
+                      adapt_mass_matrix=False, adapt_depth=False,
+                      depth_quantile: float = 0.98,
+                      tree_variant: str = "endpoint"):
+    if tree_variant not in ("endpoint", "reference"):
+        raise ValueError(f"tree_variant must be 'endpoint' or 'reference', "
+                         f"got {tree_variant!r}")
     max_depth = int(cfg.max_tree_depth)
     # adapt_mass_matrix: False | "diag" (True) | "dense"
     mass_mode = {False: None, True: "diag"}.get(adapt_mass_matrix,
@@ -209,7 +200,7 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
         raise ValueError(f"adapt_mass_matrix must be False/True/'diag'/'dense', "
                          f"got {adapt_mass_matrix!r}")
     adapt_mass = mass_mode is not None
-    mass_collect, mass_window_end = _mass_window_schedule(n_adapt) \
+    mass_collect, mass_window_end = window_schedule(n_adapt) \
         if adapt_mass else (None, None)
 
     def potential(z):
@@ -287,6 +278,8 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
             # from one common epsilon_0 / mu
             eps0 = jnp.exp(lax.pmean(jnp.log(eps0), common.CHAIN_AXIS_NAME))
         return NUTSState(
+            depth_hist=jnp.zeros((max_depth + 1,), jnp.int32),
+            depth_cap=jnp.asarray(max_depth, jnp.int32),
             position=position,
             potential=potential(position),
             step_size=eps0,
@@ -329,19 +322,44 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
             "good": jnp.asarray(False), "div": jnp.asarray(False),
         }
 
+        # depth budget: during warmup the full max_depth applies (and the
+        # realized depths are histogrammed); after warmup the doubling loop
+        # is capped at the learned budget — NUTS is a valid kernel at any
+        # max depth, and under vmap every chain pays the slowest chain's
+        # tree, so capping the rare deep trees is the straggler lever
+        depth_limit = jnp.where(state.draw_ind < n_adapt, max_depth,
+                                state.depth_cap) if adapt_depth else max_depth
+
         def outer_cond(c):
-            return (c["s"] == 1) & (c["depth"] < max_depth)
+            return (c["s"] == 1) & (c["depth"] < depth_limit)
 
         def outer_body(c):
             key, k_dir, k_acc, k_sub = jax.random.split(c["key"], 4)
             v = jnp.where(jax.random.uniform(k_dir, dtype=dtype) <= 0.5, -1.0, 1.0)
             v = v.astype(dtype)
+            backward = v < 0
 
-            # alpha baseline tracks the (possibly updated) current draw,
-            # as in the reference (src/nuts.cpp:236-249 updates prev_U mid-loop)
-            alpha_base = c["U"] + prev_K
+            if tree_variant == "reference":
+                # reference quirk (src/nuts.cpp:242-255): every doubling
+                # restarts from the *current draw* with the draw's *initial
+                # momentum* instead of extending from the tree endpoint —
+                # this breaks Algorithm 6's reversibility and measurably
+                # biases asymmetric posteriors (see module docstring);
+                # the alpha baseline also tracks the mid-loop-updated draw
+                # (src/nuts.cpp:260-270 updates prev_U inside the doubling
+                # loop)
+                start_z, start_r = c["draw"], r0
+                alpha_base = c["U"] + prev_K
+            else:
+                # Hoffman-Gelman Algorithm 6: extend the trajectory from the
+                # endpoint in the chosen direction; accept-stat baseline is
+                # the draw's initial Hamiltonian
+                start_z = jnp.where(backward, c["neg_z"], c["pos_z"])
+                start_r = jnp.where(backward, c["neg_r"], c["pos_r"])
+                alpha_base = state.potential + prev_K
+
             sub = build_subtree(
-                k_sub, c["depth"], v, c["draw"], r0, eps, log_u, alpha_base,
+                k_sub, c["depth"], v, start_z, start_r, eps, log_u, alpha_base,
                 dim, dtype, inv_mass,
             )
 
@@ -353,7 +371,6 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
             draw = jnp.where(do_acc, sub["prop_z"], c["draw"])
             U = jnp.where(do_acc, sub["prop_U"], c["U"])
 
-            backward = v < 0
             neg_z = jnp.where(backward, sub["z"], c["neg_z"])
             neg_r = jnp.where(backward, sub["r"], c["neg_r"])
             pos_z = jnp.where(backward, c["pos_z"], sub["z"])
@@ -444,6 +461,25 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
             t0_out = jnp.where(window_end, state.draw_ind + 1, t0_out)
             ebar_out = jnp.where(window_end, step_size_out, ebar_out)
 
+        depth_hist = state.depth_hist
+        depth_cap = state.depth_cap
+        if adapt_depth:
+            # histogram realized depths over the settled second half of
+            # warmup; at the last warmup draw, set the budget to the
+            # depth_quantile depth (+1 margin), pooled across chains when
+            # pooled_adaptation (all vmap lanes then share one budget)
+            settling = adapting & (state.draw_ind >= n_adapt // 2)
+            hist1 = depth_hist.at[jnp.minimum(out["depth"], max_depth)].add(1)
+            depth_hist = jnp.where(settling, hist1, depth_hist)
+            last_warmup = state.draw_ind == n_adapt - 1
+            pooled_hist = lax.psum(depth_hist, common.CHAIN_AXIS_NAME) \
+                if pooled_adaptation else depth_hist
+            total = jnp.maximum(pooled_hist.sum(), 1)
+            cum = jnp.cumsum(pooled_hist)
+            q_depth = jnp.argmax(cum >= depth_quantile * total.astype(cum.dtype))
+            new_cap = jnp.minimum(q_depth.astype(jnp.int32) + 1, max_depth)
+            depth_cap = jnp.where(last_warmup, new_cap, depth_cap)
+
         new_state = NUTSState(
             position=out["draw"],
             potential=out["U"],
@@ -458,6 +494,8 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
             w_count=wc,
             w_mean=wm,
             w_m2=wv,
+            depth_hist=depth_hist,
+            depth_cap=depth_cap,
         )
         info = {
             "accepted": out["good"],
@@ -472,14 +510,26 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
 
 
 def nuts(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, mesh=None,
+         checkpoint_dir=None, checkpoint_every=500,
          dtype=None, bounded_grad="reference",
-         pooled_adaptation=False, adapt_mass_matrix=False) -> SamplerResult:
+         pooled_adaptation=False, adapt_mass_matrix=False,
+         adapt_depth=False, depth_quantile=0.98,
+         tree_variant="endpoint") -> SamplerResult:
     """Run NUTS (reference src/nuts.cpp entry points).
 
     ``pooled_adaptation=True`` shares one dual-averaging step-size
     trajectory across all chains by pooling the per-draw accept statistic
     over the chain axis — a cross-chain generalization the single-chain
     reference cannot express (SURVEY.md §7 step 8: psum warmup statistics).
+
+    ``adapt_depth=True`` learns a tree-depth budget during warmup: realized
+    depths over the second half of warmup are histogrammed and the sampling
+    phase caps the doubling loop at the ``depth_quantile`` depth + 1. Under
+    ``vmap`` every chain pays the slowest chain's tree each draw, so capping
+    the rare deep trees is the main straggler-mitigation lever on TPU; NUTS
+    remains a valid kernel at any maximum depth (the cap is the same knob as
+    ``max_tree_depth``, chosen from data). Combine with
+    ``pooled_adaptation`` to share one budget across all chains.
 
     ``adapt_mass_matrix=True`` (or ``"diag"``) adds Stan-style windowed
     diagonal mass-matrix adaptation during warmup (doubling slow windows of
@@ -506,7 +556,8 @@ def nuts(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, me
                          "precond_mat — the mass matrix is learned")
     init, step = build_nuts_kernel(prob.box_log_kernel, grad_fn, precond, s,
                                    n_adapt, pooled_adaptation,
-                                   adapt_mass_matrix)
+                                   adapt_mass_matrix, adapt_depth,
+                                   depth_quantile, tree_variant)
 
     key, k_init = jax.random.split(key)
     init_keys = jax.random.split(k_init, prob.n_chains)
@@ -516,18 +567,33 @@ def nuts(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, me
     final_state, draws, infos = common.run_sampler_loop(
         key, state0, step, s.n_burnin_draws, s.n_keep_draws,
         collect_fn=lambda st: st.position, mesh=mesh,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
     )
 
-    n_accept = infos["accepted"].sum(axis=0)
+    n_accept = common.tally_accepts(infos)
     draws = common.finalize_draws(draws, prob)
-    diagnostics = {
-        "tree_depth": infos["tree_depth"],
-        "n_divergent": infos["diverged"].sum(axis=0),
-        "accept_stat": infos["accept_stat"],
-        "step_size": infos["step_size"],
-    }
+    if "accepted" in infos:
+        diagnostics = {
+            "tree_depth": infos["tree_depth"],
+            "n_divergent": infos["diverged"].sum(axis=0),
+            "accept_stat": infos["accept_stat"],
+            "step_size": infos["step_size"],
+        }
+    else:
+        # checkpointed run: per-draw traces are not retained — report the
+        # accumulated per-chain totals as counts/means instead
+        totals = infos["totals"]
+        diagnostics = {
+            "n_divergent": jnp.asarray(totals["diverged"]),
+            "mean_tree_depth": jnp.asarray(totals["tree_depth"])
+            / s.n_keep_draws,
+            "mean_accept_stat": jnp.asarray(totals["accept_stat"])
+            / s.n_keep_draws,
+        }
     if adapt_mass_matrix:
         diagnostics["inv_mass_diag"] = final_state.inv_mass
+    if adapt_depth:
+        diagnostics["depth_cap"] = final_state.depth_cap
     if prob.squeeze:
         draws = draws[:, 0, :]
         n_accept = n_accept[0]

@@ -177,7 +177,8 @@ def build_rmhmc_kernel(prob: common.Problem, metric_fn, cfg: RMHMCSettings):
 
 
 def rmhmc(initial_vals, log_kernel, metric_fn, settings=None, *, n_chains=None,
-          key=None, mesh=None, dtype=None) -> SamplerResult:
+          key=None, mesh=None, checkpoint_dir=None, checkpoint_every=500,
+          dtype=None) -> SamplerResult:
     """Run RM-HMC. ``metric_fn(params) -> (d, d)`` SPD metric in constrained
     space; derivatives via jax.jacfwd replace the reference's hand-coded
     tensor cube (reference src/rmhmc.cpp entry at :281-303)."""
@@ -191,9 +192,10 @@ def rmhmc(initial_vals, log_kernel, metric_fn, settings=None, *, n_chains=None,
     _, draws, infos = common.run_sampler_loop(
         key, state0, step, s.n_burnin_draws, s.n_keep_draws,
         collect_fn=lambda st: st.position, mesh=mesh,
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
     )
 
-    n_accept = infos["accepted"].sum(axis=0)
+    n_accept = common.tally_accepts(infos)
     draws = common.finalize_draws(draws, prob)
     if prob.squeeze:
         draws = draws[:, 0, :]

@@ -7,9 +7,14 @@ proposal is the Gaussian random walk ``z* = z + par_scale * chol(cov) @ xi``
 ``log u < min(0, delta_logK)`` (src/rwmh.cpp:133-136) with non-finite
 proposal log-kernels forced to -inf (src/rwmh.cpp:127-129).
 
-Extension (no reference analog): ``adapt_scale=True`` tunes the proposal
-scale by dual averaging toward the optimal 0.234 acceptance rate during
-burn-in, freezing the averaged iterate afterwards.
+Extensions (no reference analog):
+- ``adapt_scale=True`` tunes the proposal scale by dual averaging toward the
+  optimal 0.234 acceptance rate during burn-in, freezing the averaged
+  iterate afterwards.
+- ``adapt_precond=True`` learns a diagonal proposal covariance from windowed
+  Welford estimates of the posterior variance (the same Stan-style doubling
+  schedule as NUTS mass adaptation); dual averaging restarts at window ends.
+  Requires the default identity ``cov_mat``.
 """
 
 from __future__ import annotations
@@ -32,15 +37,19 @@ class RWMHState(NamedTuple):
     position: jax.Array   # unconstrained coordinates, (n_vals,)
     log_prob: jax.Array   # box log-kernel at position
     da: adaptation.DualAveraging
+    wv: adaptation.WindowedVariance   # proposal-covariance adaptation
     draw_ind: jax.Array
 
 
 def build_rwmh_kernel(box_log_kernel, prop_chol_mv, par_scale,
-                      adapt_cfg=None):
+                      adapt_cfg=None, precond_cfg=None):
     """Single-chain transition kernel ``(key, state) -> (state, info)``.
 
     ``adapt_cfg`` is ``None`` (fixed scale, reference behavior) or a dict
     with ``n_burnin`` and ``target`` for dual-averaging scale adaptation.
+    ``precond_cfg`` is ``None`` or a dict with ``n_adapt``, ``collect`` /
+    ``window_end`` schedule masks, and ``axis_name`` (cross-chain pooling)
+    for windowed diagonal proposal-covariance adaptation.
     """
 
     def init(position):
@@ -48,6 +57,7 @@ def build_rwmh_kernel(box_log_kernel, prop_chol_mv, par_scale,
             position=position,
             log_prob=box_log_kernel(position),
             da=adaptation.da_init(jnp.asarray(par_scale, position.dtype)),
+            wv=adaptation.wv_init(position.shape[0], position.dtype),
             draw_ind=jnp.asarray(0, jnp.int32),
         )
 
@@ -61,7 +71,11 @@ def build_rwmh_kernel(box_log_kernel, prop_chol_mv, par_scale,
                                       state.da.log_eps_bar))
 
         noise = jax.random.normal(k_noise, state.position.shape, state.position.dtype)
-        proposal = state.position + scale * prop_chol_mv(noise)
+        if precond_cfg is None:
+            scaled = prop_chol_mv(noise)
+        else:
+            scaled = jnp.sqrt(state.wv.var) * noise
+        proposal = state.position + scale * scaled
 
         prop_lp = box_log_kernel(proposal)
         prop_lp = jnp.where(jnp.isfinite(prop_lp), prop_lp, -jnp.inf)
@@ -69,6 +83,8 @@ def build_rwmh_kernel(box_log_kernel, prop_chol_mv, par_scale,
         comp = jnp.minimum(0.0, prop_lp - state.log_prob)
         u = jax.random.uniform(k_accept, dtype=state.position.dtype)
         accepted = u < jnp.exp(comp)
+
+        new_position = jnp.where(accepted, proposal, state.position)
 
         da = state.da
         if adapt_cfg is not None:
@@ -78,10 +94,26 @@ def build_rwmh_kernel(box_log_kernel, prop_chol_mv, par_scale,
             da = jax.tree_util.tree_map(
                 lambda new, old: jnp.where(adapting, new, old), da_new, da)
 
+        wv = state.wv
+        if precond_cfg is not None:
+            idx = jnp.minimum(state.draw_ind, precond_cfg["collect"].shape[0] - 1)
+            in_warmup = state.draw_ind < precond_cfg["n_adapt"]
+            collecting = in_warmup & precond_cfg["collect"][idx]
+            wend = in_warmup & precond_cfg["window_end"][idx]
+            wv = adaptation.wv_update(wv, new_position, collecting, wend,
+                                      precond_cfg["axis_name"])
+            if adapt_cfg is not None:
+                # the new covariance changes the acceptance landscape:
+                # restart dual averaging from the current scale (Stan-style)
+                da_reset = adaptation.da_init(jnp.exp(da.log_eps))
+                da = jax.tree_util.tree_map(
+                    lambda r, old: jnp.where(wend, r, old), da_reset, da)
+
         new_state = RWMHState(
-            position=jnp.where(accepted, proposal, state.position),
+            position=new_position,
             log_prob=jnp.where(accepted, prop_lp, state.log_prob),
             da=da,
+            wv=wv,
             draw_ind=state.draw_ind + 1,
         )
         return new_state, {"accepted": accepted}
@@ -90,7 +122,8 @@ def build_rwmh_kernel(box_log_kernel, prop_chol_mv, par_scale,
 
 
 def rwmh(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
-         mesh=None, checkpoint_dir=None, checkpoint_every=500, dtype=None, adapt_scale=False,
+         mesh=None, checkpoint_dir=None, checkpoint_every=500, dtype=None,
+         adapt_scale=False, adapt_precond=False, pooled_adaptation=False,
          target_accept=None) -> SamplerResult:
     """Run RWMH. ``log_kernel(params) -> scalar`` is a pure JAX function
     (closures replace the reference's ``void* target_data``).
@@ -98,13 +131,19 @@ def rwmh(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
     With ``n_chains`` set, ``initial_vals`` may be ``(n_vals,)`` (broadcast)
     or ``(n_chains, n_vals)``; draws come back as
     ``(n_keep, n_chains, n_vals)``. ``adapt_scale=True`` tunes the proposal
-    scale during burn-in (target acceptance 0.234 unless overridden).
+    scale during burn-in (target acceptance 0.234 unless overridden);
+    ``adapt_precond=True`` additionally learns a diagonal proposal
+    covariance (see module docstring), pooled across chains when
+    ``pooled_adaptation``.
     """
     algo, s = resolve_settings(settings, "rwmh_settings", RWMHSettings)
     key = resolve_key(key, algo)
 
     prob = common.setup_problem(initial_vals, log_kernel, algo, n_chains, dtype)
     cov = common.make_spd(s.cov_mat, prob.n_vals, prob.dtype)
+    if adapt_precond and s.cov_mat is not None:
+        raise ValueError("adapt_precond is incompatible with a user cov_mat "
+                         "— the proposal covariance is learned")
 
     adapt_cfg = None
     if adapt_scale:
@@ -112,8 +151,16 @@ def rwmh(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
             "n_burnin": s.n_burnin_draws,
             "target": target_accept or adaptation.TARGET_ACCEPT["rwmh"],
         }
+    precond_cfg = None
+    if adapt_precond:
+        collect, wend = adaptation.window_schedule(s.n_burnin_draws)
+        precond_cfg = {
+            "n_adapt": s.n_burnin_draws, "collect": collect,
+            "window_end": wend,
+            "axis_name": common.CHAIN_AXIS_NAME if pooled_adaptation else None,
+        }
     init, step = build_rwmh_kernel(prob.box_log_kernel, cov.sqrt_mv,
-                                   s.par_scale, adapt_cfg)
+                                   s.par_scale, adapt_cfg, precond_cfg)
     state0 = jax.vmap(init)(prob.first_draw)
 
     final_state, draws, infos = common.run_sampler_loop(
@@ -127,6 +174,8 @@ def rwmh(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
     diagnostics = {}
     if adapt_scale:
         diagnostics["adapted_scale"] = jnp.exp(final_state.da.log_eps_bar)
+    if adapt_precond:
+        diagnostics["proposal_var"] = final_state.wv.var
     if prob.squeeze:
         draws = draws[:, 0, :]
         n_accept = n_accept[0]

@@ -82,35 +82,6 @@ def test_fused_hmc_step_samples_posterior():
 import pytest
 
 
-@pytest.mark.skipif(jax.default_backend() != "tpu",
-                    reason="pltpu.prng_seed has no CPU interpret lowering in "
-                           "this jax version; validated on hardware")
-def test_whole_sampler_kernel():
-    """make_fused_hmc_sampler: n_steps of HMC with in-kernel PRNG, accept,
-    and Welford moments."""
-    from mcmc_tpu.ops.fused_logreg import make_fused_hmc_sampler, make_fused_hmc_step
-    import numpy as np
-
-    X, y = _setup()
-    NS = 60
-    sampler = make_fused_hmc_sampler(X, y, step_size=0.1, n_leap=4, n_steps=NS,
-                                     block_chains=8)
-    step = make_fused_hmc_step(X, y, step_size=0.1, n_leap=4, block_chains=8)
-    st = step.init(0.1 * jax.random.normal(jax.random.PRNGKey(0), (16, D)))
-    z, U = st.position, st.potential[:, None]
-    zf, Uf, acc, mean, m2 = sampler(jnp.int32(3), z, U)
-
-    rate = float(np.asarray(acc).mean()) / NS
-    assert 0.3 < rate < 1.0
-    assert np.isfinite(np.asarray(zf)).all()
-    # welford accumulators consistent: m2 >= 0, mean finite, padding zero
-    assert (np.asarray(m2) >= 0).all()
-    assert float(np.abs(np.asarray(zf[:, D:])).max()) == 0.0
-    # distinct seeds give distinct streams
-    zf2, *_ = sampler(jnp.int32(4), z, U)
-    assert np.abs(np.asarray(zf2) - np.asarray(zf)).max() > 0
-
-
 def test_fused_trajectory_glm_links():
     """Poisson and linear links in the fused kernel match the XLA gradient
     path (interpret mode)."""

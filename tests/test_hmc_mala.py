@@ -166,3 +166,46 @@ def test_hmc_mass_adaptation_ill_conditioned():
     np.testing.assert_allclose(emp_var / np.asarray(lk.variances), 1.0,
                                atol=0.5)
     assert float(np.asarray(diag.split_rhat(out.draws)).max()) < 1.15
+
+
+def test_mala_precond_adaptation_ill_conditioned():
+    """Windowed diagonal preconditioner adaptation (drift + proposal
+    covariance) must learn the scales of an ill-conditioned Gaussian and
+    beat the unpreconditioned sampler decisively on min-ESS."""
+    from mcmc_tpu import diagnostics
+    lk = models.ill_conditioned_gaussian(16, condition_number=1e4)
+    s = mcmc_tpu.MALASettings(n_burnin_draws=1000, n_keep_draws=1000,
+                              step_size=0.1)
+    base = mcmc_tpu.mala(jnp.zeros(16), lk, s, n_chains=8,
+                         key=jax.random.PRNGKey(0), adapt_step_size=True)
+    ada = mcmc_tpu.mala(jnp.zeros(16), lk, s, n_chains=8,
+                        key=jax.random.PRNGKey(0), adapt_step_size=True,
+                        adapt_precond=True, pooled_adaptation=True)
+    ess_base = float(np.asarray(diagnostics.ess(base.draws)).min())
+    ess_ada = float(np.asarray(diagnostics.ess(ada.draws)).min())
+    assert ess_ada > 10 * ess_base, (ess_base, ess_ada)
+
+    # learned variance tracks the marginals; posterior variances correct
+    pv = np.asarray(ada.diagnostics["precond_var"])[0]
+    ratio = pv / np.asarray(lk.variances)
+    assert (ratio > 0.5).all() and (ratio < 2.0).all(), ratio
+    d = np.asarray(ada.draws).reshape(-1, 16)
+    vr = d.var(axis=0) / np.asarray(lk.variances)
+    assert (vr > 0.6).all() and (vr < 1.5).all(), vr
+
+
+def test_rwmh_precond_adaptation():
+    """RWMH proposal-covariance adaptation improves min-ESS on the
+    ill-conditioned target."""
+    from mcmc_tpu import diagnostics
+    lk = models.ill_conditioned_gaussian(16, condition_number=1e4)
+    s = mcmc_tpu.RWMHSettings(n_burnin_draws=1000, n_keep_draws=1000,
+                              par_scale=0.5)
+    base = mcmc_tpu.rwmh(jnp.zeros(16), lk, s, n_chains=8,
+                         key=jax.random.PRNGKey(0), adapt_scale=True)
+    ada = mcmc_tpu.rwmh(jnp.zeros(16), lk, s, n_chains=8,
+                        key=jax.random.PRNGKey(0), adapt_scale=True,
+                        adapt_precond=True, pooled_adaptation=True)
+    ess_base = float(np.asarray(diagnostics.ess(base.draws)).min())
+    ess_ada = float(np.asarray(diagnostics.ess(ada.draws)).min())
+    assert ess_ada > 2 * ess_base, (ess_base, ess_ada)

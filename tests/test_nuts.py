@@ -291,3 +291,46 @@ def test_subtree_matches_reference_recursion():
     assert n_checked == 100
     # the case mix must actually exercise U-turn/divergence stopping
     assert 10 < n_stopped < 95, n_stopped
+
+
+def test_nuts_depth_budget():
+    """adapt_depth: warmup learns a shared tree-depth cap; the sampling
+    phase never exceeds it, and posterior moments stay correct."""
+    log_kernel = models.ill_conditioned_gaussian(8, condition_number=1e3)
+    s = mcmc_tpu.NUTSSettings(n_burnin_draws=500, n_keep_draws=500,
+                              n_adapt_draws=500)
+    out = mcmc_tpu.nuts(jnp.zeros(8), log_kernel, s, n_chains=8,
+                        key=jax.random.PRNGKey(0), adapt_mass_matrix=True,
+                        pooled_adaptation=True, adapt_depth=True)
+    cap = np.asarray(out.diagnostics["depth_cap"])
+    assert (cap == cap[0]).all()          # pooled: one shared budget
+    assert 1 <= cap[0] <= 10
+    depth = np.asarray(out.diagnostics["tree_depth"])
+    assert depth.max() <= cap[0]
+    d = np.asarray(out.draws).reshape(-1, 8)
+    ratio = d.var(axis=0) / np.asarray(log_kernel.variances)
+    assert (ratio > 0.5).all() and (ratio < 1.6).all()
+
+
+def test_nuts_eight_schools_exact_posterior():
+    """Eight-schools (half-Cauchy tau): the endpoint tree variant must match
+    the exact 2-d quadrature posterior E[mu]=4.397, E[tau]=3.589 (theta
+    marginalizes analytically: y_i ~ N(mu, sigma_i^2 + tau^2)). The
+    reference-shaped tree (tree_variant="reference") is measurably biased
+    high on tau — that quirk restarts each doubling from the current draw
+    rather than the tree endpoint (src/nuts.cpp:242-255)."""
+    lk = models.eight_schools_model(non_centered=True,
+                                    tau_prior="half_cauchy")
+    s = mcmc_tpu.NUTSSettings(n_burnin_draws=1500, n_keep_draws=3000,
+                              n_adapt_draws=1500, target_accept_rate=0.9)
+    out = mcmc_tpu.nuts(jnp.zeros(10), lk, s, n_chains=8,
+                        key=jax.random.PRNGKey(1), adapt_mass_matrix=True)
+    d = np.asarray(out.draws)
+    mu = float(d[..., 0].mean())
+    tau = float(np.exp(d[..., 1]).mean())
+    assert mu == pytest.approx(4.397, abs=0.35), mu
+    assert tau == pytest.approx(3.589, abs=0.45), tau
+    # modern diagnostics pass on a correctly converged run
+    summ = diagnostics.summary(out.draws)
+    assert float(np.asarray(summ["rhat_rank"]).max()) < 1.02
+    assert float(np.asarray(summ["ess_tail"]).min()) > 400
