@@ -36,8 +36,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["FusedHMCState", "make_fused_trajectory", "make_fused_hmc_step",
-           "make_fused_hmc_sampler"]
+__all__ = ["FusedHMCState", "make_fused_trajectory", "make_fused_hmc_step"]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -221,163 +220,3 @@ def make_fused_hmc_step(X, y, prior_scale=10.0, step_size=0.01, n_leap=4,
     step.dim = dim
     step.dim_padded = Dp
     return step
-
-
-# ---------------------------------------------------------------------------
-# Whole-sampler kernel: many HMC iterations per pallas_call, PRNG + accept +
-# streaming posterior moments all in VMEM.
-# ---------------------------------------------------------------------------
-
-def make_fused_hmc_sampler(X, y, prior_scale=10.0, step_size=0.01, n_leap=4,
-                           n_steps=50, block_chains: int = 256,
-                           interpret: bool = False):
-    """Build ``sampler(seed, z, U) -> (z', U', accept_count, mean, m2)``.
-
-    Runs ``n_steps`` complete HMC iterations (momentum refresh via in-kernel
-    Box-Muller on ``pltpu.prng_random_bits``, ``n_leap`` fused leapfrog
-    steps, ``min(0.01, .)`` MH accept as in reference src/hmc.cpp:188)
-    entirely inside one kernel invocation per chain block. Positions,
-    momenta and the design matrix stay VMEM-resident across all steps, so
-    per-step HBM traffic is zero; the only memory movement is the initial /
-    final state and the streaming Welford moment accumulators (mean, m2 per
-    chain x dim) that make posterior estimates available without storing a
-    single draw.
-
-    RNG: the per-core PRNG is seeded ``seed + program_id`` per block; draws
-    are deterministic for a fixed (seed, block_chains) pair but form a
-    different stream than jax.random — parity with the reference is
-    distributional (SURVEY.md §7 hard part 3).
-    """
-    X = jnp.asarray(X, jnp.float32)
-    y = jnp.asarray(y, jnp.float32)
-    n_data, dim = X.shape
-    Np = _round_up(n_data, 512)
-    Dp = _round_up(dim, 128)
-    inv_pv = 1.0 / (prior_scale * prior_scale)
-    eps = float(step_size)
-
-    Xp = jnp.zeros((Np, Dp), jnp.float32).at[:n_data, :dim].set(X)
-    Xb = Xp.astype(jnp.bfloat16)
-    Xtb = Xp.T.astype(jnp.bfloat16)
-    yrow = jnp.zeros((1, Np), jnp.float32).at[0, :n_data].set(y)
-    rmask = jnp.zeros((1, Np), jnp.float32).at[0, :n_data].set(1.0)
-    cmask = (jnp.arange(Dp)[None, :] < dim).astype(jnp.float32)  # (1, Dp)
-
-    TWO_PI = 6.283185307179586
-
-    def kernel(seed_ref, z_ref, u0_ref, xt_ref, x_ref, y_ref, m_ref, c_ref,
-               oz_ref, ou_ref, oacc_ref, omean_ref, om2_ref):
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        xt = xt_ref[:]
-        x = x_ref[:]
-        yv = y_ref[:]
-        mv = m_ref[:]
-        col = c_ref[:]
-
-        B = z_ref.shape[0]
-
-        def uniform(shape):
-            bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-            # top 24 bits -> (0, 1). Unsigned shift first (int32 would
-            # sign-extend), then reinterpret as int32 — values < 2^24 are
-            # sign-safe — because Mosaic lacks a uint32->f32 cast.
-            top = pltpu.bitcast(bits >> 8, jnp.int32)
-            return top.astype(jnp.float32) * (2.0 ** -24) + (2.0 ** -25)
-
-        def normal(shape):
-            u1 = uniform(shape)
-            u2 = uniform(shape)
-            return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(TWO_PI * u2)
-
-        def grad_of(z, want_u):
-            logits = jnp.dot(z.astype(jnp.bfloat16), xt,
-                             preferred_element_type=jnp.float32)
-            s = jax.nn.sigmoid(logits)
-            r = (yv - s) * mv
-            g = jnp.dot(r.astype(jnp.bfloat16), x,
-                        preferred_element_type=jnp.float32) - z * inv_pv
-            if want_u:
-                ll = jnp.sum(mv * (yv * logits - jax.nn.softplus(logits)),
-                             axis=1, keepdims=True)
-                return g, -(ll - 0.5 * jnp.sum(z * z, axis=1, keepdims=True) * inv_pv)
-            return g, None
-
-        def body(t, carry):
-            z, U, acc, mean, m2 = carry
-            p = normal((B, Dp)) * col
-            prev_K = 0.5 * jnp.sum(p * p, axis=1, keepdims=True)
-
-            zq, pq = z, p
-            uq = U
-            for k in range(n_leap):
-                g, _ = grad_of(zq, False)
-                pq = pq + (0.5 * eps) * g
-                zq = zq + eps * pq
-                g, uu = grad_of(zq, k == n_leap - 1)
-                pq = pq + (0.5 * eps) * g
-                uq = uu
-
-            prop_K = 0.5 * jnp.sum(pq * pq, axis=1, keepdims=True)
-            comp = jnp.minimum(0.01, -(uq + prop_K) + (U + prev_K))
-            zacc = uniform((B, 1))
-            take = zacc < jnp.exp(comp)
-
-            z = jnp.where(take, zq, z)
-            U = jnp.where(take, uq, U)
-            acc = acc + take.astype(jnp.float32)
-
-            # streaming Welford moments of the kept chain state
-            cnt = (t + 1).astype(jnp.float32)
-            delta = z - mean
-            mean = mean + delta / cnt
-            m2 = m2 + delta * (z - mean)
-            return z, U, acc, mean, m2
-
-        z0 = z_ref[:]
-        init = (z0, u0_ref[:], jnp.zeros((B, 1), jnp.float32),
-                jnp.zeros_like(z0), jnp.zeros_like(z0))
-        z, U, acc, mean, m2 = jax.lax.fori_loop(0, n_steps, body, init)
-
-        oz_ref[:] = z
-        ou_ref[:] = U
-        oacc_ref[:] = acc
-        omean_ref[:] = mean
-        om2_ref[:] = m2
-
-    def sampler(seed, z, U):
-        """seed: int32 scalar array; z: (n_chains, Dp) f32; U: (n_chains, 1)."""
-        n_chains = z.shape[0]
-        if n_chains % block_chains != 0:
-            raise ValueError(
-                f"n_chains={n_chains} must be a multiple of block_chains={block_chains}"
-            )
-        grid = (n_chains // block_chains,)
-        bspec = pl.BlockSpec((block_chains, Dp), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
-        b1 = pl.BlockSpec((block_chains, 1), lambda i: (i, 0),
-                          memory_space=pltpu.VMEM)
-        full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
-                                          memory_space=pltpu.VMEM)
-        out = pl.pallas_call(
-            kernel,
-            grid=grid,
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), bspec, b1,
-                      full((Dp, Np)), full((Np, Dp)), full((1, Np)),
-                      full((1, Np)), full((1, Dp))],
-            out_specs=[bspec, b1, b1, bspec, bspec],
-            out_shape=[
-                jax.ShapeDtypeStruct((n_chains, Dp), jnp.float32),
-                jax.ShapeDtypeStruct((n_chains, 1), jnp.float32),
-                jax.ShapeDtypeStruct((n_chains, 1), jnp.float32),
-                jax.ShapeDtypeStruct((n_chains, Dp), jnp.float32),
-                jax.ShapeDtypeStruct((n_chains, Dp), jnp.float32),
-            ],
-            interpret=interpret,
-        )(jnp.asarray(seed, jnp.int32).reshape(1), z, U, Xtb, Xb, yrow,
-          rmask, cmask)
-        return out
-
-    sampler.dim = dim
-    sampler.dim_padded = Dp
-    sampler.n_steps = n_steps
-    return sampler
