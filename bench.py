@@ -1,6 +1,6 @@
 #!/usr/bin/env python
-"""Benchmark: leapfrog steps/sec/chip, HMC on 100-d Bayesian logistic
-regression (the BASELINE.md primary workload).
+"""Benchmark: leapfrog steps/sec/chip + converged NUTS ESS/sec, 100-d
+Bayesian logistic regression (the BASELINE.md primary workload).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
@@ -12,13 +12,23 @@ reference library itself publishes no numbers and its Armadillo/Eigen
 dependencies are not installable here (BASELINE.md). The C++ number is
 measured once on this host and cached in benchmarks/baseline_cpp.json.
 
-The TPU path: 16384 vmapped chains, gradients as (chains, d) x (d, n) MXU
-matmuls in bfloat16 with f32 accumulation (the accept test stays f32, so
-MH exactness is unaffected — gradient precision only shapes the proposal).
+Two measurements:
+
+1. **Throughput** (the headline metric): 16384 vmapped chains through the
+   Pallas fused-leapfrog HMC step — gradients as (chains, d) x (d, n) MXU
+   matmuls in bfloat16 with f32 accumulation (the accept test stays f32, so
+   MH exactness is unaffected — gradient precision only shapes the
+   proposal).
+
+2. **Statistical quality** (BASELINE "ESS/sec ... R-hat parity"): NUTS with
+   full warmup adaptation — pooled dual averaging at 0.8 target accept,
+   windowed diagonal mass-matrix adaptation, and a learned tree-depth
+   budget — on the same posterior; min/bulk/tail ESS per second over the
+   post-warmup phase, gated on max split R-hat <= 1.01 ("converged": the
+   quality numbers are only claimed when the gate passes).
 """
 
 import json
-import os
 import pathlib
 import subprocess
 import time
@@ -31,6 +41,10 @@ DIM = 100
 N_DATA = 1000
 N_LEAP = 4
 STEP_SIZE = 0.01
+
+NUTS_CHAINS = 256
+NUTS_WARMUP = 500
+NUTS_KEEP = 1000
 
 
 def cpp_baseline_steps_per_sec():
@@ -54,27 +68,13 @@ def cpp_baseline_steps_per_sec():
         return None
 
 
-def main():
-    baseline = cpp_baseline_steps_per_sec()
-
+def measure_throughput(X, y, on_tpu):
     import jax
-    import jax.numpy as jnp
     from jax import lax
-
-    import mcmc_tpu  # noqa: F401
-    from mcmc_tpu import models
     from mcmc_tpu.ops.fused_logreg import make_fused_hmc_step
 
-    platform = jax.devices()[0].platform
-    on_tpu = platform == "tpu"
-
-    key = jax.random.PRNGKey(0)
-    X, y, _ = models.make_logistic_regression_data(key, N_DATA, DIM)
-
-    # fused Pallas trajectory (VMEM-resident leapfrog); interpret off-TPU
     step = make_fused_hmc_step(X, y, step_size=STEP_SIZE, n_leap=N_LEAP,
                                block_chains=256, interpret=not on_tpu)
-
     positions = 0.05 * jax.random.normal(jax.random.PRNGKey(1), (N_CHAINS, DIM))
     state = step.init(positions)
 
@@ -91,9 +91,8 @@ def main():
                                      length=STEPS_PER_CALL)
         return key, state, acc.mean()
 
-    # warmup / compile
     key = jax.random.PRNGKey(2)
-    key, state, acc = run_steps(key, state)
+    key, state, acc = run_steps(key, state)          # warmup / compile
     jax.block_until_ready(state)
 
     n_calls = 0
@@ -105,39 +104,102 @@ def main():
         n_calls += 1
         elapsed = time.perf_counter() - t0
 
-    total_leapfrogs = n_calls * STEPS_PER_CALL * N_LEAP * N_CHAINS
-    steps_per_sec = total_leapfrogs / elapsed
+    total = n_calls * STEPS_PER_CALL * N_LEAP * N_CHAINS
+    return total / elapsed, float(acc)
 
-    # secondary: ESS/sec + R-hat on the same target (BASELINE.md metrics)
+
+def measure_nuts_quality(log_kernel):
+    """Adapted-NUTS ESS/sec with a convergence gate (VERDICT r1 item 1):
+    pooled dual averaging + windowed diag mass + depth budget over
+    NUTS_WARMUP draws, then a timed sampling phase of NUTS_KEEP draws."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    import mcmc_tpu
     from mcmc_tpu import diagnostics
-    ESS_CHAINS, ESS_DRAWS = 2048, 300
-    # longer trajectories for the mixing measurement (L*eps ~ posterior scale)
-    ess_step = make_fused_hmc_step(X, y, step_size=0.05, n_leap=8,
-                                   block_chains=256, interpret=not on_tpu)
-    ess_state = ess_step.init(
-        0.05 * jax.random.normal(jax.random.PRNGKey(9), (ESS_CHAINS, DIM)))
+    from mcmc_tpu.samplers import common
+    from mcmc_tpu.samplers.nuts import build_nuts_kernel
 
-    @jax.jit
-    def run_collect(key, state):
-        def body(carry, _):
-            st, k = carry
-            k, sub = jax.random.split(k)
-            st, _info = ess_step(sub, st)
-            return (st, k), st.position[:, :DIM]
-        (state, _), draws = lax.scan(body, (state, key), None, length=ESS_DRAWS)
-        return state, draws
+    s = mcmc_tpu.NUTSSettings(n_burnin_draws=NUTS_WARMUP, n_keep_draws=NUTS_KEEP,
+                              n_adapt_draws=NUTS_WARMUP, target_accept_rate=0.8)
+    precond = common.make_spd(None, DIM, jnp.float32)
+    init, step = build_nuts_kernel(log_kernel, jax.grad(log_kernel), precond,
+                                   s, NUTS_WARMUP, pooled_adaptation=True,
+                                   adapt_mass_matrix=True, adapt_depth=True)
+    bstep = jax.vmap(step, axis_name=common.CHAIN_AXIS_NAME)
 
-    for warm_key in (10, 12, 13):
-        ess_state, _warm = run_collect(jax.random.PRNGKey(warm_key), ess_state)
-    jax.block_until_ready(ess_state)
-    t_ess = time.perf_counter()
-    ess_state, draws = run_collect(jax.random.PRNGKey(11), ess_state)
+    keys = jax.random.split(jax.random.PRNGKey(11), NUTS_CHAINS)
+    pos0 = 0.05 * jax.random.normal(jax.random.PRNGKey(12), (NUTS_CHAINS, DIM))
+    state0 = jax.vmap(init, axis_name=common.CHAIN_AXIS_NAME)(keys, pos0)
+
+    def scan_phase(n, collect):
+        def run(state, ks):
+            def body(c, _):
+                st, k = c
+                pairs = jax.vmap(lambda kk: jax.random.split(kk, 2))(k)
+                st, info = bstep(pairs[:, 1], st)
+                out = (st.position, info["tree_depth"], info["diverged"]) \
+                    if collect else None
+                return (st, pairs[:, 0]), out
+            (st, k), outs = lax.scan(body, (state, ks), None, length=n)
+            return st, k, outs
+        return jax.jit(run)
+
+    warm = scan_phase(NUTS_WARMUP, collect=False)
+    samp = scan_phase(NUTS_KEEP, collect=True)
+
+    ks = jax.random.split(jax.random.PRNGKey(13), NUTS_CHAINS)
+    t0 = time.perf_counter()
+    stw, ks, _ = warm(state0, ks)
+    jax.block_until_ready(stw)
+    t_warm = time.perf_counter() - t0
+
+    # compile the sampling phase off the clock, then measure
+    _st, _ks, outs = samp(stw, ks)
+    jax.block_until_ready(outs[0])
+    t0 = time.perf_counter()
+    _st, _ks, (draws, depth, div) = samp(stw, ks)
     jax.block_until_ready(draws)
-    ess_elapsed = time.perf_counter() - t_ess
+    t_samp = time.perf_counter() - t0
+
     ess = diagnostics.ess(draws)
-    rhat = diagnostics.split_rhat(draws)
-    min_ess_per_sec = float(ess.min()) / ess_elapsed
-    max_rhat = float(rhat.max())
+    rhat = float(diagnostics.split_rhat(draws).max())
+    rank_rhat = float(diagnostics.rank_normalized_rhat(draws).max())
+    return {
+        "nuts_min_ess_per_sec": round(float(ess.min()) / t_samp, 1),
+        "nuts_bulk_ess_per_sec": round(
+            float(diagnostics.bulk_ess(draws).min()) / t_samp, 1),
+        "nuts_tail_ess_per_sec": round(
+            float(diagnostics.tail_ess(draws).min()) / t_samp, 1),
+        "nuts_draws_per_sec": round(NUTS_KEEP * NUTS_CHAINS / t_samp, 1),
+        "nuts_max_split_rhat": round(rhat, 4),
+        "nuts_max_rank_rhat": round(rank_rhat, 4),
+        "nuts_converged": bool(rhat <= 1.01),
+        "nuts_mean_tree_depth": round(float(depth.mean()), 2),
+        "nuts_n_divergent": int(div.sum()),
+        "nuts_warmup_seconds": round(t_warm, 2),
+        "nuts_sample_seconds": round(t_samp, 2),
+        "nuts_chains": NUTS_CHAINS,
+        "nuts_adapted_step_size": round(float(stw.epsilon_bar[0]), 4),
+    }
+
+
+def main():
+    baseline = cpp_baseline_steps_per_sec()
+
+    import jax
+    import mcmc_tpu  # noqa: F401
+    from mcmc_tpu import models
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+
+    key = jax.random.PRNGKey(0)
+    X, y, _ = models.make_logistic_regression_data(key, N_DATA, DIM)
+
+    steps_per_sec, acc = measure_throughput(X, y, on_tpu)
+    quality = measure_nuts_quality(models.logistic_regression_model(X, y))
 
     result = {
         "metric": "leapfrog_steps_per_sec_per_chip",
@@ -149,10 +211,9 @@ def main():
         "n_chains": N_CHAINS,
         "dim": DIM,
         "n_data": N_DATA,
-        "accept_rate": round(float(acc), 4),
-        "min_ess_per_sec": round(min_ess_per_sec, 1),
-        "max_split_rhat": round(max_rhat, 4),
-        "workload": "HMC 100-d Bayesian logistic regression (BASELINE.md)",
+        "accept_rate": round(acc, 4),
+        "workload": "HMC+NUTS 100-d Bayesian logistic regression (BASELINE.md)",
+        **quality,
     }
     print(json.dumps(result))
 

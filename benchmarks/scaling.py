@@ -6,10 +6,14 @@ Runs the chain-sharded HMC workload on meshes of 1, 2, ..., all available
 devices with the per-device chain count held fixed (weak scaling — the
 configuration that matters for MCMC, where you add chips to run more
 chains), and reports samples/s plus parallel efficiency vs the single-device
-rate. On a multi-host slice, run under ``jax.distributed.initialize``; on a
-single chip it degenerates to one row. Pass ``--cpu`` to exercise the full
-code path on the virtual host-device mesh (validates the harness, not ICI
-bandwidth).
+rate. On a multi-host slice, call ``mcmc_tpu.parallel.init_distributed()``
+on every process first and build the mesh with
+``mcmc_tpu.parallel.global_mesh()``; the cross-process plumbing (global
+arrays, SPMD collectives over the process boundary) is exercised in
+software by ``tests/test_multiprocess.py`` (2 CPU processes x 4 virtual
+devices). On a single chip this harness degenerates to one row. Pass
+``--cpu`` to exercise the full code path on the virtual host-device mesh
+(validates the harness, not ICI bandwidth).
 
 Prints one JSON line: {"devices": [...], "samples_per_sec": [...],
 "efficiency": [...]}.

@@ -21,7 +21,7 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
-def run_all(quick=False):
+def run_all(quick=False, out_path=None):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -82,7 +82,7 @@ def run_all(quick=False):
                               n_keep_draws=600 // scale,
                               n_adapt_draws=600 // scale),
         n_chains=64, key=jax.random.PRNGKey(5),
-        adapt_mass_matrix=True, pooled_adaptation=True))
+        adapt_mass_matrix=True, pooled_adaptation=True, adapt_depth=True))
     record("nuts_banana", lambda: mcmc_tpu.nuts(
         jnp.zeros(2), models.banana_model(b=0.1, sigma=3.0),
         mcmc_tpu.NUTSSettings(n_burnin_draws=800 // scale,
@@ -111,7 +111,8 @@ def run_all(quick=False):
     lk_hard = models.gaussian_mixture_model(mu, jnp.array([0.1, 0.1]),
                                             jnp.array([0.5, 0.5]))
     record("aees_mixture", lambda: mcmc_tpu.aees(
-        mu[0], lk_hard, aees_settings, key=jax.random.PRNGKey(8), n_runs=8))
+        mu[0], lk_hard, aees_settings, key=jax.random.PRNGKey(8), n_runs=8,
+        history_capacity=512))
     record("rmhmc_fisher", lambda: mcmc_tpu.rmhmc(
         jnp.array([2.5, 2.5]), lk_ms, models.normal_fisher_metric(1000),
         mcmc_tpu.RMHMCSettings(n_burnin_draws=500 // scale,
@@ -119,17 +120,24 @@ def run_all(quick=False):
                                step_size=0.15, n_leap_steps=3),
         n_chains=64, key=jax.random.PRNGKey(9)))
 
-    worst_rhat = max(r["max_split_rhat"] for r in results)
-    print(json.dumps({"suite": "baseline_configs", "n_configs": len(results),
-                      "worst_split_rhat": worst_rhat,
-                      "platform": jax.devices()[0].platform}))
+    summary = {"suite": "baseline_configs", "n_configs": len(results),
+               "worst_split_rhat": max(r["max_split_rhat"] for r in results),
+               "platform": jax.devices()[0].platform}
+    print(json.dumps(summary))
+    if out_path is not None:
+        pathlib.Path(out_path).write_text(
+            json.dumps({"summary": summary, "configs": results}, indent=1))
 
 
 if __name__ == "__main__":
     quick = "--quick" in sys.argv
+    out_path = None
+    for i, a in enumerate(sys.argv):
+        if a == "--out" and i + 1 < len(sys.argv):
+            out_path = sys.argv[i + 1]
     if "--cpu" in sys.argv:
         import os
         os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
         import jax
         jax.config.update("jax_platforms", "cpu")
-    run_all(quick=quick)
+    run_all(quick=quick, out_path=out_path)

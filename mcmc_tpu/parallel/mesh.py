@@ -43,7 +43,20 @@ def chain_sharding(mesh: Mesh, ndim: int, axis_name: str = CHAIN_AXIS) -> NamedS
 
 
 def shard_chain_axis(tree, mesh: Mesh, axis_name: str = CHAIN_AXIS):
-    """Place every leaf with its leading axis sharded over the mesh."""
+    """Place every leaf with its leading axis sharded over the mesh.
+
+    Works for single-process meshes (plain device_put) and multi-process
+    global meshes (each process contributes its addressable shards of the
+    host-replicated value via ``global_chain_array`` — callers must pass
+    identical values on every process, which the fixed-seed PRNG discipline
+    guarantees)."""
+    multiprocess = any(d.process_index != jax.process_index()
+                       for d in mesh.devices.flat)
+    if multiprocess:
+        from mcmc_tpu.parallel.distributed import global_chain_array
+        return jax.tree_util.tree_map(
+            lambda x: global_chain_array(x, mesh, axis_name), tree)
+
     def place(x):
         return jax.device_put(x, chain_sharding(mesh, x.ndim, axis_name))
     return jax.tree_util.tree_map(place, tree)
