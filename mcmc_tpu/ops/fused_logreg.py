@@ -36,7 +36,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["FusedHMCState", "make_fused_trajectory", "make_fused_hmc_step"]
+__all__ = ["FusedHMCState", "make_fused_trajectory", "make_fused_hmc_step",
+           "make_fused_gaussian_trajectory", "make_fused_gaussian_hmc_step"]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -61,9 +62,16 @@ def make_fused_trajectory(X, y, prior_scale: float, step_size: float,
     to both gradient and log-density. ``link`` selects the GLM family: all
     three share the gradient structure ``X^T (y - mu(eta)) - z / s^2`` so
     one kernel covers them.
+
+    ``link`` may also be a *callable* ``link_fn(eta, y) -> (mu, ll_terms)``
+    mapping the linear predictor to the mean function and the per-datum
+    log-likelihood terms (both same shape as ``eta``; padded columns are
+    masked by the kernel afterwards) — any jnp-expressible exponential
+    family with canonical link plugs into the same fused trajectory (the
+    kernel uses the canonical-link identity ``d ll / d eta = y - mu``).
     """
-    if link not in _LINKS:
-        raise ValueError(f"link must be one of {_LINKS}, got {link!r}")
+    if not callable(link) and link not in _LINKS:
+        raise ValueError(f"link must be callable or one of {_LINKS}, got {link!r}")
     X = jnp.asarray(X, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
     n_data, dim = X.shape
@@ -86,25 +94,25 @@ def make_fused_trajectory(X, y, prior_scale: float, step_size: float,
         yv = y_ref[:]
         mv = m_ref[:]
 
+        def link_eval(eta):
+            """(mu, ll_terms) for the linear predictor."""
+            if callable(link):
+                return link(eta, yv)
+            if link == "logistic":
+                return jax.nn.sigmoid(eta), yv * eta - jax.nn.softplus(eta)
+            if link == "poisson":
+                mu = jnp.exp(eta)
+                return mu, yv * eta - mu
+            return eta, -0.5 * (yv - eta) ** 2
+
         def grad_of(z, want_u):
             eta = jnp.dot(z.astype(jnp.bfloat16), xt,
                           preferred_element_type=jnp.float32)
-            if link == "logistic":
-                mu = jax.nn.sigmoid(eta)
-            elif link == "poisson":
-                mu = jnp.exp(eta)
-            else:
-                mu = eta
+            mu, ll_terms = link_eval(eta)
             r = (yv - mu) * mv
             g = jnp.dot(r.astype(jnp.bfloat16), x,
                         preferred_element_type=jnp.float32) - z * inv_pv
             if want_u:
-                if link == "logistic":
-                    ll_terms = yv * eta - jax.nn.softplus(eta)
-                elif link == "poisson":
-                    ll_terms = yv * eta - mu
-                else:
-                    ll_terms = -0.5 * (yv - eta) ** 2
                 ll = jnp.sum(mv * ll_terms, axis=1, keepdims=True)
                 u = -(ll - 0.5 * jnp.sum(z * z, axis=1, keepdims=True) * inv_pv)
             else:
@@ -205,6 +213,151 @@ def make_fused_hmc_step(X, y, prior_scale=10.0, step_size=0.01, n_leap=4,
         z_new, p_new, prop_U = traj(state.position, p0)
         prop_U = jnp.where(jnp.isfinite(prop_U), prop_U, jnp.inf)
         prop_K = 0.5 * jnp.sum(p_new * p_new, axis=1)
+
+        comp = jnp.minimum(0.01, -(prop_U + prop_K) + (state.potential + prev_K))
+        u = jax.random.uniform(k_acc, (n_chains,), jnp.float32)
+        accepted = u < jnp.exp(comp)
+
+        new_state = FusedHMCState(
+            position=jnp.where(accepted[:, None], z_new, state.position),
+            potential=jnp.where(accepted, prop_U, state.potential),
+        )
+        return new_state, {"accepted": accepted}
+
+    step.init = init
+    step.dim = dim
+    step.dim_padded = Dp
+    return step
+
+
+# ---------------------------------------------------------------------------
+# Fused multivariate-Gaussian trajectory: U(z) = (z-m)^T P (z-m) / 2. The
+# gradient is one (chains, Dp) x (Dp, Dp) MXU matmul per half-kick; the
+# whole n_leap trajectory stays in VMEM (P, mean, z, p resident), so it is
+# the pure-matmul member of the fused-kernel family (ROADMAP #3).
+# ---------------------------------------------------------------------------
+
+def make_fused_gaussian_trajectory(precision, mean=None, step_size=0.1,
+                                   n_leap=4, block_chains: int = 256,
+                                   interpret: bool = False):
+    """Build ``traj(z, p) -> (z_new, p_new, U_new)`` for a multivariate
+    Gaussian target ``N(mean, P^{-1})`` given its precision matrix ``P``.
+
+    ``precision`` is (dim, dim) SPD (or a (dim,) diagonal); padded to
+    multiples of 128 with identity on the padded diagonal so padded
+    coordinates stay decoupled (their positions never feed back into real
+    coordinates and contribute zero to U because z starts 0 there and the
+    momentum is masked by the caller, matching :func:`make_fused_hmc_step`'s
+    column mask convention).
+    """
+    P = jnp.asarray(precision, jnp.float32)
+    if P.ndim == 1:
+        P = jnp.diag(P)
+    dim = P.shape[0]
+    Dp = _round_up(dim, 128)
+    eps = float(step_size)
+
+    Pp = jnp.eye(Dp, dtype=jnp.float32).at[:dim, :dim].set(P)
+    m_row = jnp.zeros((1, Dp), jnp.float32)
+    if mean is not None:
+        m_row = m_row.at[0, :dim].set(jnp.asarray(mean, jnp.float32))
+
+    def kernel(z_ref, p_ref, prec_ref, mean_ref, oz_ref, op_ref, ou_ref):
+        z = z_ref[:]
+        p = p_ref[:]
+        prec = prec_ref[:]
+        mu = mean_ref[:]
+
+        def grad_of(z):
+            # f32 matmul: the precision solve is the whole computation here,
+            # and Gaussian targets are often ill-conditioned — keep full
+            # precision on the MXU (f32 matmuls still run on the MXU via
+            # 3-pass bf16 decomposition)
+            return -jnp.dot(z - mu, prec, preferred_element_type=jnp.float32)
+
+        for _ in range(n_leap):
+            p = p + (0.5 * eps) * grad_of(z)
+            z = z + eps * p
+            p = p + (0.5 * eps) * grad_of(z)
+
+        d = z - mu
+        u = 0.5 * jnp.sum(d * jnp.dot(d, prec,
+                                      preferred_element_type=jnp.float32),
+                          axis=1, keepdims=True)
+        oz_ref[:] = z
+        op_ref[:] = p
+        ou_ref[:] = u
+
+    def traj(z, p):
+        n_chains = z.shape[0]
+        if n_chains % block_chains != 0:
+            raise ValueError(
+                f"n_chains={n_chains} must be a multiple of "
+                f"block_chains={block_chains}"
+            )
+        grid = (n_chains // block_chains,)
+        bspec = pl.BlockSpec((block_chains, Dp), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+        full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                          memory_space=pltpu.VMEM)
+        z_new, p_new, u_new = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[bspec, bspec, full((Dp, Dp)), full((1, Dp))],
+            out_specs=[bspec, bspec,
+                       pl.BlockSpec((block_chains, 1), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_chains, Dp), jnp.float32),
+                jax.ShapeDtypeStruct((n_chains, Dp), jnp.float32),
+                jax.ShapeDtypeStruct((n_chains, 1), jnp.float32),
+            ],
+            interpret=interpret,
+        )(z, p, Pp, m_row)
+        return z_new, p_new, u_new[:, 0]
+
+    traj.dim = dim
+    traj.dim_padded = Dp
+    return traj
+
+
+def make_fused_gaussian_hmc_step(precision, mean=None, step_size=0.1,
+                                 n_leap=4, block_chains: int = 256,
+                                 interpret: bool = False):
+    """Batched HMC transition for a multivariate-Gaussian target with the
+    trajectory fused in Pallas (same driver contract as
+    :func:`make_fused_hmc_step`)."""
+    traj = make_fused_gaussian_trajectory(precision, mean, step_size, n_leap,
+                                          block_chains, interpret)
+    dim, Dp = traj.dim, traj.dim_padded
+
+    P = jnp.asarray(precision, jnp.float32)
+    if P.ndim == 1:
+        P = jnp.diag(P)
+    mean_v = jnp.zeros((dim,), jnp.float32) if mean is None \
+        else jnp.asarray(mean, jnp.float32)
+
+    def reference_potential(zp):
+        d = zp[:dim] - mean_v
+        return 0.5 * d @ (P @ d)
+
+    def init(positions):
+        n_chains = positions.shape[0]
+        zp = jnp.zeros((n_chains, Dp), jnp.float32).at[:, :dim].set(positions)
+        U = jax.vmap(reference_potential)(zp)
+        return FusedHMCState(position=zp, potential=U)
+
+    col_mask = (jnp.arange(Dp) < dim).astype(jnp.float32)
+
+    def step(key, state: FusedHMCState):
+        n_chains = state.position.shape[0]
+        k_mom, k_acc = jax.random.split(key)
+        p0 = jax.random.normal(k_mom, (n_chains, Dp), jnp.float32) * col_mask
+        prev_K = 0.5 * jnp.sum(p0 * p0, axis=1)
+
+        z_new, p_new, prop_U = traj(state.position, p0)
+        prop_U = jnp.where(jnp.isfinite(prop_U), prop_U, jnp.inf)
+        prop_K = 0.5 * jnp.sum((p_new * col_mask) ** 2, axis=1)
 
         comp = jnp.minimum(0.01, -(prop_U + prop_K) + (state.potential + prev_K))
         u = jax.random.uniform(k_acc, (n_chains,), jnp.float32)

@@ -123,3 +123,88 @@ def test_fused_trajectory_glm_links():
                                    rtol=2e-2, atol=2e-2, err_msg=link)
         np.testing.assert_allclose(np.asarray(U1), np.asarray(-jax.vmap(lk)(z)),
                                    rtol=2e-2, atol=0.5, err_msg=link)
+
+
+def test_fused_gaussian_trajectory_matches_xla():
+    """The MVN fused trajectory equals the XLA leapfrog on the same target."""
+    from mcmc_tpu.ops.fused_logreg import make_fused_gaussian_trajectory
+    rng = np.random.default_rng(0)
+    A = rng.normal(size=(D, D))
+    P = jnp.asarray(A @ A.T / D + np.eye(D), jnp.float32)
+    mean = jnp.asarray(rng.normal(size=D), jnp.float32)
+
+    traj = make_fused_gaussian_trajectory(P, mean, step_size=EPS, n_leap=L,
+                                          block_chains=8, interpret=True)
+    n_chains = 16
+    z0 = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (n_chains, D))
+    p0 = jax.random.normal(jax.random.PRNGKey(2), (n_chains, D))
+    Dp = traj.dim_padded
+    zp = jnp.zeros((n_chains, Dp)).at[:, :D].set(z0)
+    pp = jnp.zeros((n_chains, Dp)).at[:, :D].set(p0)
+    z_f, p_f, u_f = traj(zp, pp)
+
+    def xla_leapfrog(z, p):
+        grad = lambda zz: -P @ (zz - mean)
+        for _ in range(L):
+            p = p + 0.5 * EPS * grad(z)
+            z = z + EPS * p
+            p = p + 0.5 * EPS * grad(z)
+        u = 0.5 * (z - mean) @ (P @ (z - mean))
+        return z, p, u
+
+    z_x, p_x, u_x = jax.vmap(xla_leapfrog)(z0, p0)
+    np.testing.assert_allclose(np.asarray(z_f[:, :D]), np.asarray(z_x),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(p_f[:, :D]), np.asarray(p_x),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(u_f), np.asarray(u_x),
+                               rtol=2e-4, atol=2e-4)
+    # padded coordinates stay exactly zero (decoupled identity block)
+    assert float(jnp.abs(z_f[:, D:]).max()) == 0.0
+
+
+def test_fused_gaussian_hmc_step_samples_target():
+    """The fused MVN HMC step samples N(mean, P^{-1})."""
+    from mcmc_tpu.ops.fused_logreg import make_fused_gaussian_hmc_step
+    var = jnp.array([0.5, 2.0, 1.0, 4.0])
+    P = jnp.diag(1.0 / var)
+    mean = jnp.array([1.0, -1.0, 0.5, 2.0])
+    step = make_fused_gaussian_hmc_step(P, mean, step_size=0.4, n_leap=5,
+                                        block_chains=8, interpret=True)
+    st = step.init(jnp.zeros((32, 4)))
+    key = jax.random.PRNGKey(0)
+
+    def body(carry, _):
+        st, k = carry
+        k, sub = jax.random.split(k)
+        st, info = step(sub, st)
+        return (st, k), st.position[:, :4]
+
+    (st, _), draws = jax.lax.scan(body, (st, key), None, length=400)
+    d = np.asarray(draws[100:]).reshape(-1, 4)
+    np.testing.assert_allclose(d.mean(axis=0), np.asarray(mean), atol=0.25)
+    np.testing.assert_allclose(d.var(axis=0), np.asarray(var), rtol=0.35)
+
+
+def test_fused_trajectory_custom_link_hook():
+    """A callable link reproducing the built-in logistic family must match
+    the built-in exactly (the pluggable eta -> (mu, ll) hook)."""
+    X, y = _setup()
+
+    def logistic_hook(eta, yv):
+        return jax.nn.sigmoid(eta), yv * eta - jax.nn.softplus(eta)
+
+    t_builtin = make_fused_trajectory(X, y, 10.0, EPS, L, block_chains=8,
+                                      interpret=True, link="logistic")
+    t_custom = make_fused_trajectory(X, y, 10.0, EPS, L, block_chains=8,
+                                     interpret=True, link=logistic_hook)
+    n_chains = 8
+    Dp = t_builtin.dim_padded
+    z0 = jnp.zeros((n_chains, Dp)).at[:, :D].set(
+        0.1 * jax.random.normal(jax.random.PRNGKey(1), (n_chains, D)))
+    p0 = jnp.zeros((n_chains, Dp)).at[:, :D].set(
+        jax.random.normal(jax.random.PRNGKey(2), (n_chains, D)))
+    zb, pb, ub = t_builtin(z0, p0)
+    zc, pc, uc = t_custom(z0, p0)
+    np.testing.assert_array_equal(np.asarray(zb), np.asarray(zc))
+    np.testing.assert_array_equal(np.asarray(ub), np.asarray(uc))
