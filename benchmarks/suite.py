@@ -72,7 +72,8 @@ def run_all(quick=False, out_path=None):
         mcmc_tpu.HMCSettings(n_burnin_draws=1000 // scale,
                              n_keep_draws=2000 // scale,
                              step_size=0.1, n_leap_steps=8),
-        n_chains=256, key=jax.random.PRNGKey(4), adapt_step_size=True))
+        n_chains=256, key=jax.random.PRNGKey(4), adapt_step_size=True,
+        adapt_mass_matrix=True))
 
     # 3. NUTS, 100-d ill-conditioned + banana
     lk_ill = models.ill_conditioned_gaussian(100, 1e4)
@@ -106,7 +107,7 @@ def run_all(quick=False, out_path=None):
     # 5. AEES (multimodal) + RM-HMC ((mu, sigma) with Fisher metric)
     aees_settings = mcmc_tpu.AEESSettings(
         n_initial_draws=500 // scale, n_burnin_draws=500 // scale,
-        n_keep_draws=4000 // scale, n_rings=11, ee_prob_par=0.05,
+        n_keep_draws=8000 // scale, n_rings=11, ee_prob_par=0.05,
         temper_vec=jnp.array([60.0, 9.0]), cov_mat=0.35 * jnp.eye(2))
     lk_hard = models.gaussian_mixture_model(mu, jnp.array([0.1, 0.1]),
                                             jnp.array([0.5, 0.5]))
@@ -115,8 +116,8 @@ def run_all(quick=False, out_path=None):
         history_capacity=512))
     record("rmhmc_fisher", lambda: mcmc_tpu.rmhmc(
         jnp.array([2.5, 2.5]), lk_ms, models.normal_fisher_metric(1000),
-        mcmc_tpu.RMHMCSettings(n_burnin_draws=500 // scale,
-                               n_keep_draws=1000 // scale,
+        mcmc_tpu.RMHMCSettings(n_burnin_draws=1000 // scale,
+                               n_keep_draws=2000 // scale,
                                step_size=0.15, n_leap_steps=3),
         n_chains=64, key=jax.random.PRNGKey(9)))
 

@@ -38,7 +38,10 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = CHAIN_AXIS) -> M
 
 
 def chain_sharding(mesh: Mesh, ndim: int, axis_name: str = CHAIN_AXIS) -> NamedSharding:
-    """Sharding that splits the leading (chain) axis across the mesh."""
+    """Sharding that splits the leading (chain) axis across the mesh;
+    rank-0 leaves (step counters etc.) are replicated."""
+    if ndim == 0:
+        return NamedSharding(mesh, P())
     return NamedSharding(mesh, P(axis_name, *([None] * (ndim - 1))))
 
 

@@ -53,3 +53,35 @@ class SamplerResult:
         d = jnp.asarray(self.draws)
         axes = tuple(range(d.ndim - 1))
         return d.var(axis=axes)
+
+    def summary(self):
+        """Posterior summary with convergence diagnostics
+        (:func:`mcmc_tpu.diagnostics.summary`): mean, sd, MCSE, split R-hat,
+        Geyer ESS, rank-normalized R-hat, bulk/tail ESS."""
+        from mcmc_tpu import diagnostics
+        return diagnostics.summary(self.draws)
+
+    def to_arviz(self, var_name: str = "x"):
+        """Convert to an ``arviz.InferenceData`` (requires the optional
+        ``arviz`` package; raises ImportError with guidance otherwise).
+        Draws are exposed as (chain, draw, dim) under ``var_name``;
+        per-draw diagnostics with matching shapes go to ``sample_stats``."""
+        try:
+            import arviz as az
+        except ImportError as e:
+            raise ImportError(
+                "SamplerResult.to_arviz() needs the optional 'arviz' "
+                "package (pip install arviz)") from e
+        import numpy as np
+        d = np.asarray(self.draws)
+        if d.ndim == 2:
+            d = d[:, None, :]
+        posterior = {var_name: np.moveaxis(d, 0, 1)}   # (chain, draw, dim)
+        stats = {}
+        n_keep, n_chains = d.shape[0], d.shape[1]
+        for k, v in self.diagnostics.items():
+            v = np.asarray(v)
+            if v.shape[:2] == (n_keep, n_chains):
+                stats[k] = np.moveaxis(v, 0, 1)
+        return az.from_dict(posterior=posterior,
+                            sample_stats=stats or None)

@@ -363,3 +363,26 @@ def test_nuts_checkpoint_mesh_kill_resume(tmp_path):
     b = np.load(clean_dir / "final.npy")
     assert a.shape == (200, 16, 3)
     np.testing.assert_array_equal(a, b)
+
+
+def test_de_checkpoint_with_mesh(tmp_path):
+    """Sharded DE (all_gather sweep) + checkpointing compose: the runner
+    shards the population over the mesh and a rerun resumes as a no-op."""
+    from mcmc_tpu import models
+    from mcmc_tpu.parallel import make_mesh
+    key = jax.random.PRNGKey(6)
+    x = 2.0 + jax.random.normal(key, (100,))
+    lk = models.gaussian_mean_model(x, sigma=1.0)
+    s = mcmc_tpu.DESettings(n_pop=32, n_burnin_draws=150, n_keep_draws=200)
+    mesh = make_mesh(8)
+
+    ck = mcmc_tpu.de(jnp.array([1.0]), lk, s, key=jax.random.PRNGKey(2),
+                     mesh=mesh, checkpoint_dir=tmp_path / "de_mesh",
+                     checkpoint_every=80)
+    assert ck.draws.shape == (200, 32, 1)
+    assert abs(float(np.asarray(ck.draws)[100:].mean()) - 2.0) < 0.4
+
+    ck2 = mcmc_tpu.de(jnp.array([1.0]), lk, s, key=jax.random.PRNGKey(2),
+                      mesh=mesh, checkpoint_dir=tmp_path / "de_mesh",
+                      checkpoint_every=80)
+    np.testing.assert_array_equal(np.asarray(ck.draws), np.asarray(ck2.draws))

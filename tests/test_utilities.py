@@ -67,3 +67,25 @@ def test_settings_replace():
     s = mcmc_tpu.AlgoSettings(rng_seed_value=1)
     s2 = s.replace(rng_seed_value=7)
     assert s2.rng_seed_value == 7 and s.rng_seed_value == 1
+
+
+def test_result_summary_and_arviz_gate():
+    """SamplerResult.summary() returns the full diagnostic set; to_arviz()
+    raises a helpful ImportError when arviz is absent (optional dep)."""
+    import mcmc_tpu
+    out = mcmc_tpu.rwmh(jnp.zeros(2), lambda v: -0.5 * jnp.sum(v**2),
+                        mcmc_tpu.RWMHSettings(n_burnin_draws=100,
+                                              n_keep_draws=200, par_scale=1.0),
+                        n_chains=4, key=jax.random.PRNGKey(0))
+    summ = out.summary()
+    for k in ("mean", "sd", "mcse", "rhat", "ess", "rhat_rank",
+              "ess_bulk", "ess_tail"):
+        assert k in summ, k
+    try:
+        import arviz  # noqa: F401
+        idata = out.to_arviz()
+        assert idata.posterior["x"].shape == (4, 200, 2)
+    except ImportError:
+        import pytest
+        with pytest.raises(ImportError, match="arviz"):
+            out.to_arviz()
