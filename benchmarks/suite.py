@@ -107,17 +107,17 @@ def run_all(quick=False, out_path=None):
     # 5. AEES (multimodal) + RM-HMC ((mu, sigma) with Fisher metric)
     aees_settings = mcmc_tpu.AEESSettings(
         n_initial_draws=500 // scale, n_burnin_draws=500 // scale,
-        n_keep_draws=8000 // scale, n_rings=11, ee_prob_par=0.05,
+        n_keep_draws=12000 // scale, n_rings=11, ee_prob_par=0.05,
         temper_vec=jnp.array([60.0, 9.0]), cov_mat=0.35 * jnp.eye(2))
     lk_hard = models.gaussian_mixture_model(mu, jnp.array([0.1, 0.1]),
                                             jnp.array([0.5, 0.5]))
     record("aees_mixture", lambda: mcmc_tpu.aees(
-        mu[0], lk_hard, aees_settings, key=jax.random.PRNGKey(8), n_runs=8,
+        mu[0], lk_hard, aees_settings, key=jax.random.PRNGKey(8), n_runs=16,
         history_capacity=512))
     record("rmhmc_fisher", lambda: mcmc_tpu.rmhmc(
         jnp.array([2.5, 2.5]), lk_ms, models.normal_fisher_metric(1000),
-        mcmc_tpu.RMHMCSettings(n_burnin_draws=1000 // scale,
-                               n_keep_draws=2000 // scale,
+        mcmc_tpu.RMHMCSettings(n_burnin_draws=1500 // scale,
+                               n_keep_draws=4000 // scale,
                                step_size=0.15, n_leap_steps=3),
         n_chains=64, key=jax.random.PRNGKey(9)))
 

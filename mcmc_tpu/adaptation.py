@@ -125,3 +125,28 @@ def wv_update(wv: WindowedVariance, x, collecting, window_end,
     mean = jnp.where(window_end, jnp.zeros_like(mean), mean)
     m2 = jnp.where(window_end, jnp.zeros_like(m2), m2)
     return WindowedVariance(count=count, mean=mean, m2=m2, var=var)
+
+
+def make_precond_cfg(n_adapt, pooled=False, axis_name=None):
+    """Schedule bundle for windowed proposal-covariance / preconditioner
+    adaptation (shared by RWMH and MALA)."""
+    collect, window_end = window_schedule(n_adapt)
+    return {"n_adapt": n_adapt, "collect": collect, "window_end": window_end,
+            "axis_name": axis_name if pooled else None}
+
+
+def windowed_precond_step(wv: WindowedVariance, da, new_position, draw_ind,
+                          cfg, reset_da: bool):
+    """One per-draw update of the windowed variance (and, at window ends,
+    a dual-averaging restart from the current scale, Stan-style — the new
+    covariance changes the acceptance landscape)."""
+    idx = jnp.minimum(draw_ind, cfg["collect"].shape[0] - 1)
+    in_warmup = draw_ind < cfg["n_adapt"]
+    collecting = in_warmup & cfg["collect"][idx]
+    wend = in_warmup & cfg["window_end"][idx]
+    wv = wv_update(wv, new_position, collecting, wend, cfg["axis_name"])
+    if reset_da:
+        da_reset = da_init(jnp.exp(da.log_eps))
+        da = jax.tree_util.tree_map(
+            lambda r, old: jnp.where(wend, r, old), da_reset, da)
+    return wv, da

@@ -72,6 +72,62 @@ def _key_data(tree):
     return jax.tree_util.tree_map(conv, tree)
 
 
+def _atomic_write_text(path, text):
+    path = pathlib.Path(path)
+    fd, tmp = tempfile.mkstemp(dir=path.parent, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(text)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def _save_ckpt(path, keys_state, meta, totals):
+    """One atomic artifact holding sampler state + progress meta + info
+    totals, so no kill window can leave state and progress inconsistent
+    (bit-identical resume depends on them advancing together)."""
+    path = pathlib.Path(path)
+    leaves, _ = jax.tree_util.tree_flatten(keys_state)
+    arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    for k, v in totals.items():
+        arrays[f"total__{k}"] = np.asarray(v)
+    payload = {"n_leaves": len(leaves), "meta": meta,
+               "total_keys": sorted(totals)}
+    fd, tmp = tempfile.mkstemp(dir=path.parent, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, __meta__=json.dumps(payload), **arrays)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def _load_ckpt(path, like):
+    """Returns (keys_state, meta, totals); raises on structural mismatch."""
+    with np.load(path, allow_pickle=False) as data:
+        payload = json.loads(str(data["__meta__"]))
+        leaves = [data[f"leaf_{i}"] for i in range(payload["n_leaves"])]
+        totals = {k: np.asarray(data[f"total__{k}"])
+                  for k in payload.get("total_keys", [])}
+    like_leaves, treedef = jax.tree_util.tree_flatten(like)
+    if len(like_leaves) != len(leaves):
+        raise ValueError(
+            f"checkpoint has {len(leaves)} leaves, template has {len(like_leaves)}"
+        )
+    out = []
+    for tmpl, arr in zip(like_leaves, leaves):
+        a = jnp.asarray(arr)
+        if hasattr(tmpl, "dtype") and jnp.issubdtype(tmpl.dtype, jax.dtypes.prng_key):
+            a = jax.random.wrap_key_data(arr)
+        out.append(a)
+    return jax.tree_util.tree_unflatten(treedef, out), payload["meta"], totals
+
+
 def _sum_info(totals, infos):
     """Fold one chunk's per-draw info traces into the running totals.
 
@@ -144,11 +200,16 @@ class ChunkedRunner:
         return keys, state
 
     def run(self, key, state0, n_draws, chunk_size=100, row_shape=None,
-            dtype=None, n_burnin=0):
+            dtype=None, n_burnin=0, max_chunks=None):
         """Returns ``(final_state, draws, info_totals)`` with draws memmapped
         from the sink and ``info_totals`` a dict of per-chain sums of every
-        info entry over kept draws (``accepted`` being the acceptance count).
-        ``n_burnin`` draws execute first without being stored."""
+        info entry over kept draws (``accepted`` being the acceptance count;
+        divide by the kept-draw count for per-draw means — entries that are
+        not counts or means, e.g. a step-size trace, produce sums with no
+        standalone meaning and should be ignored by callers).
+        ``n_burnin`` draws execute first without being stored.
+        ``max_chunks`` stops after that many chunks (time-budgeted partial
+        execution; call again to continue)."""
         if self.single_key:
             keys = key
         else:
@@ -167,30 +228,28 @@ class ChunkedRunner:
         dtype_name = np.dtype(dtype).name
 
         ckpt = self.dir / "state.npz"
-        meta_path = self.dir / "progress.json"
+        meta_path = self.dir / "progress.json"    # human-readable mirror only
         sink_path = self.dir / "draws.bin"
+        run_meta = {"n_draws": n_draws, "chunk_size": chunk_size,
+                    "n_burnin": n_burnin, "dtype": dtype_name}
 
         done = 0
         totals = {}
-        if meta_path.exists() and ckpt.exists():
-            meta = json.loads(meta_path.read_text())
-            if (meta.get("n_draws") == n_draws and meta.get("chunk_size") == chunk_size
-                    and meta.get("n_burnin", 0) == n_burnin
-                    and meta.get("dtype", dtype_name) == dtype_name):
-                try:
-                    keys, state = restore(ckpt, like=(keys, state))
+        if ckpt.exists():
+            try:
+                (keys, state), meta, totals = _load_ckpt(ckpt, like=(keys, state))
+                if all(meta.get(k) == v for k, v in run_meta.items()):
                     done = meta["done"]
-                    totals = {k: np.asarray(v) for k, v in
-                              meta.get("info_totals", {}).items()}
-                except (ValueError, KeyError) as e:
-                    # stale checkpoint from an incompatible sampler-state
-                    # layout: restart rather than crash
-                    import warnings
-                    warnings.warn(f"ignoring incompatible checkpoint in "
-                                  f"{self.dir}: {e}")
-                    done = 0
-            else:
-                done = 0
+                else:
+                    keys = key if self.single_key else \
+                        jax.random.split(key, n_chains)
+                    state, totals = state0, {}
+            except (ValueError, KeyError) as e:
+                # stale checkpoint from an incompatible sampler-state
+                # layout: restart rather than crash
+                import warnings
+                warnings.warn(f"ignoring incompatible checkpoint in "
+                              f"{self.dir}: {e}")
 
         keys, state = self._shard(keys, state)
         run_chunk = self._chunk_fn(chunk_size)
@@ -206,10 +265,13 @@ class ChunkedRunner:
         else:
             existing = None
 
+        n_chunks = 0
         with DrawSink(sink_path, row_shape, dtype) as sink:
             if existing is not None:
                 sink.append(existing)
             while done < total:
+                if max_chunks is not None and n_chunks >= max_chunks:
+                    break
                 # chunks never straddle the burn-in/keep boundary
                 if done < n_burnin:
                     step_n = min(chunk_size, n_burnin - done)
@@ -225,13 +287,16 @@ class ChunkedRunner:
                     if isinstance(infos, dict):
                         totals = _sum_info(totals, infos)
                 done += step_n
+                n_chunks += 1
                 # the native sink writes asynchronously: drain it before the
-                # progress marker claims these draws are durable
+                # checkpoint claims these draws are durable; state + progress
+                # + totals then land in ONE atomic artifact (no kill window
+                # can leave them inconsistent)
                 sink.flush()
-                save(ckpt, _key_data((keys, state)))
-                meta_path.write_text(json.dumps(
-                    {"done": done, "n_draws": n_draws, "chunk_size": chunk_size,
-                     "n_burnin": n_burnin, "dtype": dtype_name,
+                _save_ckpt(ckpt, _key_data((keys, state)),
+                           {"done": done, **run_meta}, totals)
+                _atomic_write_text(meta_path, json.dumps(
+                    {"done": done, **run_meta,
                      "info_totals": {k: np.asarray(v).tolist()
                                      for k, v in totals.items()}}
                 ))

@@ -104,6 +104,15 @@ def _rank_normalize(draws):
     return z.reshape(n, m, dim)
 
 
+def _split_chains(draws):
+    """Split each chain in half: (n, m, d) -> (n//2, 2m, d). The split is
+    what lets within-chain nonstationarity (a drifting, unconverged chain)
+    surface as between-sequence variance in the ESS estimators, matching
+    Stan/arviz (Vehtari et al. 2021 §3.1)."""
+    n = draws.shape[0] // 2
+    return jnp.concatenate([draws[:n], draws[n : 2 * n]], axis=1)
+
+
 def rank_normalized_rhat(draws):
     """Rank-normalized split R-hat (Vehtari, Gelman, Simpson, Carpenter,
     Burkner 2021): the max of split R-hat on rank-normalized draws (bulk)
@@ -117,18 +126,21 @@ def rank_normalized_rhat(draws):
 
 
 def bulk_ess(draws):
-    """Bulk effective sample size: Geyer ESS of rank-normalized draws."""
+    """Bulk effective sample size: Geyer ESS of rank-normalized *split*
+    chains (Vehtari et al. 2021; matches Stan/arviz ess_bulk)."""
     draws = _ensure_3d(draws)
-    return ess(_rank_normalize(draws))
+    return ess(_rank_normalize(_split_chains(draws)))
 
 
 def tail_ess(draws):
-    """Tail effective sample size: the min of the ESS of the 5% and 95%
-    quantile exceedance indicators (Vehtari et al. 2021 §4.3)."""
+    """Tail effective sample size: the min of the split-chain ESS of the 5%
+    and 95% quantile exceedance indicators (Vehtari et al. 2021 §4.3;
+    matches Stan/arviz ess_tail)."""
     draws = _ensure_3d(draws)
     q = jnp.quantile(draws, jnp.asarray([0.05, 0.95], draws.dtype), axis=(0, 1))
-    e05 = ess((draws <= q[0]).astype(draws.dtype))
-    e95 = ess((draws <= q[1]).astype(draws.dtype))
+    split = _split_chains(draws)
+    e05 = ess((split <= q[0]).astype(draws.dtype))
+    e95 = ess((split <= q[1]).astype(draws.dtype))
     return jnp.minimum(e05, e95)
 
 

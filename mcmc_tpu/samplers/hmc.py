@@ -50,7 +50,7 @@ def build_hmc_kernel(box_log_kernel, grad_fn, precond: common.SPD,
     """``adapt_cfg``: dual-averaging step-size tuning (n_burnin, target).
     ``mass_cfg``: windowed diagonal mass adaptation — dict with ``n_burnin``
     plus the collect/window-end masks from
-    :func:`mcmc_tpu.samplers.nuts._mass_window_schedule`. With mass
+    :func:`mcmc_tpu.adaptation.window_schedule`. With mass
     adaptation on, the preconditioner must be identity (the mass is
     learned)."""
     adapt_mass = mass_cfg is not None

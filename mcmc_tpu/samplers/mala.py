@@ -158,16 +158,9 @@ def build_mala_kernel(prob: common.Problem, precond: common.SPD, step_size,
 
         wv = state.wv
         if adapt_m:
-            idx = jnp.minimum(state.draw_ind, precond_cfg["collect"].shape[0] - 1)
-            in_warmup = state.draw_ind < precond_cfg["n_adapt"]
-            collecting = in_warmup & precond_cfg["collect"][idx]
-            wend = in_warmup & precond_cfg["window_end"][idx]
-            wv = adaptation.wv_update(wv, new_position, collecting, wend,
-                                      precond_cfg["axis_name"])
-            if adapt_cfg is not None:
-                da_reset = adaptation.da_init(jnp.exp(da.log_eps))
-                da = jax.tree_util.tree_map(
-                    lambda r, old: jnp.where(wend, r, old), da_reset, da)
+            wv, da = adaptation.windowed_precond_step(
+                wv, da, new_position, state.draw_ind, precond_cfg,
+                reset_da=adapt_cfg is not None)
 
         new_state = MALAState(
             position=new_position,
@@ -211,12 +204,8 @@ def mala(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, me
         }
     precond_cfg = None
     if adapt_precond:
-        collect, wend = adaptation.window_schedule(s.n_burnin_draws)
-        precond_cfg = {
-            "n_adapt": s.n_burnin_draws, "collect": collect,
-            "window_end": wend,
-            "axis_name": common.CHAIN_AXIS_NAME if pooled_adaptation else None,
-        }
+        precond_cfg = adaptation.make_precond_cfg(
+            s.n_burnin_draws, pooled_adaptation, common.CHAIN_AXIS_NAME)
     init, step = build_mala_kernel(prob, precond, s.step_size, bounded_grad,
                                    adapt_cfg, precond_cfg)
     state0 = jax.vmap(init, axis_name=common.CHAIN_AXIS_NAME)(prob.first_draw)

@@ -467,7 +467,11 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
             # histogram realized depths over the settled second half of
             # warmup; at the last warmup draw, set the budget to the
             # depth_quantile depth (+1 margin), pooled across chains when
-            # pooled_adaptation (all vmap lanes then share one budget)
+            # pooled_adaptation (all vmap lanes then share one budget).
+            # Cost note: the cumsum/argmax (O(max_depth) elementwise) and
+            # the (max_depth+1,)-int psum run every draw because vmapped
+            # lax.cond lowers to select anyway — negligible next to the
+            # 2^depth leapfrogs each draw pays.
             settling = adapting & (state.draw_ind >= n_adapt // 2)
             hist1 = depth_hist.at[jnp.minimum(out["depth"], max_depth)].add(1)
             depth_hist = jnp.where(settling, hist1, depth_hist)

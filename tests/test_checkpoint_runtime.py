@@ -75,24 +75,16 @@ def test_resume_is_bit_identical(tmp_path):
     _, straight, _ = r1.run(key, s0, n_draws=60, chunk_size=20)
     straight = np.array(straight)
 
-    # simulate a crash after 40 draws: rewind the progress marker of an
-    # identical run directory, then resume
-    r2, s0b = _make_runner(tmp_path, "crash")
-    r2.run(key, s0b, n_draws=60, chunk_size=20)
-    prog = json.loads((tmp_path / "crash" / "progress.json").read_text())
-    assert prog["done"] == 60
-    # rewind: pretend only 2 chunks completed; the state checkpoint is from
-    # the end, so rebuild it by running 40 draws in a fresh dir and copying
-    r3, s0c = _make_runner(tmp_path, "prefix")
-    r3.run(key, s0c, n_draws=40, chunk_size=20)
-    import shutil
-    shutil.copy(tmp_path / "prefix" / "state.npz", tmp_path / "crash" / "state.npz")
-    (tmp_path / "crash" / "progress.json").write_text(
-        json.dumps({"done": 40, "n_draws": 60, "chunk_size": 20})
-    )
+    # stop after 2 chunks (time-budgeted partial execution), then resume to
+    # completion in a fresh runner — must be bit-identical to uninterrupted
+    r2, s0b = _make_runner(tmp_path, "partial")
+    _, part, _ = r2.run(key, s0b, n_draws=60, chunk_size=20, max_chunks=2)
+    assert np.array(part).shape[0] == 40
+    prog = json.loads((tmp_path / "partial" / "progress.json").read_text())
+    assert prog["done"] == 40
 
-    r4, s0d = _make_runner(tmp_path, "crash")
-    _, resumed, _ = r4.run(key, s0d, n_draws=60, chunk_size=20)
+    r3, s0c = _make_runner(tmp_path, "partial")
+    _, resumed, _ = r3.run(key, s0c, n_draws=60, chunk_size=20)
     np.testing.assert_array_equal(np.array(resumed), straight)
 
 
