@@ -13,7 +13,13 @@ import jax  # noqa: E402
 
 
 def setup(force_cpu=False):
-    if force_cpu or jax.default_backend() not in ("tpu",):
+    # MCMC_EXAMPLES_CPU short-circuits the backend probe entirely:
+    # jax.default_backend() initializes the (possibly remote) TPU backend,
+    # which can stall for minutes when the tunnel is busy/unhealthy.
+    if force_cpu or os.environ.get("MCMC_EXAMPLES_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+        return jax
+    if jax.default_backend() not in ("tpu",):
         try:
             jax.config.update("jax_platforms", "cpu")
         except Exception:
