@@ -42,7 +42,9 @@ N_DATA = 1000
 N_LEAP = 4
 STEP_SIZE = 0.01
 
-NUTS_CHAINS = 256
+# 1024 chains measured ~45% higher min-ESS/s than 256 (4096 exhausts HBM
+# with the collected draw buffer); see round-2 chains-scaling probe
+NUTS_CHAINS = 1024
 NUTS_WARMUP = 500
 NUTS_KEEP = 1000
 
