@@ -20,6 +20,7 @@ from mcmc_tpu.models.targets import (
     eight_schools_model,
     poisson_regression_model,
     student_t_regression_model,
+    horseshoe_regression_model,
 )
 
 __all__ = [
@@ -35,4 +36,5 @@ __all__ = [
     "eight_schools_model",
     "poisson_regression_model",
     "student_t_regression_model",
+    "horseshoe_regression_model",
 ]

@@ -220,3 +220,33 @@ def student_t_regression_model(X, y, df=4.0, scale=1.0, prior_scale=10.0):
         return ll - 0.5 * jnp.sum(beta**2) / prior_scale**2
 
     return log_kernel
+
+
+def horseshoe_regression_model(X, y, sigma=1.0, tau_scale=1.0):
+    """Sparse linear regression with the horseshoe prior (Carvalho, Polson,
+    Scott 2010), non-centered: parameters are
+    ``[beta_tilde_1..p, log_lambda_1..p, log_tau]`` (2p + 1 dims) with
+    ``beta_j = beta_tilde_j * lambda_j * tau``, ``lambda_j ~ C+(0,1)``,
+    ``tau ~ C+(0, tau_scale)``. The per-coefficient funnel geometry is the
+    standard stress test for adaptive HMC/NUTS warmup."""
+    X = jnp.asarray(X)
+    y = jnp.asarray(y)
+    p = X.shape[1]
+
+    def log_kernel(params):
+        beta_t = params[:p]
+        log_lam = params[p:2 * p]
+        log_tau = params[2 * p]
+        lam = jnp.exp(log_lam)
+        tau = jnp.exp(log_tau)
+        beta = beta_t * lam * tau
+
+        ll = -0.5 * jnp.sum((y - X @ beta) ** 2) / sigma**2
+        lp = -0.5 * jnp.sum(beta_t**2)                       # non-centered N(0,1)
+        # half-Cauchy priors with log-transform Jacobians
+        lp = lp + jnp.sum(-jnp.log1p(lam**2) + log_lam)
+        lp = lp - jnp.log1p((tau / tau_scale) ** 2) + log_tau
+        return ll + lp
+
+    log_kernel.dim = 2 * p + 1
+    return log_kernel

@@ -93,3 +93,33 @@ def test_fit_one_call():
     assert (mean <= tol).all(), (mean, tol)
     emp_var = np.asarray(out.draws).reshape(-1, 6).var(axis=0)
     np.testing.assert_allclose(emp_var / np.asarray(lk.variances), 1.0, atol=0.5)
+
+
+def test_horseshoe_regression_recovers_sparsity():
+    """Horseshoe sparse regression: NUTS with mass adaptation recovers the
+    two large true coefficients and shrinks the rest toward zero — the
+    per-coefficient funnel geometry stress test."""
+    rng = np.random.default_rng(0)
+    n, p = 200, 8
+    X = jnp.asarray(rng.normal(size=(n, p)), jnp.float32)
+    beta_true = np.zeros(p, np.float32)
+    beta_true[0], beta_true[3] = 3.0, -2.5
+    y = jnp.asarray(X @ beta_true + 0.5 * rng.normal(size=n), jnp.float32)
+
+    lk = models.horseshoe_regression_model(X, y, sigma=0.5)
+    s = mcmc_tpu.NUTSSettings(n_burnin_draws=800, n_keep_draws=800,
+                              n_adapt_draws=800, target_accept_rate=0.9)
+    out = mcmc_tpu.nuts(jnp.zeros(lk.dim), lk, s, n_chains=8,
+                        key=jax.random.PRNGKey(0), adapt_mass_matrix=True)
+    d = np.asarray(out.draws)
+    beta_t = d[..., :p]
+    lam = np.exp(d[..., p:2 * p])
+    tau = np.exp(d[..., 2 * p:2 * p + 1])
+    beta = (beta_t * lam * tau).reshape(-1, p)
+    post_mean = beta.mean(axis=0)
+    # signal coefficients recovered
+    assert abs(post_mean[0] - 3.0) < 0.4, post_mean
+    assert abs(post_mean[3] + 2.5) < 0.4, post_mean
+    # noise coefficients shrunk hard
+    noise = np.delete(post_mean, [0, 3])
+    assert (np.abs(noise) < 0.35).all(), post_mean
