@@ -128,6 +128,27 @@ def _load_ckpt(path, like):
     return jax.tree_util.tree_unflatten(treedef, out), payload["meta"], totals
 
 
+def _merge_moments(mom, batch):
+    """Chan-parallel merge of a kept-draw batch ``(k, *row)`` into running
+    Welford moments ``(count, mean, m2)`` over the draw axis — exact, so
+    streaming estimates equal batch estimates over the same draws."""
+    batch = np.asarray(batch, np.float64)
+    nb = batch.shape[0]
+    mean_b = batch.mean(axis=0)
+    m2_b = ((batch - mean_b) ** 2).sum(axis=0)
+    if mom is None:
+        return [np.asarray(nb, np.float64), mean_b, m2_b]
+    na, mean_a, m2_a = mom
+    n = na + nb
+    delta = mean_b - mean_a
+    mean = mean_a + delta * (nb / n)
+    m2 = m2_a + m2_b + delta * delta * (na * nb / n)
+    return [np.asarray(n, np.float64), mean, m2]
+
+
+_MOM_KEYS = ("__mom_count", "__mom_mean", "__mom_m2")
+
+
 def _sum_info(totals, infos):
     """Fold one chunk's per-draw info traces into the running totals.
 
@@ -200,7 +221,7 @@ class ChunkedRunner:
         return keys, state
 
     def run(self, key, state0, n_draws, chunk_size=100, row_shape=None,
-            dtype=None, n_burnin=0, max_chunks=None):
+            dtype=None, n_burnin=0, max_chunks=None, track_moments=False):
         """Returns ``(final_state, draws, info_totals)`` with draws memmapped
         from the sink and ``info_totals`` a dict of per-chain sums of every
         info entry over kept draws (``accepted`` being the acceptance count;
@@ -209,7 +230,15 @@ class ChunkedRunner:
         standalone meaning and should be ignored by callers).
         ``n_burnin`` draws execute first without being stored.
         ``max_chunks`` stops after that many chunks (time-budgeted partial
-        execution; call again to continue)."""
+        execution; call again to continue).
+
+        ``track_moments=True`` folds every kept draw into streaming Welford
+        moments (exact Chan-parallel merges, resume-safe inside the atomic
+        checkpoint) and returns them under ``info_totals["moments"]`` as
+        ``(count, mean, m2)`` — feed to
+        :func:`mcmc_tpu.diagnostics.moments_finalize` /
+        :func:`~mcmc_tpu.diagnostics.moments_rhat` for draw-free posterior
+        estimates and R-hat on runs too long to load back."""
         if self.single_key:
             keys = key
         else:
@@ -235,11 +264,14 @@ class ChunkedRunner:
 
         done = 0
         totals = {}
+        mom = None
         if ckpt.exists():
             try:
                 (keys, state), meta, totals = _load_ckpt(ckpt, like=(keys, state))
                 if all(meta.get(k) == v for k, v in run_meta.items()):
                     done = meta["done"]
+                    if all(k in totals for k in _MOM_KEYS):
+                        mom = [totals.pop(k) for k in _MOM_KEYS]
                 else:
                     keys = key if self.single_key else \
                         jax.random.split(key, n_chains)
@@ -283,9 +315,12 @@ class ChunkedRunner:
                 else:
                     keys, state, draws, infos = run_chunk(keys, state)
                 if done >= n_burnin:
-                    sink.append(np.asarray(draws))
+                    host_draws = np.asarray(draws)
+                    sink.append(host_draws)
                     if isinstance(infos, dict):
                         totals = _sum_info(totals, infos)
+                    if track_moments:
+                        mom = _merge_moments(mom, host_draws)
                 done += step_n
                 n_chunks += 1
                 # the native sink writes asynchronously: drain it before the
@@ -293,14 +328,22 @@ class ChunkedRunner:
                 # + totals then land in ONE atomic artifact (no kill window
                 # can leave them inconsistent)
                 sink.flush()
+                persist = dict(totals)
+                if mom is not None:
+                    persist.update(dict(zip(_MOM_KEYS, mom)))
                 _save_ckpt(ckpt, _key_data((keys, state)),
-                           {"done": done, **run_meta}, totals)
+                           {"done": done, **run_meta}, persist)
                 _atomic_write_text(meta_path, json.dumps(
                     {"done": done, **run_meta,
                      "info_totals": {k: np.asarray(v).tolist()
                                      for k, v in totals.items()}}
                 ))
-        return state, read_draws(sink_path), totals
+        out_totals = dict(totals)
+        if track_moments and mom is not None:
+            # same pytree layout as diagnostics.moments_init
+            out_totals["moments"] = {"count": mom[0], "mean": mom[1],
+                                     "m2": mom[2]}
+        return state, read_draws(sink_path), out_totals
 
     def _ragged(self, keys, state, length):
         if self.single_key:

@@ -378,3 +378,38 @@ def test_de_checkpoint_with_mesh(tmp_path):
                       mesh=mesh, checkpoint_dir=tmp_path / "de_mesh",
                       checkpoint_every=80)
     np.testing.assert_array_equal(np.asarray(ck.draws), np.asarray(ck2.draws))
+
+
+def test_chunked_streaming_moments(tmp_path):
+    """track_moments: streaming Welford moments across chunks (and across a
+    resume) exactly match batch statistics of the stored draws, and feed
+    moments_rhat for draw-free convergence checks."""
+    from mcmc_tpu import diagnostics
+    key = jax.random.PRNGKey(3)
+    r, s0 = _make_runner(tmp_path, "mom")
+    _, draws, totals = r.run(key, s0, n_draws=120, chunk_size=40,
+                             n_burnin=40, track_moments=True)
+    d = np.asarray(draws)
+    m = totals["moments"]
+    assert float(m["count"]) == 120
+    np.testing.assert_allclose(np.asarray(m["mean"]),
+                               d.astype(np.float64).mean(axis=0),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(m["m2"]) / 119.0,
+                               d.astype(np.float64).var(axis=0, ddof=1),
+                               rtol=1e-5, atol=1e-7)
+    rhat = np.asarray(diagnostics.moments_rhat(
+        {"count": jnp.asarray(m["count"], jnp.int32),
+         "mean": jnp.asarray(m["mean"], jnp.float32),
+         "m2": jnp.asarray(m["m2"], jnp.float32)}))
+    assert np.isfinite(rhat).all()
+
+    # resume-safety: partial run + continuation produces identical moments
+    r2, s0b = _make_runner(tmp_path, "mom2")
+    r2.run(key, s0b, n_draws=120, chunk_size=40, n_burnin=40,
+           track_moments=True, max_chunks=2)
+    r3, s0c = _make_runner(tmp_path, "mom2")
+    _, _, totals2 = r3.run(key, s0c, n_draws=120, chunk_size=40, n_burnin=40,
+                           track_moments=True)
+    np.testing.assert_array_equal(np.asarray(totals2["moments"]["mean"]),
+                                  np.asarray(m["mean"]))
