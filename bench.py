@@ -187,6 +187,68 @@ def measure_nuts_quality(log_kernel):
     }
 
 
+def measure_chees_quality(log_kernel):
+    """Same protocol as measure_nuts_quality for ChEES-HMC — the framework's
+    accelerator-native NUTS alternative (no tree; shared jittered
+    trajectories; 8x NUTS's min-ESS/s on this workload when introduced)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    import mcmc_tpu
+    from mcmc_tpu import diagnostics, adaptation
+    from mcmc_tpu.samplers import common
+    from mcmc_tpu.samplers.chees import build_chees_kernel
+
+    s = mcmc_tpu.ChEESSettings(n_burnin_draws=NUTS_WARMUP,
+                               n_keep_draws=NUTS_KEEP)
+    mass_cfg = adaptation.make_precond_cfg(NUTS_WARMUP, pooled=True,
+                                           axis_name=common.CHAIN_AXIS_NAME)
+    init, step = build_chees_kernel(log_kernel, jax.grad(log_kernel), s,
+                                    NUTS_WARMUP, adapt_mass=True,
+                                    mass_cfg=mass_cfg)
+    bstep = jax.vmap(step, axis_name=common.CHAIN_AXIS_NAME)
+    pos0 = 0.05 * jax.random.normal(jax.random.PRNGKey(22),
+                                    (NUTS_CHAINS, DIM))
+    state0 = jax.vmap(init, axis_name=common.CHAIN_AXIS_NAME)(pos0)
+
+    def scan_phase(n, collect):
+        def run(state, ks):
+            def body(c, _):
+                st, k = c
+                pairs = jax.vmap(lambda kk: jax.random.split(kk, 2))(k)
+                st, info = bstep(pairs[:, 1], st)
+                out = (st.position, info["n_leap"]) if collect else None
+                return (st, pairs[:, 0]), out
+            (st, k), outs = lax.scan(body, (state, ks), None, length=n)
+            return st, k, outs
+        return jax.jit(run)
+
+    warm = scan_phase(NUTS_WARMUP, collect=False)
+    samp = scan_phase(NUTS_KEEP, collect=True)
+    ks = jax.random.split(jax.random.PRNGKey(23), NUTS_CHAINS)
+    stw, ks, _ = warm(state0, ks)
+    jax.block_until_ready(stw)
+    _st, _ks, outs = samp(stw, ks)
+    jax.block_until_ready(outs[0])
+    t0 = time.perf_counter()
+    _st, _ks, (draws, nleap) = samp(stw, ks)
+    jax.block_until_ready(draws)
+    t_samp = time.perf_counter() - t0
+
+    import numpy as np
+    ess = diagnostics.ess(draws)
+    rhat = float(diagnostics.split_rhat(draws).max())
+    return {
+        "chees_min_ess_per_sec": round(float(ess.min()) / t_samp, 1),
+        "chees_max_split_rhat": round(rhat, 4),
+        "chees_converged": bool(rhat <= 1.01),
+        "chees_mean_n_leap": round(float(np.asarray(nleap).mean()), 2),
+        "chees_trajectory_length": round(float(np.exp(stw.log_T[0])), 3),
+        "chees_sample_seconds": round(t_samp, 3),
+    }
+
+
 def main():
     baseline = cpp_baseline_steps_per_sec()
 
@@ -201,7 +263,9 @@ def main():
     X, y, _ = models.make_logistic_regression_data(key, N_DATA, DIM)
 
     steps_per_sec, acc = measure_throughput(X, y, on_tpu)
-    quality = measure_nuts_quality(models.logistic_regression_model(X, y))
+    lk = models.logistic_regression_model(X, y)
+    quality = measure_nuts_quality(lk)
+    quality.update(measure_chees_quality(lk))
 
     result = {
         "metric": "leapfrog_steps_per_sec_per_chip",

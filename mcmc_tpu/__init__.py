@@ -29,6 +29,7 @@ from mcmc_tpu.settings import (
     MALASettings,
     HMCSettings,
     NUTSSettings,
+    ChEESSettings,
     RMHMCSettings,
     DESettings,
     AEESSettings,
@@ -38,6 +39,7 @@ from mcmc_tpu.samplers.rwmh import rwmh
 from mcmc_tpu.samplers.mala import mala
 from mcmc_tpu.samplers.hmc import hmc
 from mcmc_tpu.samplers.nuts import nuts
+from mcmc_tpu.samplers.chees import chees
 from mcmc_tpu.samplers.rmhmc import rmhmc
 from mcmc_tpu.samplers.de import de
 from mcmc_tpu.samplers.aees import aees
@@ -49,13 +51,14 @@ from mcmc_tpu import models
 __version__ = "0.1.0"
 
 _SAMPLERS = {
-    "rwmh": rwmh, "mala": mala, "hmc": hmc, "nuts": nuts,
+    "rwmh": rwmh, "mala": mala, "hmc": hmc, "nuts": nuts, "chees": chees,
     "rmhmc": rmhmc, "de": de, "aees": aees,
 }
 
 
 def sample(algorithm, initial_vals, log_kernel, settings=None, **kwargs):
-    """One-call dispatcher over the seven samplers.
+    """One-call dispatcher over the samplers (the reference seven plus
+    the TPU-native ChEES-HMC extension).
 
     ``sample("nuts", x0, log_kernel, settings, n_chains=..., ...)`` is
     equivalent to calling the named entry point directly; RM-HMC requires a

@@ -20,7 +20,8 @@ from typing import Any, Optional
 
 __all__ = [
     "RWMHSettings", "MALASettings", "HMCSettings", "NUTSSettings",
-    "RMHMCSettings", "DESettings", "AEESSettings", "AlgoSettings",
+    "ChEESSettings", "RMHMCSettings", "DESettings", "AEESSettings",
+    "AlgoSettings",
 ]
 
 ArrayLike = Any
@@ -52,6 +53,20 @@ class HMCSettings:
     n_leap_steps: int = 1
     step_size: float = 1.0
     precond_mat: Optional[ArrayLike] = None
+
+
+@dataclass
+class ChEESSettings:
+    """ChEES-HMC: adaptive shared-trajectory HMC (no reference analog —
+    Hoffman, Radul & Sountsov 2021; the framework's accelerator-native
+    alternative to NUTS, see samplers/chees.py)."""
+    n_burnin_draws: int = 1000
+    n_keep_draws: int = 1000
+    step_size: float = 0.1           # initial; dual averaging tunes it
+    init_leap_steps: int = 10        # T_0 = step_size * init_leap_steps
+    max_leap_steps: int = 1000       # hard per-draw trajectory cap
+    target_accept_rate: float = 0.651
+    adam_learning_rate: float = 0.025
 
 
 @dataclass
@@ -133,6 +148,7 @@ class AlgoSettings:
     mala_settings: MALASettings = field(default_factory=MALASettings)
     hmc_settings: HMCSettings = field(default_factory=HMCSettings)
     nuts_settings: NUTSSettings = field(default_factory=NUTSSettings)
+    chees_settings: ChEESSettings = field(default_factory=ChEESSettings)
     rmhmc_settings: RMHMCSettings = field(default_factory=RMHMCSettings)
     de_settings: DESettings = field(default_factory=DESettings)
     aees_settings: AEESSettings = field(default_factory=AEESSettings)
