@@ -92,6 +92,13 @@ def run_all(quick=False, out_path=None):
                               target_accept_rate=0.8),
         n_chains=64, key=jax.random.PRNGKey(6), adapt_mass_matrix="dense"))
 
+    # 3b. ChEES (beyond-reference) on the ill-conditioned target
+    record("chees_ill_conditioned_100d", lambda: mcmc_tpu.chees(
+        jnp.zeros(100), lk_ill,
+        mcmc_tpu.ChEESSettings(n_burnin_draws=600 // scale,
+                               n_keep_draws=600 // scale),
+        n_chains=64, key=jax.random.PRNGKey(10), adapt_mass_matrix=True))
+
     # 4. DE, multimodal mixture
     mu = jnp.array([[-2.0, -2.0], [2.0, 2.0]])
     lk_mix = models.gaussian_mixture_model(mu, jnp.array([0.5, 0.5]),
