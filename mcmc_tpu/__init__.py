@@ -79,29 +79,41 @@ def sample(algorithm, initial_vals, log_kernel, settings=None, **kwargs):
 
 
 def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
-        key=None, mesh=None, dense_mass=False, target_accept=0.8,
-        max_tree_depth=10):
+        key=None, mesh=None, algorithm="nuts", dense_mass=False,
+        target_accept=0.8, max_tree_depth=10):
     """One-call posterior fit with full automatic warmup.
 
-    Runs NUTS with pooled dual-averaging step-size adaptation and windowed
-    mass-matrix adaptation (diagonal, or full-covariance with
-    ``dense_mass=True``), then attaches ``diagnostics.summary`` (mean, sd,
-    MCSE, split R-hat, ESS). The "it just works" entry point the reference's
+    ``algorithm="nuts"`` (default) runs NUTS with pooled dual-averaging
+    step-size adaptation and windowed mass-matrix adaptation (diagonal, or
+    full-covariance with ``dense_mass=True``); ``algorithm="chees"`` runs
+    ChEES-HMC with diagonal mass — the recommended choice for large chain
+    batches on TPU (~9x NUTS min-ESS/s on the flagship benchmark). Both
+    attach ``diagnostics.summary`` (mean, sd, MCSE, split/rank R-hat,
+    bulk/tail ESS). The "it just works" entry point the reference's
     fixed-settings API cannot offer.
     """
-    s = NUTSSettings(
-        n_burnin_draws=n_warmup, n_keep_draws=n_draws, n_adapt_draws=n_warmup,
-        target_accept_rate=target_accept, max_tree_depth=max_tree_depth,
-    )
-    out = nuts(initial_vals, log_kernel, s, n_chains=n_chains, key=key,
-               mesh=mesh, pooled_adaptation=True,
-               adapt_mass_matrix="dense" if dense_mass else "diag")
+    if algorithm == "chees":
+        cs = ChEESSettings(n_burnin_draws=n_warmup, n_keep_draws=n_draws)
+        out = chees(initial_vals, log_kernel, cs, n_chains=n_chains, key=key,
+                    mesh=mesh, adapt_mass_matrix=True)
+    elif algorithm == "nuts":
+        s = NUTSSettings(
+            n_burnin_draws=n_warmup, n_keep_draws=n_draws, n_adapt_draws=n_warmup,
+            target_accept_rate=target_accept, max_tree_depth=max_tree_depth,
+        )
+        out = nuts(initial_vals, log_kernel, s, n_chains=n_chains, key=key,
+                   mesh=mesh, pooled_adaptation=True,
+                   adapt_mass_matrix="dense" if dense_mass else "diag")
+    else:
+        raise ValueError(f"fit algorithm must be 'nuts' or 'chees', got {algorithm!r}")
     out.diagnostics["summary"] = diagnostics.summary(out.draws)
     return out
 
 __all__ = [
-    "rwmh", "mala", "hmc", "nuts", "rmhmc", "de", "aees", "sample", "fit",
+    "rwmh", "mala", "hmc", "nuts", "chees", "rmhmc", "de", "aees",
+    "sample", "fit",
     "AlgoSettings", "RWMHSettings", "MALASettings", "HMCSettings",
-    "NUTSSettings", "RMHMCSettings", "DESettings", "AEESSettings",
+    "NUTSSettings", "ChEESSettings", "RMHMCSettings", "DESettings",
+    "AEESSettings",
     "SamplerResult", "bounds", "stats", "diagnostics", "models",
 ]
