@@ -38,39 +38,53 @@ class HMCState(NamedTuple):
     potential: jax.Array     # U = -box_log_kernel(position)
     da: adaptation.DualAveraging
     draw_ind: jax.Array
-    inv_mass: jax.Array      # diagonal inverse mass (ones when not adapting)
+    inv_mass: jax.Array      # inverse mass: (d,) diag or (d, d) dense
+    mass_chol: jax.Array     # chol of inv_mass (dense mode; (1,) otherwise)
     w_count: jax.Array       # Welford window accumulators
     w_mean: jax.Array
-    w_m2: jax.Array
+    w_m2: jax.Array          # (d,) diagonal or (d, d) outer-product
 
 
 def build_hmc_kernel(box_log_kernel, grad_fn, precond: common.SPD,
                      step_size, n_leap_steps, adapt_cfg=None,
                      mass_cfg=None):
     """``adapt_cfg``: dual-averaging step-size tuning (n_burnin, target).
-    ``mass_cfg``: windowed diagonal mass adaptation — dict with ``n_burnin``
-    plus the collect/window-end masks from
-    :func:`mcmc_tpu.adaptation.window_schedule`. With mass
-    adaptation on, the preconditioner must be identity (the mass is
-    learned)."""
+    ``mass_cfg``: windowed mass adaptation — dict with ``n_burnin``, the
+    collect/window-end masks from
+    :func:`mcmc_tpu.adaptation.window_schedule`, and ``mode`` ("diag" or
+    "dense", mirroring NUTS). With mass adaptation on, the preconditioner
+    must be identity (the mass is learned)."""
     adapt_mass = mass_cfg is not None
+    mass_mode = mass_cfg.get("mode", "diag") if adapt_mass else None
 
     def kinetic(r, inv_mass):
-        if adapt_mass:
+        if mass_mode == "diag":
             return 0.5 * jnp.sum(r * r * inv_mass)
+        if mass_mode == "dense":
+            return 0.5 * r @ (inv_mass @ r)
         return integrators.kinetic_energy(r, precond.inv_mv)
 
     def init(position):
         dim = position.shape[0]
+        dt = position.dtype
+        if mass_mode == "dense":
+            inv_mass0 = jnp.eye(dim, dtype=dt)
+            chol0 = jnp.eye(dim, dtype=dt)
+            w_m2_0 = jnp.zeros((dim, dim), dt)
+        else:
+            inv_mass0 = jnp.ones((dim,), dt)
+            chol0 = jnp.ones((1,), dt)
+            w_m2_0 = jnp.zeros((dim,), dt)
         return HMCState(
             position=position,
             potential=-box_log_kernel(position),
-            da=adaptation.da_init(jnp.asarray(step_size, position.dtype)),
+            da=adaptation.da_init(jnp.asarray(step_size, dt)),
             draw_ind=jnp.asarray(0, jnp.int32),
-            inv_mass=jnp.ones((dim,), position.dtype),
+            inv_mass=inv_mass0,
+            mass_chol=chol0,
             w_count=jnp.asarray(0, jnp.int32),
-            w_mean=jnp.zeros((dim,), position.dtype),
-            w_m2=jnp.zeros((dim,), position.dtype),
+            w_mean=jnp.zeros((dim,), dt),
+            w_m2=w_m2_0,
         )
 
     def step(key, state: HMCState):
@@ -86,9 +100,14 @@ def build_hmc_kernel(box_log_kernel, grad_fn, precond: common.SPD,
 
         inv_mass = state.inv_mass
         noise = jax.random.normal(k_mom, state.position.shape, dtype)
-        if adapt_mass:
+        if mass_mode == "diag":
             momentum = noise * jax.lax.rsqrt(inv_mass)
             inv_mv = lambda v: inv_mass * v
+        elif mass_mode == "dense":
+            # inv_mass = Sigma = L L^T; p = L^{-T} xi ~ N(0, Sigma^{-1})
+            momentum = jax.scipy.linalg.solve_triangular(
+                state.mass_chol.T, noise, lower=False)
+            inv_mv = lambda v: inv_mass @ v
         else:
             momentum = precond.sqrt_mv(noise)
             inv_mv = precond.inv_mv
@@ -117,6 +136,7 @@ def build_hmc_kernel(box_log_kernel, grad_fn, precond: common.SPD,
                 lambda new, old: jnp.where(adapting_eps, new, old), da_new, da)
 
         inv_mass_out = state.inv_mass
+        chol_out = state.mass_chol
         wc, wm, wv = state.w_count, state.w_mean, state.w_m2
         if adapt_mass:
             idx = jnp.minimum(state.draw_ind, mass_cfg["collect"].shape[0] - 1)
@@ -127,14 +147,25 @@ def build_hmc_kernel(box_log_kernel, grad_fn, precond: common.SPD,
             cnt1 = wc + 1
             delta = position - wm
             wm1 = wm + delta / cnt1.astype(dtype)
-            wv1 = wv + delta * (position - wm1)
+            if mass_mode == "dense":
+                wv1 = wv + jnp.outer(delta, position - wm1)
+            else:
+                wv1 = wv + delta * (position - wm1)
             wc = jnp.where(collecting, cnt1, wc)
             wm = jnp.where(collecting, wm1, wm)
             wv = jnp.where(collecting, wv1, wv)
 
             n_w = jnp.maximum(wc, 2).astype(dtype)
             var = wv / (n_w - 1.0)
-            var = (n_w / (n_w + 5.0)) * var + 1e-3 * (5.0 / (n_w + 5.0))
+            shrink = 1e-3 * (5.0 / (n_w + 5.0))
+            if mass_mode == "dense":
+                dim = position.shape[0]
+                var = (n_w / (n_w + 5.0)) * 0.5 * (var + var.T) \
+                    + shrink * jnp.eye(dim, dtype=dtype)
+                chol_out = jnp.where(window_end, jnp.linalg.cholesky(var),
+                                     chol_out)
+            else:
+                var = (n_w / (n_w + 5.0)) * var + shrink
             inv_mass_out = jnp.where(window_end, var, inv_mass_out)
             wc = jnp.where(window_end, 0, wc)
             wm = jnp.where(window_end, jnp.zeros_like(wm), wm)
@@ -157,6 +188,7 @@ def build_hmc_kernel(box_log_kernel, grad_fn, precond: common.SPD,
             da=da,
             draw_ind=state.draw_ind + 1,
             inv_mass=inv_mass_out,
+            mass_chol=chol_out,
             w_count=wc, w_mean=wm, w_m2=wv,
         )
         info = {"accepted": accepted, "energy_error": -(prop_U + prop_K) + (state.potential + prev_K)}
@@ -172,8 +204,9 @@ def hmc(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, mes
     settings fields; ``bounded_grad`` selects the constrained-space gradient
     convention (see mcmc_tpu.integrators). ``adapt_step_size=True`` tunes
     the step size by dual averaging toward 0.8 acceptance during burn-in;
-    ``adapt_mass_matrix=True`` adds windowed diagonal mass adaptation
-    (neither has a reference analog)."""
+    ``adapt_mass_matrix=True`` (or ``"diag"`` / ``"dense"``) adds windowed
+    mass-matrix adaptation, mirroring NUTS's modes (neither extension has a
+    reference analog)."""
     algo, s = resolve_settings(settings, "hmc_settings", HMCSettings)
     key = resolve_key(key, algo)
 
@@ -192,9 +225,13 @@ def hmc(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, mes
         if s.precond_mat is not None:
             raise ValueError("adapt_mass_matrix is incompatible with a user "
                              "precond_mat — the mass matrix is learned")
+        mode = {True: "diag"}.get(adapt_mass_matrix, adapt_mass_matrix)
+        if mode not in ("diag", "dense"):
+            raise ValueError(f"adapt_mass_matrix must be False/True/'diag'/"
+                             f"'dense', got {adapt_mass_matrix!r}")
         collect, window_end = adaptation.window_schedule(s.n_burnin_draws)
         mass_cfg = {"n_burnin": s.n_burnin_draws, "collect": collect,
-                    "window_end": window_end}
+                    "window_end": window_end, "mode": mode}
     init, step = build_hmc_kernel(
         prob.box_log_kernel, grad_fn, precond, s.step_size, s.n_leap_steps,
         adapt_cfg, mass_cfg,
