@@ -90,7 +90,8 @@ def _ctz(x):
     return lax.population_count((~x) & (x - 1))
 
 
-def make_subtree_builder(potential, kinetic, leapfrog1, max_depth):
+def make_subtree_builder(potential, kinetic, leapfrog1, max_depth,
+                         multinomial=False):
     """Masked-iterative equivalent of the reference's recursive
     ``nuts_build_tree`` (nuts.ipp:99-241). Module-level so tests can verify
     tree equivalence against a direct recursion port
@@ -98,6 +99,13 @@ def make_subtree_builder(potential, kinetic, leapfrog1, max_depth):
 
     ``potential(z)``, ``kinetic(r, inv_mass)``, ``leapfrog1(z, r, eps,
     inv_mass)`` are the Hamiltonian pieces; returns ``build_subtree``.
+
+    ``multinomial=True`` replaces the slice-sampler leaf weights (the
+    Hoffman-Gelman construction the reference uses) with Boltzmann weights
+    ``w = exp(H0 - H)`` per leaf (Betancourt 2017, "A Conceptual
+    Introduction to HMC" A.3 — what modern Stan runs): ``log_u`` then
+    carries ``+H0`` (no slice variable) and the returned ``n`` is the
+    accumulated float weight instead of a valid-leaf count.
     """
 
     def build_subtree(key, depth, v, z0, r0, eps, log_u, alpha_base, dim, dtype,
@@ -122,9 +130,18 @@ def make_subtree_builder(potential, kinetic, leapfrog1, max_depth):
             U = potential(z)
             H = U + kinetic(r, inv_mass)
 
-            valid = (log_u <= -H).astype(jnp.int32)
-            diverged = ~(log_u < _MAX_TUNING_PAR - H)
-            n_new = c["n"] + valid
+            if multinomial:
+                # Boltzmann leaf weight w = exp(H0 - H); log_u carries +H0
+                log_w = jnp.where(jnp.isnan(H), -jnp.inf, log_u - H)
+                weight = jnp.exp(jnp.minimum(log_w, 80.0))
+                diverged = ~(log_w > -_MAX_TUNING_PAR)
+                n_new = c["n"] + weight
+                take_prob_num = weight
+            else:
+                valid = (log_u <= -H).astype(jnp.int32)
+                diverged = ~(log_u < _MAX_TUNING_PAR - H)
+                n_new = c["n"] + valid
+                take_prob_num = valid.astype(dtype)
             # NaN H (overflowed trajectory) must contribute alpha = 0, not
             # poison dual averaging: jnp.minimum(0, NaN) is NaN, whereas the
             # reference's std::min(0., NaN) returns 0 (C++ comparison
@@ -134,9 +151,9 @@ def make_subtree_builder(potential, kinetic, leapfrog1, max_depth):
                 jnp.isnan(H), 0.0, jnp.exp(jnp.minimum(0.0, alpha_base - H))
             )
 
-            # reservoir proposal: take with prob valid / n_new
+            # weighted-reservoir proposal: take with prob w_leaf / W_new
             zu = jax.random.uniform(k_res, dtype=dtype)
-            take = (valid == 1) & (zu * n_new.astype(dtype) < 1.0)
+            take = zu * n_new.astype(dtype) < take_prob_num
             prop_z = jnp.where(take, z, c["prop_z"])
             prop_U = jnp.where(take, U, c["prop_U"])
 
@@ -171,10 +188,11 @@ def make_subtree_builder(potential, kinetic, leapfrog1, max_depth):
                 "div": c["div"] | diverged,
             }
 
+        n0 = jnp.asarray(0.0, dtype) if multinomial else jnp.asarray(0, jnp.int32)
         init = {
             "key": key, "i": jnp.asarray(0, jnp.int32), "z": z0, "r": r0,
             "prop_z": z0, "prop_U": jnp.asarray(jnp.inf, dtype),
-            "n": jnp.asarray(0, jnp.int32), "s": jnp.asarray(1, jnp.int32),
+            "n": n0, "s": jnp.asarray(1, jnp.int32),
             "alpha": jnp.asarray(0.0, dtype), "n_alpha": jnp.asarray(0, jnp.int32),
             "ckpt_z": ckpt_z, "ckpt_r": ckpt_r, "div": jnp.asarray(False),
         }
@@ -188,10 +206,18 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
                       n_adapt: int, pooled_adaptation: bool = False,
                       adapt_mass_matrix=False, adapt_depth=False,
                       depth_quantile: float = 0.98,
-                      tree_variant: str = "endpoint"):
+                      tree_variant: str = "endpoint",
+                      sample_method: str = "slice"):
     if tree_variant not in ("endpoint", "reference"):
         raise ValueError(f"tree_variant must be 'endpoint' or 'reference', "
                          f"got {tree_variant!r}")
+    if sample_method not in ("slice", "multinomial"):
+        raise ValueError(f"sample_method must be 'slice' or 'multinomial', "
+                         f"got {sample_method!r}")
+    multinomial = sample_method == "multinomial"
+    if multinomial and tree_variant == "reference":
+        raise ValueError("sample_method='multinomial' is a modern variant; "
+                         "it does not combine with tree_variant='reference'")
     max_depth = int(cfg.max_tree_depth)
     # adapt_mass_matrix: False | "diag" (True) | "dense"
     mass_mode = {False: None, True: "diag"}.get(adapt_mass_matrix,
@@ -257,7 +283,8 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
         )
         return eps
 
-    build_subtree = make_subtree_builder(potential, kinetic, leapfrog1, max_depth)
+    build_subtree = make_subtree_builder(potential, kinetic, leapfrog1,
+                                         max_depth, multinomial)
 
     def init(key, position):
         dtype = position.dtype
@@ -304,15 +331,22 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
         inv_mass = state.inv_mass
         r0 = sample_momentum(noise, inv_mass, state.mass_chol)
         prev_K = kinetic(r0, inv_mass)
-        log_u = jnp.log(jax.random.uniform(k_slice, dtype=dtype)) \
-            - state.potential - prev_K
+        if multinomial:
+            # no slice variable: log_u carries +H0 so leaves weight as
+            # exp(log_u - H) = exp(H0 - H)
+            log_u = state.potential + prev_K
+        else:
+            log_u = jnp.log(jax.random.uniform(k_slice, dtype=dtype)) \
+                - state.potential - prev_K
 
         eps = state.step_size
 
+        n_init = jnp.asarray(1.0, dtype) if multinomial \
+            else jnp.asarray(1, jnp.int32)
         carry = {
             "key": k_tree,
             "depth": jnp.asarray(0, jnp.int32),
-            "n": jnp.asarray(1, jnp.int32),
+            "n": n_init,
             "s": jnp.asarray(1, jnp.int32),
             "draw": state.position, "U": state.potential,
             "pos_z": state.position, "neg_z": state.position,
@@ -518,13 +552,19 @@ def nuts(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, me
          dtype=None, bounded_grad="reference",
          pooled_adaptation=False, adapt_mass_matrix=False,
          adapt_depth=False, depth_quantile=0.98,
-         tree_variant="endpoint") -> SamplerResult:
+         tree_variant="endpoint", sample_method="slice") -> SamplerResult:
     """Run NUTS (reference src/nuts.cpp entry points).
 
     ``pooled_adaptation=True`` shares one dual-averaging step-size
     trajectory across all chains by pooling the per-draw accept statistic
     over the chain axis — a cross-chain generalization the single-chain
     reference cannot express (SURVEY.md §7 step 8: psum warmup statistics).
+
+    ``sample_method="multinomial"`` replaces the slice-sampler tree of the
+    reference (Hoffman-Gelman Algorithm 6) with Boltzmann-weighted leaves
+    (Betancourt 2017 — what modern Stan runs): better proposals from the
+    same trajectories, typically +10-30% ESS. Only with the default
+    ``tree_variant="endpoint"``.
 
     ``adapt_depth=True`` learns a tree-depth budget during warmup: realized
     depths over the second half of warmup are histogrammed and the sampling
@@ -561,7 +601,8 @@ def nuts(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, me
     init, step = build_nuts_kernel(prob.box_log_kernel, grad_fn, precond, s,
                                    n_adapt, pooled_adaptation,
                                    adapt_mass_matrix, adapt_depth,
-                                   depth_quantile, tree_variant)
+                                   depth_quantile, tree_variant,
+                                   sample_method)
 
     key, k_init = jax.random.split(key)
     init_keys = jax.random.split(k_init, prob.n_chains)

@@ -334,3 +334,36 @@ def test_nuts_eight_schools_exact_posterior():
     summ = diagnostics.summary(out.draws)
     assert float(np.asarray(summ["rhat_rank"]).max()) < 1.02
     assert float(np.asarray(summ["ess_tail"]).min()) > 400
+
+
+def test_nuts_multinomial_matches_exact_posterior():
+    """sample_method='multinomial' (Betancourt 2017 Boltzmann-weighted
+    leaves, the modern-Stan construction) must match the exact eight-schools
+    posterior and sample a correlated Gaussian's covariance correctly."""
+    rho = 0.8
+    prec = jnp.linalg.inv(jnp.array([[1.0, rho], [rho, 1.0]]))
+    lk = lambda v: -0.5 * v @ prec @ v
+    s = mcmc_tpu.NUTSSettings(n_burnin_draws=500, n_keep_draws=2000,
+                              n_adapt_draws=500)
+    out = mcmc_tpu.nuts(jnp.zeros(2), lk, s, n_chains=8,
+                        key=jax.random.PRNGKey(5),
+                        sample_method="multinomial")
+    d = np.asarray(out.draws).reshape(-1, 2)
+    np.testing.assert_allclose(np.cov(d.T),
+                               [[1.0, rho], [rho, 1.0]], atol=0.12)
+
+    lk8 = models.eight_schools_model(non_centered=True,
+                                     tau_prior="half_cauchy")
+    s8 = mcmc_tpu.NUTSSettings(n_burnin_draws=1200, n_keep_draws=2500,
+                               n_adapt_draws=1200, target_accept_rate=0.9)
+    out8 = mcmc_tpu.nuts(jnp.zeros(10), lk8, s8, n_chains=8,
+                         key=jax.random.PRNGKey(1), adapt_mass_matrix=True,
+                         sample_method="multinomial")
+    d8 = np.asarray(out8.draws)
+    assert float(d8[..., 0].mean()) == pytest.approx(4.397, abs=0.4)
+    assert float(np.exp(d8[..., 1]).mean()) == pytest.approx(3.589, abs=0.5)
+
+    with pytest.raises(ValueError, match="multinomial"):
+        mcmc_tpu.nuts(jnp.zeros(2), lk, s, n_chains=4,
+                      key=jax.random.PRNGKey(0),
+                      sample_method="multinomial", tree_variant="reference")
