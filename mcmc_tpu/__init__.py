@@ -80,26 +80,34 @@ def sample(algorithm, initial_vals, log_kernel, settings=None, **kwargs):
 
 def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
         key=None, mesh=None, algorithm="nuts", dense_mass=False,
-        target_accept=0.8, max_tree_depth=10):
+        target_accept=None, max_tree_depth=10):
     """One-call posterior fit with full automatic warmup.
 
     ``algorithm="nuts"`` (default) runs NUTS with pooled dual-averaging
     step-size adaptation and windowed mass-matrix adaptation (diagonal, or
     full-covariance with ``dense_mass=True``); ``algorithm="chees"`` runs
     ChEES-HMC with diagonal mass — the recommended choice for large chain
-    batches on TPU (~9x NUTS min-ESS/s on the flagship benchmark). Both
+    batches on TPU (~9x NUTS min-ESS/s on the flagship benchmark).
+    ``target_accept`` defaults per algorithm (0.8 NUTS / 0.651 ChEES);
+    ``dense_mass``/``max_tree_depth`` are NUTS-only. Both
     attach ``diagnostics.summary`` (mean, sd, MCSE, split/rank R-hat,
     bulk/tail ESS). The "it just works" entry point the reference's
     fixed-settings API cannot offer.
     """
     if algorithm == "chees":
+        if dense_mass:
+            raise ValueError("dense_mass is not available for "
+                             "algorithm='chees' (diagonal mass only)")
         cs = ChEESSettings(n_burnin_draws=n_warmup, n_keep_draws=n_draws)
+        if target_accept is not None:
+            cs.target_accept_rate = target_accept
         out = chees(initial_vals, log_kernel, cs, n_chains=n_chains, key=key,
                     mesh=mesh, adapt_mass_matrix=True)
     elif algorithm == "nuts":
         s = NUTSSettings(
             n_burnin_draws=n_warmup, n_keep_draws=n_draws, n_adapt_draws=n_warmup,
-            target_accept_rate=target_accept, max_tree_depth=max_tree_depth,
+            target_accept_rate=0.8 if target_accept is None else target_accept,
+            max_tree_depth=max_tree_depth,
         )
         out = nuts(initial_vals, log_kernel, s, n_chains=n_chains, key=key,
                    mesh=mesh, pooled_adaptation=True,

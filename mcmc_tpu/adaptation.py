@@ -150,3 +150,43 @@ def windowed_precond_step(wv: WindowedVariance, da, new_position, draw_ind,
         da = jax.tree_util.tree_map(
             lambda r, old: jnp.where(wend, r, old), da_reset, da)
     return wv, da
+
+
+def windowed_mass_update(count, mean, m2, inv_mass, chol, x,
+                         collecting, window_end, mode, axis_name=None):
+    """One draw of windowed Welford mass estimation, shared by HMC and NUTS
+    (diag or dense). Folds ``x`` when ``collecting``; at ``window_end``
+    adopts the regularized (co)variance — Stan-style ``n/(n+5)`` shrinkage
+    toward ``1e-3 (I)`` — as the new inverse mass (+ its Cholesky in dense
+    mode) and resets the accumulator. ``axis_name`` pools the estimate
+    across that chain axis. Returns
+    ``(count, mean, m2, inv_mass, chol)``."""
+    dtype = x.dtype
+    cnt1 = count + 1
+    delta = x - mean
+    mean1 = mean + delta / cnt1.astype(dtype)
+    if mode == "dense":
+        m21 = m2 + jnp.outer(delta, x - mean1)
+    else:
+        m21 = m2 + delta * (x - mean1)
+    count = jnp.where(collecting, cnt1, count)
+    mean = jnp.where(collecting, mean1, mean)
+    m2 = jnp.where(collecting, m21, m2)
+
+    n = jnp.maximum(count, 2).astype(dtype)
+    var = m2 / (n - 1.0)
+    if axis_name is not None:
+        var = jax.lax.pmean(var, axis_name)
+    shrink = 1e-3 * (5.0 / (n + 5.0))
+    if mode == "dense":
+        dim = x.shape[0]
+        var = (n / (n + 5.0)) * 0.5 * (var + var.T) \
+            + shrink * jnp.eye(dim, dtype=dtype)
+        chol = jnp.where(window_end, jnp.linalg.cholesky(var), chol)
+    else:
+        var = (n / (n + 5.0)) * var + shrink
+    inv_mass = jnp.where(window_end, var, inv_mass)
+    count = jnp.where(window_end, 0, count)
+    mean = jnp.where(window_end, jnp.zeros_like(mean), mean)
+    m2 = jnp.where(window_end, jnp.zeros_like(m2), m2)
+    return count, mean, m2, inv_mass, chol

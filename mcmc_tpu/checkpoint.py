@@ -297,6 +297,15 @@ class ChunkedRunner:
         else:
             existing = None
 
+        if not track_moments:
+            # do not carry (and re-persist) stale moments the caller is no
+            # longer maintaining — they would silently miss this run's chunks
+            mom = None
+        elif mom is None and existing is not None and kept_done > 0:
+            # resuming with track_moments newly enabled: fold the already
+            # kept draws so streaming == batch over ALL kept draws
+            mom = _merge_moments(None, existing)
+
         n_chunks = 0
         with DrawSink(sink_path, row_shape, dtype) as sink:
             if existing is not None:

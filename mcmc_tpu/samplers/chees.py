@@ -152,6 +152,10 @@ def build_chees_kernel(box_log_kernel, grad_fn, cfg: ChEESSettings,
         d_sq = jnp.sum((z_prop - mu1) ** 2 / inv_mass) \
             - jnp.sum((state.position - mu0) ** 2 / inv_mass)
         g_chain = alpha * d_sq * jnp.dot(z_prop - mu1, p_prop)
+        # one overflowed trajectory must not poison the POOLED gradient for
+        # every chain forever (0 * inf = NaN survives pmean and Adam):
+        # divergent chains contribute zero, like TFP's ChEES
+        g_chain = jnp.where(jnp.isfinite(g_chain), g_chain, 0.0)
         denom = jnp.maximum(lax.pmean(alpha, common.CHAIN_AXIS_NAME), 1e-4)
         # gradient wrt T; chain rule to log T multiplies by T — fold the
         # jitter's dt/dT = h in as the paper does

@@ -144,32 +144,10 @@ def build_hmc_kernel(box_log_kernel, grad_fn, precond: common.SPD,
             collecting = in_warmup & mass_cfg["collect"][idx]
             window_end = in_warmup & mass_cfg["window_end"][idx]
 
-            cnt1 = wc + 1
-            delta = position - wm
-            wm1 = wm + delta / cnt1.astype(dtype)
-            if mass_mode == "dense":
-                wv1 = wv + jnp.outer(delta, position - wm1)
-            else:
-                wv1 = wv + delta * (position - wm1)
-            wc = jnp.where(collecting, cnt1, wc)
-            wm = jnp.where(collecting, wm1, wm)
-            wv = jnp.where(collecting, wv1, wv)
-
-            n_w = jnp.maximum(wc, 2).astype(dtype)
-            var = wv / (n_w - 1.0)
-            shrink = 1e-3 * (5.0 / (n_w + 5.0))
-            if mass_mode == "dense":
-                dim = position.shape[0]
-                var = (n_w / (n_w + 5.0)) * 0.5 * (var + var.T) \
-                    + shrink * jnp.eye(dim, dtype=dtype)
-                chol_out = jnp.where(window_end, jnp.linalg.cholesky(var),
-                                     chol_out)
-            else:
-                var = (n_w / (n_w + 5.0)) * var + shrink
-            inv_mass_out = jnp.where(window_end, var, inv_mass_out)
-            wc = jnp.where(window_end, 0, wc)
-            wm = jnp.where(window_end, jnp.zeros_like(wm), wm)
-            wv = jnp.where(window_end, jnp.zeros_like(wv), wv)
+            wc, wm, wv, inv_mass_out, chol_out = \
+                adaptation.windowed_mass_update(
+                    wc, wm, wv, inv_mass_out, chol_out, position,
+                    collecting, window_end, mass_mode)
             if adapt_cfg is not None:
                 # restart dual averaging around the current step at the new
                 # metric (Stan-style)

@@ -55,6 +55,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from mcmc_tpu import integrators
+from mcmc_tpu import adaptation
 from mcmc_tpu.adaptation import window_schedule
 from mcmc_tpu.results import SamplerResult
 from mcmc_tpu.settings import NUTSSettings
@@ -458,38 +459,15 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
             collecting = adapting & mass_collect[idx]
             window_end = adapting & mass_window_end[idx]
 
-            # Welford over the (possibly updated) position; m2 is the
-            # diagonal or the full outer-product accumulator per mode
-            cnt1 = wc + 1
-            delta = out["draw"] - wm
-            wm1 = wm + delta / cnt1.astype(dtype)
-            if mass_mode == "dense":
-                wv1 = wv + jnp.outer(delta, out["draw"] - wm1)
-            else:
-                wv1 = wv + delta * (out["draw"] - wm1)
-            wc = jnp.where(collecting, cnt1, wc)
-            wm = jnp.where(collecting, wm1, wm)
-            wv = jnp.where(collecting, wv1, wv)
-
-            # window end: regularized (co)variance -> new inverse mass
-            # (shrunk toward 1e-3 I as in Stan), reset Welford + dual
-            # averaging
-            n_w = jnp.maximum(wc, 2).astype(dtype)
-            var = wv / (n_w - 1.0)
-            if pooled_adaptation:
-                var = lax.pmean(var, common.CHAIN_AXIS_NAME)
-            shrink = 1e-3 * (5.0 / (n_w + 5.0))
-            if mass_mode == "dense":
-                var = (n_w / (n_w + 5.0)) * 0.5 * (var + var.T) \
-                    + shrink * jnp.eye(dim, dtype=dtype)
-                chol_new = jnp.linalg.cholesky(var)
-                chol_out = jnp.where(window_end, chol_new, chol_out)
-            else:
-                var = (n_w / (n_w + 5.0)) * var + shrink
-            inv_mass_out = jnp.where(window_end, var, inv_mass_out)
-            wc = jnp.where(window_end, 0, wc)
-            wm = jnp.where(window_end, jnp.zeros_like(wm), wm)
-            wv = jnp.where(window_end, jnp.zeros_like(wv), wv)
+            # windowed Welford -> regularized mass (shared machinery;
+            # pooled across chains under pooled_adaptation), then reset the
+            # dual-averaging clock below
+            wc, wm, wv, inv_mass_out, chol_out = \
+                adaptation.windowed_mass_update(
+                    wc, wm, wv, inv_mass_out, chol_out, out["draw"],
+                    collecting, window_end, mass_mode,
+                    axis_name=common.CHAIN_AXIS_NAME if pooled_adaptation
+                    else None)
             mu_out = jnp.where(window_end, jnp.log(10.0 * step_size_out), mu_out)
             h_out = jnp.where(window_end, 0.0, h_out)
             t0_out = jnp.where(window_end, state.draw_ind + 1, t0_out)
