@@ -88,3 +88,21 @@ def test_chees_via_dispatcher_and_bounded():
     assert (d >= 0.0).all() and (d <= 5.0).all()
     # truncated-normal mean is pushed up from 1.0 by the zero bound
     assert 1.0 < d.mean() < 1.6
+
+
+def test_chees_survives_divergent_start():
+    """A target with a hard barrier produces overflowed trajectories early
+    in warmup; the pooled trajectory-length gradient must not be poisoned
+    (0 * inf = NaN previously stuck log_T at NaN forever)."""
+    lk = lambda v: jnp.where(v[0] < 2.0, -0.5 * jnp.sum(v**2), -1e30)
+    out = mcmc_tpu.chees(jnp.zeros(2), lk,
+                         mcmc_tpu.ChEESSettings(n_burnin_draws=300,
+                                                n_keep_draws=400,
+                                                step_size=1.0),
+                         n_chains=16, key=jax.random.PRNGKey(0))
+    T = np.asarray(out.diagnostics["adapted_trajectory_length"])
+    assert np.isfinite(T).all(), T
+    d = np.asarray(out.draws)
+    assert np.isfinite(d).all()
+    assert (d[..., 0] < 2.0).all()
+    assert abs(d[..., 1].mean()) < 0.3
