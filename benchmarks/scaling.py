@@ -17,6 +17,12 @@ devices). On a single chip this harness degenerates to one row. Pass
 
 Prints one JSON line: {"devices": [...], "samples_per_sec": [...],
 "efficiency": [...]}.
+
+``--multiprocess N`` (CPU) self-spawns N-process runs for process counts
+1..N (4 virtual devices per process, Gloo collectives across the process
+boundary — the DCN path's software stand-in) and reports the weak-scaling
+efficiency across *processes*, the quantity the >= 85% multi-host target
+is about.
 """
 
 import argparse
@@ -28,13 +34,141 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
+def _worker():
+    """Multi-process worker: join the distributed runtime, run the
+    chain-sharded workload on the global mesh, print samples/s (proc 0)."""
+    import os
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from jax import lax
+
+    port = os.environ["MCMC_SCALING_PORT"]
+    nproc = int(os.environ["MCMC_SCALING_NPROC"])
+    pid = int(os.environ["MCMC_SCALING_PID"])
+    chains_per_dev = int(os.environ.get("MCMC_SCALING_CPD", "64"))
+    seconds = float(os.environ.get("MCMC_SCALING_SECONDS", "4"))
+
+    from mcmc_tpu.parallel import global_mesh, shard_chain_axis
+    from mcmc_tpu.samplers import common
+    from mcmc_tpu.samplers.hmc import build_hmc_kernel
+    from mcmc_tpu import models
+    if nproc > 1:
+        jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                                   num_processes=nproc, process_id=pid)
+
+    D, N, L = 25, 200, 4
+    X, y, _ = models.make_logistic_regression_data(jax.random.PRNGKey(0), N, D)
+    lk = models.logistic_regression_model(X, y)
+    precond = common.make_spd(None, D, jnp.float32)
+    init, step = build_hmc_kernel(lk, jax.grad(lk), precond, 0.02, L)
+    bstep = jax.vmap(step, axis_name=common.CHAIN_AXIS_NAME)
+
+    mesh = global_mesh()
+    C = chains_per_dev * jax.device_count()
+    state = jax.vmap(init)(
+        0.05 * jax.random.normal(jax.random.PRNGKey(1), (C, D)))
+    keys = jax.random.split(jax.random.PRNGKey(2), C)
+    state = shard_chain_axis(state, mesh)
+    keys = shard_chain_axis(keys, mesh)
+
+    STEPS = 20
+
+    @jax.jit
+    def run(keys, state):
+        def body(c, _):
+            st, ks = c
+            pair = jax.vmap(lambda k: jax.random.split(k, 2))(ks)
+            st, _info = bstep(pair[:, 1], st)
+            return (st, pair[:, 0]), None
+        (st, ks), _ = lax.scan(body, (state, keys), None, length=STEPS)
+        return ks, st
+
+    keys, state = run(keys, state)
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    n = 0
+    while time.perf_counter() - t0 < seconds:
+        keys, state = run(keys, state)
+        jax.block_until_ready(state)
+        n += 1
+    el = time.perf_counter() - t0
+    if pid == 0:
+        print(json.dumps({"nproc": nproc, "devices": jax.device_count(),
+                          "samples_per_sec": round(n * STEPS * C / el, 1)}),
+              flush=True)
+
+
+def _multiprocess_sweep(max_procs, chains_per_dev, seconds):
+    """Spawn worker sets for 1..max_procs processes; report efficiency."""
+    import os
+    import socket
+    import subprocess
+
+    results = []
+    for nproc in range(1, max_procs + 1):
+        s = socket.socket(); s.bind(("localhost", 0))
+        port = s.getsockname()[1]; s.close()
+        env_base = {**os.environ,
+                    "MCMC_SCALING_WORKER": "1",
+                    "MCMC_SCALING_PORT": str(port),
+                    "MCMC_SCALING_NPROC": str(nproc),
+                    "MCMC_SCALING_CPD": str(chains_per_dev),
+                    "MCMC_SCALING_SECONDS": str(seconds)}
+        procs = []
+        for pid in range(nproc):
+            env = {**env_base, "MCMC_SCALING_PID": str(pid)}
+            procs.append(subprocess.Popen(
+                [sys.executable, __file__], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+        out0 = None
+        for pid, p in enumerate(procs):
+            out, err = p.communicate(timeout=600)
+            if p.returncode != 0:
+                raise RuntimeError(f"worker {pid}/{nproc} failed: "
+                                   f"{err.decode()[-800:]}")
+            if pid == 0:
+                lines = [l for l in out.decode().splitlines()
+                         if l.startswith("{")]
+                out0 = json.loads(lines[-1])
+        results.append(out0)
+
+    base = results[0]["samples_per_sec"]
+    print(json.dumps({
+        "workload": "chain-sharded HMC, weak scaling over PROCESSES "
+                    "(4 virtual CPU devices each; Gloo cross-process)",
+        "note": "single-machine CPU validation: processes share physical "
+                "cores, so efficiency here reflects host contention, not "
+                "the DCN path — run on >= 2 real hosts for the BASELINE "
+                "number",
+        "chains_per_device": chains_per_dev,
+        "processes": [r["nproc"] for r in results],
+        "samples_per_sec": [r["samples_per_sec"] for r in results],
+        "efficiency": [round(r["samples_per_sec"] / (base * r["nproc"]), 3)
+                       for r in results],
+    }))
+
+
 def main():
+    import os
+    if os.environ.get("MCMC_SCALING_WORKER"):
+        _worker()
+        return
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU + 8 virtual devices (harness validation)")
+    ap.add_argument("--multiprocess", type=int, default=0, metavar="N",
+                    help="self-spawn 1..N CPU processes and report "
+                         "cross-process weak-scaling efficiency")
     ap.add_argument("--chains-per-device", type=int, default=4096)
     ap.add_argument("--seconds", type=float, default=5.0)
     args = ap.parse_args()
+
+    if args.multiprocess:
+        _multiprocess_sweep(args.multiprocess,
+                            min(args.chains_per_device, 64), args.seconds)
+        return
 
     import os
     if args.cpu:
