@@ -39,7 +39,10 @@ class MALAState(NamedTuple):
                          # user gradient in reference mode, box gradient else)
     jac: jax.Array       # inv-Jacobian diagonal at position (ones when unused)
     da: adaptation.DualAveraging
-    wv: adaptation.WindowedVariance   # preconditioner adaptation
+    wv: adaptation.WindowedVariance   # preconditioner adaptation (diag)
+    pM: jax.Array        # dense learned preconditioner ((1,) in diag mode)
+    pchol: jax.Array     # its Cholesky ((1,) in diag mode)
+    pm2: jax.Array       # dense outer-product accumulator ((1,) diag mode)
     draw_ind: jax.Array
 
 
@@ -62,6 +65,7 @@ def build_mala_kernel(prob: common.Problem, precond: common.SPD, step_size,
                       precond_cfg=None):
     reference_mode = prob.vals_bound and bounded_grad == "reference"
     adapt_m = precond_cfg is not None
+    dense = adapt_m and precond_cfg.get("mode") == "dense"
 
     if reference_mode:
         user_vg = jax.value_and_grad(prob.log_kernel)
@@ -80,17 +84,24 @@ def build_mala_kernel(prob: common.Problem, precond: common.SPD, step_size,
             val, grad_z = box_vg(z)
             return val, grad_z, jnp.ones_like(z)
 
-    def kick_of(grad, jac, pvar):
+    def kick_of(grad, jac, pvar, pM):
         """Drift direction J * (M @ grad); M is the fixed preconditioner or
-        the adapted diagonal variance."""
-        mg = pvar * grad if adapt_m else precond.mv(grad)
+        the adapted diagonal/dense covariance."""
+        if dense:
+            mg = pM @ grad
+        elif adapt_m:
+            mg = pvar * grad
+        else:
+            mg = precond.mv(grad)
         return jac * mg if reference_mode else mg
 
     def mean_of(z, kick, eps2):
         return z + 0.5 * eps2 * kick
 
-    def prop_sigma(jac, eps2, pvar):
+    def prop_sigma(jac, eps2, pvar, pM):
         """Proposal covariance eps^2 * J * M in the cheapest representation."""
+        if dense:
+            return eps2 * pM          # dense adapt is unbounded-only
         if adapt_m:
             return eps2 * jac * pvar
         if precond.kind == "identity":
@@ -101,10 +112,15 @@ def build_mala_kernel(prob: common.Problem, precond: common.SPD, step_size,
 
     def init(position):
         lp, grad, jac = eval_point(position)
+        dim = position.shape[0]
+        dt = position.dtype
         return MALAState(
             position=position, log_prob=lp, grad=grad, jac=jac,
-            da=adaptation.da_init(jnp.asarray(step_size, position.dtype)),
-            wv=adaptation.wv_init(position.shape[0], position.dtype),
+            da=adaptation.da_init(jnp.asarray(step_size, dt)),
+            wv=adaptation.wv_init(dim, dt),
+            pM=jnp.eye(dim, dtype=dt) if dense else jnp.ones((1,), dt),
+            pchol=jnp.eye(dim, dtype=dt) if dense else jnp.ones((1,), dt),
+            pm2=jnp.zeros((dim, dim), dt) if dense else jnp.ones((1,), dt),
             draw_ind=jnp.asarray(0, jnp.int32),
         )
 
@@ -121,19 +137,27 @@ def build_mala_kernel(prob: common.Problem, precond: common.SPD, step_size,
         noise = jax.random.normal(k_noise, state.position.shape, state.position.dtype)
 
         prev_mean = mean_of(state.position,
-                            kick_of(state.grad, state.jac, pvar), eps2)
-        scaled = jnp.sqrt(pvar) * noise if adapt_m else precond.sqrt_mv(noise)
+                            kick_of(state.grad, state.jac, pvar, state.pM),
+                            eps2)
+        if dense:
+            scaled = state.pchol @ noise
+        elif adapt_m:
+            scaled = jnp.sqrt(pvar) * noise
+        else:
+            scaled = precond.sqrt_mv(noise)
         if reference_mode:
             scaled = jnp.sqrt(state.jac) * scaled
         proposal = prev_mean + eps * scaled
 
         prop_lp, prop_grad, prop_jac = eval_point(proposal)
         prop_lp = jnp.where(jnp.isfinite(prop_lp), prop_lp, -jnp.inf)
-        prop_mean = mean_of(proposal, kick_of(prop_grad, prop_jac, pvar), eps2)
+        prop_mean = mean_of(proposal,
+                            kick_of(prop_grad, prop_jac, pvar, state.pM),
+                            eps2)
 
         # mala_prop_adjustment (reference mala.ipp:30-70): both covariance
         # terms use the proposal's Jacobian, as in the reference.
-        sigma = prop_sigma(prop_jac, eps2, pvar)
+        sigma = prop_sigma(prop_jac, eps2, pvar, state.pM)
         if reference_mode and precond.kind == "full" and not adapt_m:
             # eps^2 * J * M is asymmetric; evaluate it the reference's way
             adj = _log_mvn_general(state.position, prop_mean, sigma) \
@@ -157,10 +181,27 @@ def build_mala_kernel(prob: common.Problem, precond: common.SPD, step_size,
                 lambda new, old: jnp.where(adapting, new, old), da_new, da)
 
         wv = state.wv
-        if adapt_m:
+        pM, pchol, pm2 = state.pM, state.pchol, state.pm2
+        if adapt_m and not dense:
             wv, da = adaptation.windowed_precond_step(
                 wv, da, new_position, state.draw_ind, precond_cfg,
                 reset_da=adapt_cfg is not None)
+        elif dense:
+            idx = jnp.minimum(state.draw_ind,
+                              precond_cfg["collect"].shape[0] - 1)
+            in_warmup = state.draw_ind < precond_cfg["n_adapt"]
+            collecting = in_warmup & precond_cfg["collect"][idx]
+            wend = in_warmup & precond_cfg["window_end"][idx]
+            wc, wm, pm2, pM, pchol = adaptation.windowed_mass_update(
+                state.wv.count, state.wv.mean, pm2, pM, pchol,
+                new_position, collecting, wend, "dense",
+                precond_cfg["axis_name"])
+            wv = adaptation.WindowedVariance(count=wc, mean=wm,
+                                             m2=state.wv.m2, var=state.wv.var)
+            if adapt_cfg is not None:
+                da_reset = adaptation.da_init(jnp.exp(da.log_eps))
+                da = jax.tree_util.tree_map(
+                    lambda r, old: jnp.where(wend, r, old), da_reset, da)
 
         new_state = MALAState(
             position=new_position,
@@ -169,6 +210,9 @@ def build_mala_kernel(prob: common.Problem, precond: common.SPD, step_size,
             jac=jnp.where(accepted, prop_jac, state.jac),
             da=da,
             wv=wv,
+            pM=pM,
+            pchol=pchol,
+            pm2=pm2,
             draw_ind=state.draw_ind + 1,
         )
         return new_state, {"accepted": accepted}
@@ -204,8 +248,17 @@ def mala(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, me
         }
     precond_cfg = None
     if adapt_precond:
+        mode = {True: "diag"}.get(adapt_precond, adapt_precond)
+        if mode not in ("diag", "dense"):
+            raise ValueError(f"adapt_precond must be False/True/'diag'/"
+                             f"'dense', got {adapt_precond!r}")
+        if mode == "dense" and algo.vals_bound:
+            raise ValueError("adapt_precond='dense' is unbounded-only "
+                             "(the bounded dense proposal matrix is "
+                             "asymmetric; use 'diag' with bounds)")
         precond_cfg = adaptation.make_precond_cfg(
             s.n_burnin_draws, pooled_adaptation, common.CHAIN_AXIS_NAME)
+        precond_cfg["mode"] = mode
     init, step = build_mala_kernel(prob, precond, s.step_size, bounded_grad,
                                    adapt_cfg, precond_cfg)
     state0 = jax.vmap(init, axis_name=common.CHAIN_AXIS_NAME)(prob.first_draw)
@@ -222,7 +275,8 @@ def mala(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, me
     if adapt_step_size:
         diagnostics["adapted_step_size"] = jnp.exp(final_state.da.log_eps_bar)
     if adapt_precond:
-        diagnostics["precond_var"] = final_state.wv.var
+        diagnostics["precond_var"] = final_state.wv.var \
+            if precond_cfg["mode"] == "diag" else final_state.pM
     if prob.squeeze:
         draws = draws[:, 0, :]
         n_accept = n_accept[0]

@@ -37,7 +37,9 @@ class RWMHState(NamedTuple):
     position: jax.Array   # unconstrained coordinates, (n_vals,)
     log_prob: jax.Array   # box log-kernel at position
     da: adaptation.DualAveraging
-    wv: adaptation.WindowedVariance   # proposal-covariance adaptation
+    wv: adaptation.WindowedVariance   # proposal-covariance adaptation (diag)
+    pchol: jax.Array      # chol of the dense proposal covariance ((1,) diag)
+    pm2: jax.Array        # dense outer-product accumulator ((1,) diag mode)
     draw_ind: jax.Array
 
 
@@ -52,12 +54,18 @@ def build_rwmh_kernel(box_log_kernel, prop_chol_mv, par_scale,
     for windowed diagonal proposal-covariance adaptation.
     """
 
+    dense = precond_cfg is not None and precond_cfg.get("mode") == "dense"
+
     def init(position):
+        dim = position.shape[0]
+        dt = position.dtype
         return RWMHState(
             position=position,
             log_prob=box_log_kernel(position),
-            da=adaptation.da_init(jnp.asarray(par_scale, position.dtype)),
-            wv=adaptation.wv_init(position.shape[0], position.dtype),
+            da=adaptation.da_init(jnp.asarray(par_scale, dt)),
+            wv=adaptation.wv_init(dim, dt),
+            pchol=jnp.eye(dim, dtype=dt) if dense else jnp.ones((1,), dt),
+            pm2=jnp.zeros((dim, dim), dt) if dense else jnp.ones((1,), dt),
             draw_ind=jnp.asarray(0, jnp.int32),
         )
 
@@ -73,6 +81,8 @@ def build_rwmh_kernel(box_log_kernel, prop_chol_mv, par_scale,
         noise = jax.random.normal(k_noise, state.position.shape, state.position.dtype)
         if precond_cfg is None:
             scaled = prop_chol_mv(noise)
+        elif dense:
+            scaled = state.pchol @ noise
         else:
             scaled = jnp.sqrt(state.wv.var) * noise
         proposal = state.position + scale * scaled
@@ -95,16 +105,35 @@ def build_rwmh_kernel(box_log_kernel, prop_chol_mv, par_scale,
                 lambda new, old: jnp.where(adapting, new, old), da_new, da)
 
         wv = state.wv
-        if precond_cfg is not None:
+        pchol, pm2 = state.pchol, state.pm2
+        if precond_cfg is not None and not dense:
             wv, da = adaptation.windowed_precond_step(
                 wv, da, new_position, state.draw_ind, precond_cfg,
                 reset_da=adapt_cfg is not None)
+        elif dense:
+            idx = jnp.minimum(state.draw_ind,
+                              precond_cfg["collect"].shape[0] - 1)
+            in_warmup = state.draw_ind < precond_cfg["n_adapt"]
+            collecting = in_warmup & precond_cfg["collect"][idx]
+            wend = in_warmup & precond_cfg["window_end"][idx]
+            wc, wm, pm2, _cov, pchol = adaptation.windowed_mass_update(
+                state.wv.count, state.wv.mean, pm2,
+                jnp.zeros_like(pm2), pchol, new_position,
+                collecting, wend, "dense", precond_cfg["axis_name"])
+            wv = adaptation.WindowedVariance(count=wc, mean=wm,
+                                             m2=state.wv.m2, var=state.wv.var)
+            if adapt_cfg is not None:
+                da_reset = adaptation.da_init(jnp.exp(da.log_eps))
+                da = jax.tree_util.tree_map(
+                    lambda r, old: jnp.where(wend, r, old), da_reset, da)
 
         new_state = RWMHState(
             position=new_position,
             log_prob=jnp.where(accepted, prop_lp, state.log_prob),
             da=da,
             wv=wv,
+            pchol=pchol,
+            pm2=pm2,
             draw_ind=state.draw_ind + 1,
         )
         return new_state, {"accepted": accepted}
@@ -123,9 +152,9 @@ def rwmh(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
     or ``(n_chains, n_vals)``; draws come back as
     ``(n_keep, n_chains, n_vals)``. ``adapt_scale=True`` tunes the proposal
     scale during burn-in (target acceptance 0.234 unless overridden);
-    ``adapt_precond=True`` additionally learns a diagonal proposal
-    covariance (see module docstring), pooled across chains when
-    ``pooled_adaptation``.
+    ``adapt_precond=True`` (or ``"diag"`` / ``"dense"``) additionally
+    learns a diagonal or full proposal covariance (see module docstring),
+    pooled across chains when ``pooled_adaptation``.
     """
     algo, s = resolve_settings(settings, "rwmh_settings", RWMHSettings)
     key = resolve_key(key, algo)
@@ -144,8 +173,13 @@ def rwmh(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
         }
     precond_cfg = None
     if adapt_precond:
+        mode = {True: "diag"}.get(adapt_precond, adapt_precond)
+        if mode not in ("diag", "dense"):
+            raise ValueError(f"adapt_precond must be False/True/'diag'/"
+                             f"'dense', got {adapt_precond!r}")
         precond_cfg = adaptation.make_precond_cfg(
             s.n_burnin_draws, pooled_adaptation, common.CHAIN_AXIS_NAME)
+        precond_cfg["mode"] = mode
     init, step = build_rwmh_kernel(prob.box_log_kernel, cov.sqrt_mv,
                                    s.par_scale, adapt_cfg, precond_cfg)
     state0 = jax.vmap(init)(prob.first_draw)
@@ -162,7 +196,9 @@ def rwmh(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
     if adapt_scale:
         diagnostics["adapted_scale"] = jnp.exp(final_state.da.log_eps_bar)
     if adapt_precond:
-        diagnostics["proposal_var"] = final_state.wv.var
+        diagnostics["proposal_var"] = final_state.wv.var \
+            if precond_cfg["mode"] == "diag" else \
+            final_state.pchol @ jnp.swapaxes(final_state.pchol, -1, -2)
     if prob.squeeze:
         draws = draws[:, 0, :]
         n_accept = n_accept[0]

@@ -238,3 +238,45 @@ def test_hmc_dense_mass_correlated_gaussian():
     assert ess_dense > 1.5 * ess_diag, (ess_dense, ess_diag)
     d = np.asarray(dense.draws).reshape(-1, dim)
     np.testing.assert_allclose(np.cov(d.T), cov, atol=0.4)
+
+
+def test_rwmh_mala_dense_precond_correlated():
+    """Dense learned proposal covariance / preconditioner: RWMH and MALA
+    must beat their diagonal variants decisively on a rho=0.9 Gaussian."""
+    from mcmc_tpu import diagnostics
+    rho, dim = 0.9, 6
+    cov = (1 - rho) * np.eye(dim) + rho * np.ones((dim, dim))
+    prec = jnp.asarray(np.linalg.inv(cov), jnp.float32)
+    lk = lambda v: -0.5 * v @ prec @ v
+
+    s = mcmc_tpu.RWMHSettings(n_burnin_draws=2000, n_keep_draws=3000,
+                              par_scale=0.5)
+    ess = {}
+    for mode in ("diag", "dense"):
+        out = mcmc_tpu.rwmh(jnp.zeros(dim), lk, s, n_chains=8,
+                            key=jax.random.PRNGKey(0), adapt_scale=True,
+                            adapt_precond=mode, pooled_adaptation=True)
+        ess[mode] = float(np.asarray(diagnostics.ess(out.draws)).min())
+        if mode == "dense":
+            pv = np.asarray(out.diagnostics["proposal_var"])[0]
+            np.testing.assert_allclose(pv, cov, atol=0.35)
+    assert ess["dense"] > 5 * ess["diag"], ess
+
+    sm = mcmc_tpu.MALASettings(n_burnin_draws=1500, n_keep_draws=2000,
+                               step_size=0.3)
+    essm = {}
+    for mode in ("diag", "dense"):
+        out = mcmc_tpu.mala(jnp.zeros(dim), lk, sm, n_chains=8,
+                            key=jax.random.PRNGKey(1), adapt_step_size=True,
+                            adapt_precond=mode, pooled_adaptation=True)
+        essm[mode] = float(np.asarray(diagnostics.ess(out.draws)).min())
+    assert essm["dense"] > 2 * essm["diag"], essm
+
+    # dense + bounds is rejected with a clear error (the bounded dense
+    # proposal matrix is asymmetric)
+    sb = mcmc_tpu.AlgoSettings(vals_bound=True,
+                               lower_bounds=jnp.zeros(dim),
+                               upper_bounds=jnp.full(dim, 9.0))
+    with pytest.raises(ValueError, match="unbounded-only"):
+        mcmc_tpu.mala(jnp.ones(dim), lk, sb, n_chains=4,
+                      key=jax.random.PRNGKey(2), adapt_precond="dense")
