@@ -310,6 +310,37 @@ class ChunkedRunner:
         with DrawSink(sink_path, row_shape, dtype) as sink:
             if existing is not None:
                 sink.append(existing)
+
+            def persist(chunk):
+                """Durably record one finished chunk (draws -> sink ->
+                flush -> atomic state+progress+totals artifact). Blocks on
+                the chunk's device arrays — by which time the NEXT chunk is
+                already dispatched, so disk IO overlaps device compute."""
+                nonlocal totals, mom
+                if chunk["kept"]:
+                    host_draws = np.asarray(chunk["draws"])
+                    sink.append(host_draws)
+                    if isinstance(chunk["infos"], dict):
+                        totals = _sum_info(totals, chunk["infos"])
+                    if track_moments:
+                        mom = _merge_moments(mom, host_draws)
+                # the native sink writes asynchronously: drain it before the
+                # checkpoint claims these draws are durable; state + progress
+                # + totals then land in ONE atomic artifact (no kill window
+                # can leave them inconsistent)
+                sink.flush()
+                pers = dict(totals)
+                if mom is not None:
+                    pers.update(dict(zip(_MOM_KEYS, mom)))
+                _save_ckpt(ckpt, _key_data((chunk["keys"], chunk["state"])),
+                           {"done": chunk["done"], **run_meta}, pers)
+                _atomic_write_text(meta_path, json.dumps(
+                    {"done": chunk["done"], **run_meta,
+                     "info_totals": {k: np.asarray(v).tolist()
+                                     for k, v in totals.items()}}
+                ))
+
+            pending = None
             while done < total:
                 if max_chunks is not None and n_chunks >= max_chunks:
                     break
@@ -323,30 +354,18 @@ class ChunkedRunner:
                     keys, state, draws, infos = run_ragged(keys, state)
                 else:
                     keys, state, draws, infos = run_chunk(keys, state)
-                if done >= n_burnin:
-                    host_draws = np.asarray(draws)
-                    sink.append(host_draws)
-                    if isinstance(infos, dict):
-                        totals = _sum_info(totals, infos)
-                    if track_moments:
-                        mom = _merge_moments(mom, host_draws)
+                # jax dispatch is asynchronous: the chunk above is now
+                # queued on the device; persist the PREVIOUS chunk while it
+                # computes (double-buffered pipeline)
+                if pending is not None:
+                    persist(pending)
+                pending = {"keys": keys, "state": state, "draws": draws,
+                           "infos": infos, "kept": done >= n_burnin,
+                           "done": done + step_n}
                 done += step_n
                 n_chunks += 1
-                # the native sink writes asynchronously: drain it before the
-                # checkpoint claims these draws are durable; state + progress
-                # + totals then land in ONE atomic artifact (no kill window
-                # can leave them inconsistent)
-                sink.flush()
-                persist = dict(totals)
-                if mom is not None:
-                    persist.update(dict(zip(_MOM_KEYS, mom)))
-                _save_ckpt(ckpt, _key_data((keys, state)),
-                           {"done": done, **run_meta}, persist)
-                _atomic_write_text(meta_path, json.dumps(
-                    {"done": done, **run_meta,
-                     "info_totals": {k: np.asarray(v).tolist()
-                                     for k, v in totals.items()}}
-                ))
+            if pending is not None:
+                persist(pending)
         out_totals = dict(totals)
         if track_moments and mom is not None:
             # same pytree layout as diagnostics.moments_init
