@@ -251,13 +251,15 @@ def build_aees_kernel(box, temps, s: AEESSettings, dim, dt,
 
 
 def aees(initial_vals, log_kernel, settings=None, *, key=None, n_runs=None,
-         checkpoint_dir=None, checkpoint_every=500, history_capacity=None,
-         dtype=None) -> SamplerResult:
+         mesh=None, checkpoint_dir=None, checkpoint_every=500,
+         history_capacity=None, dtype=None) -> SamplerResult:
     """Run AEES. Returns the final ``n_keep_draws`` draws of the T = 1 chain
     (reference src/aees.cpp:255-270).
 
     ``n_runs`` vmaps that many independent ladder replicas (draws come back
-    as ``(n_keep, n_runs, n_vals)``). Note the EE branch's history sort then
+    as ``(n_keep, n_runs, n_vals)``), and ``mesh`` shards the replica axis
+    over the device mesh (each device runs whole ladders — embarrassingly
+    parallel, no collectives). Note the EE branch's history sort then
     executes every draw for every replica (vmap turns ``lax.cond`` into
     ``select``), trading compute for batching — the intended use is many
     replicas on a TPU where the sort batches well; ``history_capacity``
@@ -320,24 +322,15 @@ def aees(initial_vals, log_kernel, settings=None, *, key=None, n_runs=None,
         carry, _ = lax.scan(body_burn, carry, None, length=n_burn)
         _, draws = lax.scan(body, carry, None, length=n_keep)
     else:
-        def run_one(run_key):
-            def body(carry, _):
-                st, k = carry
-                k, sub = jax.random.split(k)
-                st, _info = step(sub, st)
-                return (st, k), st.X[K - 1]
-
-            def body_burn(carry, _):
-                carry, _out = body(carry, None)
-                return carry, None
-
-            carry = (state0, run_key)
-            carry, _ = lax.scan(body_burn, carry, None, length=n_burn)
-            _, d = lax.scan(body, carry, None, length=n_keep)
-            return d
-
-        draws = jax.vmap(run_one)(jax.random.split(key, n_runs))
-        draws = jnp.moveaxis(draws, 0, 1)  # (n_keep, n_runs, n_vals)
+        # replicas ride the standard chain-batched scan driver — which also
+        # shards the replica axis over a mesh (whole ladders per device,
+        # collective-free)
+        st0 = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x, (n_runs,) + x.shape), state0)
+        # collect_fn sees the replica-batched state: (n_runs, K, d)
+        _, draws, _infos = common.run_sampler_loop(
+            key, st0, step, n_burn, n_keep,
+            collect_fn=lambda st: st.X[:, K - 1], mesh=mesh)
 
     draws = common.finalize_draws(draws, prob)
     # the reference's AEES tracks no acceptance at all (aees_settings_t has

@@ -263,3 +263,26 @@ def test_aees_sharded_capped_history():
     assert len(pos) > 150 and len(neg) > 150
     np.testing.assert_allclose(pos.mean(axis=0), [2.0, 2.0], atol=0.3)
     np.testing.assert_allclose(neg.mean(axis=0), [-2.0, -2.0], atol=0.3)
+
+
+def test_aees_replicas_mesh_sharded():
+    """n_runs + mesh: whole-ladder replicas shard over the device mesh
+    (collective-free); statistics match the unsharded replica path."""
+    from mcmc_tpu.parallel import make_mesh
+    mu = jnp.array([[-2.0, -2.0], [2.0, 2.0]])
+    log_kernel = models.gaussian_mixture_model(
+        mu, sig_sq=jnp.array([0.5, 0.5]), weights=jnp.array([0.5, 0.5])
+    )
+    s = mcmc_tpu.AEESSettings(
+        n_initial_draws=100, n_burnin_draws=100, n_keep_draws=400,
+        n_rings=5, ee_prob_par=0.1, temper_vec=jnp.array([20.0, 4.0]),
+        cov_mat=0.5 * jnp.eye(2),
+    )
+    out = mcmc_tpu.aees(mu[0], log_kernel, s, key=jax.random.PRNGKey(0),
+                        n_runs=8, mesh=make_mesh(8),
+                        history_capacity=128)
+    d = np.asarray(out.draws)
+    assert d.shape == (400, 8, 2)
+    pooled = d.reshape(-1, 2)
+    assert (pooled[:, 0] > 0.1).mean() > 0.1
+    assert (pooled[:, 0] < -0.1).mean() > 0.1
