@@ -121,3 +121,65 @@ def test_bounds_roundtrip_property():
                                          True, codes, lbj, ubj)
         g = jax.grad(box)(z)
         assert np.isfinite(np.asarray(g)).all(), f"trial {trial}: {g}"
+
+
+# ---------------------------------------------------------------------------
+# Property-based coverage (hypothesis): random bounds configurations
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings as hyp_settings, strategies as st
+
+
+@st.composite
+def _bounds_case(draw):
+    n = draw(st.integers(min_value=1, max_value=6))
+    lbs, ubs, xs = [], [], []
+    for _ in range(n):
+        kind = draw(st.integers(min_value=1, max_value=4))
+        lo = draw(st.floats(min_value=-50.0, max_value=40.0))
+        width = draw(st.floats(min_value=0.5, max_value=60.0))
+        if kind == 1:
+            lb, ub = -np.inf, np.inf
+            x = draw(st.floats(min_value=-40.0, max_value=40.0))
+        elif kind == 2:
+            lb, ub = lo, np.inf
+            x = lo + draw(st.floats(min_value=0.05, max_value=50.0))
+        elif kind == 3:
+            lb, ub = -np.inf, lo
+            x = lo - draw(st.floats(min_value=0.05, max_value=50.0))
+        else:
+            lb, ub = lo, lo + width
+            x = lo + width * draw(st.floats(min_value=0.02, max_value=0.98))
+        lbs.append(lb); ubs.append(ub); xs.append(x)
+    return (np.array(lbs, np.float64), np.array(ubs, np.float64),
+            np.array(xs, np.float64))
+
+
+@given(_bounds_case())
+@hyp_settings(max_examples=50, deadline=None)
+def test_bounds_roundtrip_property(case):
+    """For ANY mix of bound types and in-range point: codes are correct,
+    transform/inv_transform round-trips, the log-Jacobian is finite, and
+    the inverse-Jacobian diagonal is positive."""
+    lb64, ub64, x64 = case
+    with jax.enable_x64():
+        lb = jnp.asarray(lb64); ub = jnp.asarray(ub64); x = jnp.asarray(x64)
+        n = x.shape[0]
+        codes = bounds.determine_bounds_type(True, n, lb, ub)
+        expect = np.where(np.isfinite(lb64) & np.isfinite(ub64), 4,
+                          np.where(np.isfinite(lb64), 2,
+                                   np.where(np.isfinite(ub64), 3, 1)))
+        np.testing.assert_array_equal(np.asarray(codes), expect)
+
+        z = bounds.transform(x, codes, lb, ub)
+        x_back = bounds.inv_transform(z, codes, lb, ub)
+        np.testing.assert_allclose(np.asarray(x_back), x64,
+                                   rtol=1e-9, atol=1e-9)
+
+        lj = bounds.log_jacobian(z, codes, lb, ub)
+        assert np.isfinite(float(lj))
+        jd = bounds.inv_jacobian_diag(z, codes, lb, ub)
+        assert (np.asarray(jd) > 0).all()
+        # inverse map always lands inside the box
+        assert (np.asarray(x_back) >= lb64 - 1e-9).all()
+        assert (np.asarray(x_back) <= ub64 + 1e-9).all()
