@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["FusedHMCState", "make_fused_trajectory", "make_fused_hmc_step",
+           "make_fused_trajectory_rt",
            "make_fused_gaussian_trajectory", "make_fused_gaussian_hmc_step"]
 
 
@@ -373,3 +374,117 @@ def make_fused_gaussian_hmc_step(precision, mean=None, step_size=0.1,
     step.dim = dim
     step.dim_padded = Dp
     return step
+
+
+# ---------------------------------------------------------------------------
+# Runtime-parameter fused trajectory: step size as an SMEM scalar and a
+# diagonal inverse mass as a VMEM row, so adaptive samplers (ChEES) can
+# drive the fused GLM leapfrog with per-draw adapted parameters.
+# ---------------------------------------------------------------------------
+
+def make_fused_trajectory_rt(X, y, prior_scale: float, n_leap: int,
+                             block_chains: int = 256, interpret: bool = False,
+                             link: str = "logistic"):
+    """Like :func:`make_fused_trajectory` but ``traj(z, p, eps, inv_mass)``
+    takes the (traced) step size and a ``(Dp,)`` diagonal inverse mass at
+    call time: ``z += eps * inv_mass * p`` drift, kicks unchanged. The
+    leapfrog count stays compile-time static — callers switch between a few
+    compiled counts (``lax.switch``) for adaptive trajectory lengths."""
+    if not callable(link) and link not in _LINKS:
+        raise ValueError(f"link must be callable or one of {_LINKS}, got {link!r}")
+    X = jnp.asarray(X, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    n_data, dim = X.shape
+    Np = _round_up(n_data, 512)
+    Dp = _round_up(dim, 128)
+    inv_pv = 1.0 / (prior_scale * prior_scale)
+
+    Xp = jnp.zeros((Np, Dp), jnp.float32).at[:n_data, :dim].set(X)
+    Xb = Xp.astype(jnp.bfloat16)
+    Xtb = Xp.T.astype(jnp.bfloat16)
+    yrow = jnp.zeros((1, Np), jnp.float32).at[0, :n_data].set(y)
+    mask = jnp.zeros((1, Np), jnp.float32).at[0, :n_data].set(1.0)
+
+    def kernel(eps_ref, z_ref, p_ref, im_ref, xt_ref, x_ref, y_ref, m_ref,
+               oz_ref, op_ref, ou_ref):
+        eps = eps_ref[0]
+        z = z_ref[:]
+        p = p_ref[:]
+        im = im_ref[:]
+        xt = xt_ref[:]
+        x = x_ref[:]
+        yv = y_ref[:]
+        mv = m_ref[:]
+
+        def link_eval(eta):
+            if callable(link):
+                return link(eta, yv)
+            if link == "logistic":
+                return jax.nn.sigmoid(eta), yv * eta - jax.nn.softplus(eta)
+            if link == "poisson":
+                mu = jnp.exp(eta)
+                return mu, yv * eta - mu
+            return eta, -0.5 * (yv - eta) ** 2
+
+        def grad_of(z, want_u):
+            eta = jnp.dot(z.astype(jnp.bfloat16), xt,
+                          preferred_element_type=jnp.float32)
+            mu, ll_terms = link_eval(eta)
+            r = (yv - mu) * mv
+            g = jnp.dot(r.astype(jnp.bfloat16), x,
+                        preferred_element_type=jnp.float32) - z * inv_pv
+            if want_u:
+                ll = jnp.sum(mv * ll_terms, axis=1, keepdims=True)
+                u = -(ll - 0.5 * jnp.sum(z * z, axis=1, keepdims=True) * inv_pv)
+            else:
+                u = None
+            return g, u
+
+        u_out = None
+        for k in range(n_leap):
+            g, _ = grad_of(z, False)
+            p = p + (0.5 * eps) * g
+            z = z + eps * (im * p)
+            g, u = grad_of(z, k == n_leap - 1)
+            p = p + (0.5 * eps) * g
+            u_out = u
+
+        oz_ref[:] = z
+        op_ref[:] = p
+        ou_ref[:] = u_out
+
+    def traj(z, p, eps, inv_mass):
+        n_chains = z.shape[0]
+        if n_chains % block_chains != 0:
+            raise ValueError(
+                f"n_chains={n_chains} must be a multiple of "
+                f"block_chains={block_chains}"
+            )
+        grid = (n_chains // block_chains,)
+        bspec = pl.BlockSpec((block_chains, Dp), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+        full = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                          memory_space=pltpu.VMEM)
+        eps_arr = jnp.asarray(eps, jnp.float32).reshape(1)
+        im_row = jnp.asarray(inv_mass, jnp.float32).reshape(1, Dp)
+        z_new, p_new, u_new = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), bspec, bspec,
+                      full((1, Dp)), full((Dp, Np)), full((Np, Dp)),
+                      full((1, Np)), full((1, Np))],
+            out_specs=[bspec, bspec,
+                       pl.BlockSpec((block_chains, 1), lambda i: (i, 0),
+                                    memory_space=pltpu.VMEM)],
+            out_shape=[
+                jax.ShapeDtypeStruct((n_chains, Dp), jnp.float32),
+                jax.ShapeDtypeStruct((n_chains, Dp), jnp.float32),
+                jax.ShapeDtypeStruct((n_chains, 1), jnp.float32),
+            ],
+            interpret=interpret,
+        )(eps_arr, z, p, im_row, Xtb, Xb, yrow, mask)
+        return z_new, p_new, u_new[:, 0]
+
+    traj.dim = dim
+    traj.dim_padded = Dp
+    return traj

@@ -208,3 +208,38 @@ def test_fused_trajectory_custom_link_hook():
     zc, pc, uc = t_custom(z0, p0)
     np.testing.assert_array_equal(np.asarray(zb), np.asarray(zc))
     np.testing.assert_array_equal(np.asarray(ub), np.asarray(uc))
+
+
+def test_fused_trajectory_rt_matches_xla():
+    """Runtime-eps/-mass fused trajectory equals the XLA leapfrog."""
+    from mcmc_tpu.ops.fused_logreg import make_fused_trajectory_rt
+    X, y = _setup()
+    lk = models.logistic_regression_model(X, y, prior_scale=10.0)
+    grad = jax.grad(lk)
+    traj = make_fused_trajectory_rt(X, y, 10.0, L, block_chains=8,
+                                    interpret=True)
+    Dp = traj.dim_padded
+    eps = 0.05
+    im = np.ones(Dp, np.float32)
+    im[:D] = np.linspace(0.5, 2.0, D)
+    z0 = 0.1 * jax.random.normal(jax.random.PRNGKey(1), (16, D))
+    p0 = jax.random.normal(jax.random.PRNGKey(2), (16, D))
+    zp = jnp.zeros((16, Dp)).at[:, :D].set(z0)
+    pp = jnp.zeros((16, Dp)).at[:, :D].set(p0)
+    zf, pf, uf = traj(zp, pp, jnp.asarray(eps), jnp.asarray(im))
+
+    def ref(z, p):
+        imv = jnp.asarray(im[:D])
+        for _ in range(L):
+            p = p + 0.5 * eps * grad(z)
+            z = z + eps * (imv * p)
+            p = p + 0.5 * eps * grad(z)
+        return z, p, -lk(z)
+
+    zr, pr, ur = jax.vmap(ref)(z0, p0)
+    np.testing.assert_allclose(np.asarray(zf[:, :D]), np.asarray(zr),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(pf[:, :D]), np.asarray(pr),
+                               rtol=1e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(uf), np.asarray(ur),
+                               rtol=1e-3, atol=2e-3)
