@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import mcmc_tpu
 
@@ -68,3 +69,48 @@ def test_initial_vals_per_chain():
     d = np.asarray(out.draws)[0]
     # with a negligible step the first kept draw stays near each chain's init
     np.testing.assert_allclose(d, np.asarray(inits), atol=0.01)
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(adapt_mass_matrix=True, adapt_depth=True, pooled_adaptation=True,
+         sample_method="multinomial"),
+    dict(adapt_mass_matrix="dense", sample_method="multinomial"),
+    dict(adapt_depth=True, tree_variant="reference"),
+])
+def test_nuts_option_combinations_smoke(kwargs):
+    """NUTS extension flags compose (multinomial x mass x depth x pooled)."""
+    lk = lambda v: -0.5 * jnp.sum(v**2)
+    s = mcmc_tpu.NUTSSettings(n_burnin_draws=60, n_keep_draws=80,
+                              n_adapt_draws=60)
+    out = mcmc_tpu.nuts(jnp.zeros(3), lk, s, n_chains=4,
+                        key=jax.random.PRNGKey(0), **kwargs)
+    d = np.asarray(out.draws)
+    assert d.shape == (80, 4, 3)
+    assert np.isfinite(d).all()
+
+
+@pytest.mark.parametrize("kwargs", [
+    dict(adapt_scale=True, adapt_precond="dense", pooled_adaptation=True),
+    dict(adapt_precond="diag"),
+])
+def test_rwmh_option_combinations_smoke(kwargs):
+    lk = lambda v: -0.5 * jnp.sum(v**2)
+    s = mcmc_tpu.RWMHSettings(n_burnin_draws=80, n_keep_draws=80,
+                              par_scale=0.8)
+    out = mcmc_tpu.rwmh(jnp.zeros(3), lk, s, n_chains=4,
+                        key=jax.random.PRNGKey(0), **kwargs)
+    assert np.isfinite(np.asarray(out.draws)).all()
+
+
+def test_chees_checkpoint_roundtrip(tmp_path):
+    """ChEES composes with checkpoint_dir (single-key totals path)."""
+    lk = lambda v: -0.5 * jnp.sum(v**2)
+    s = mcmc_tpu.ChEESSettings(n_burnin_draws=100, n_keep_draws=200)
+    out = mcmc_tpu.chees(jnp.zeros(2), lk, s, n_chains=8,
+                         key=jax.random.PRNGKey(0),
+                         checkpoint_dir=tmp_path / "c", checkpoint_every=80)
+    assert out.draws.shape == (200, 8, 2)
+    out2 = mcmc_tpu.chees(jnp.zeros(2), lk, s, n_chains=8,
+                          key=jax.random.PRNGKey(0),
+                          checkpoint_dir=tmp_path / "c", checkpoint_every=80)
+    np.testing.assert_array_equal(np.asarray(out.draws), np.asarray(out2.draws))
