@@ -76,6 +76,9 @@ class ChEESState(NamedTuple):
     adam_m: jax.Array        # Adam first/second moments for log_T
     adam_v: jax.Array
     wv: adaptation.WindowedVariance  # optional diagonal mass
+    mSigma: jax.Array        # dense mass: posterior covariance ((1,) diag)
+    mchol: jax.Array         # its Cholesky ((1,) in diag mode)
+    mm2: jax.Array           # dense outer-product accumulator ((1,) diag)
     draw_ind: jax.Array
 
 
@@ -85,10 +88,18 @@ def build_chees_kernel(box_log_kernel, grad_fn, cfg: ChEESSettings,
 
     Must run under ``vmap``/``shard_map`` with the chain axis named
     ``common.CHAIN_AXIS_NAME`` — the criterion's expectations pool over it.
+    ``adapt_mass``: False / True / "diag" / "dense" (mass_cfg supplies the
+    window schedule).
     """
     max_steps = int(cfg.max_leap_steps)
     adam_lr = float(cfg.adam_learning_rate)
     target = float(cfg.target_accept_rate)
+    mass_mode = {False: None, True: "diag"}.get(adapt_mass, adapt_mass)
+    if mass_mode not in (None, "diag", "dense"):
+        raise ValueError(f"adapt_mass must be False/True/'diag'/'dense', "
+                         f"got {adapt_mass!r}")
+    dense = mass_mode == "dense"
+    adapt_mass = mass_mode is not None
 
     def potential(z):
         u = -box_log_kernel(z)
@@ -102,7 +113,8 @@ def build_chees_kernel(box_log_kernel, grad_fn, cfg: ChEESSettings,
         adapting = state.draw_ind < n_adapt
         eps = jnp.exp(jnp.where(adapting, state.da.log_eps,
                                 state.da.log_eps_bar))
-        inv_mass = state.wv.var if adapt_mass else jnp.ones((dim,), dtype)
+        inv_mass = state.wv.var if (adapt_mass and not dense) \
+            else jnp.ones((dim,), dtype)
 
         # shared jittered trajectory length -> shared leapfrog count
         h = _vdc_base2(state.draw_ind + 1).astype(dtype)
@@ -111,13 +123,22 @@ def build_chees_kernel(box_log_kernel, grad_fn, cfg: ChEESSettings,
         steps = jnp.clip(jnp.round(t_len / eps).astype(jnp.int32), 1, max_steps)
 
         noise = jax.random.normal(k_mom, (dim,), dtype)
-        p0 = noise * lax.rsqrt(inv_mass)
-        prev_K = 0.5 * jnp.sum(p0 * p0 * inv_mass)
+        if dense:
+            # Sigma = L L^T; p ~ N(0, Sigma^{-1})
+            p0 = jax.scipy.linalg.solve_triangular(state.mchol.T, noise,
+                                                   lower=False)
+            prev_K = 0.5 * p0 @ (state.mSigma @ p0)
+        else:
+            p0 = noise * lax.rsqrt(inv_mass)
+            prev_K = 0.5 * jnp.sum(p0 * p0 * inv_mass)
 
         def leap_body(c):
             i, z, p, g = c
             p_half = p + 0.5 * eps * g
-            z_new = z + eps * (inv_mass * p_half)
+            if dense:
+                z_new = z + eps * (state.mSigma @ p_half)
+            else:
+                z_new = z + eps * (inv_mass * p_half)
             g_new = grad_fn(z_new)
             p_new = p_half + 0.5 * eps * g_new
             return i + 1, z_new, p_new, g_new
@@ -129,7 +150,10 @@ def build_chees_kernel(box_log_kernel, grad_fn, cfg: ChEESSettings,
         )
 
         prop_U = potential(z_prop)
-        prop_K = 0.5 * jnp.sum(p_prop * p_prop * inv_mass)
+        if dense:
+            prop_K = 0.5 * p_prop @ (state.mSigma @ p_prop)
+        else:
+            prop_K = 0.5 * jnp.sum(p_prop * p_prop * inv_mass)
         log_alpha = jnp.minimum(0.0, -(prop_U + prop_K)
                                 + (state.potential + prev_K))
         alpha = jnp.where(jnp.isnan(log_alpha), 0.0, jnp.exp(log_alpha))
@@ -149,8 +173,17 @@ def build_chees_kernel(box_log_kernel, grad_fn, cfg: ChEESSettings,
         # In this metric <x'-mu', v'>_M = (x'-mu') . p' exactly.
         mu0 = lax.pmean(state.position, common.CHAIN_AXIS_NAME)
         mu1 = lax.pmean(z_prop, common.CHAIN_AXIS_NAME)
-        d_sq = jnp.sum((z_prop - mu1) ** 2 / inv_mass) \
-            - jnp.sum((state.position - mu0) ** 2 / inv_mass)
+        if dense:
+            # ||d||_M^2 = ||L^{-1} d||^2 with Sigma = L L^T
+            w1 = jax.scipy.linalg.solve_triangular(state.mchol,
+                                                   z_prop - mu1, lower=True)
+            w0 = jax.scipy.linalg.solve_triangular(state.mchol,
+                                                   state.position - mu0,
+                                                   lower=True)
+            d_sq = jnp.sum(w1 * w1) - jnp.sum(w0 * w0)
+        else:
+            d_sq = jnp.sum((z_prop - mu1) ** 2 / inv_mass) \
+                - jnp.sum((state.position - mu0) ** 2 / inv_mass)
         g_chain = alpha * d_sq * jnp.dot(z_prop - mu1, p_prop)
         # one overflowed trajectory must not poison the POOLED gradient for
         # every chain forever (0 * inf = NaN survives pmean and Adam):
@@ -183,14 +216,26 @@ def build_chees_kernel(box_log_kernel, grad_fn, cfg: ChEESSettings,
             lambda new, old: jnp.where(adapting, new, old), da_new, state.da)
 
         wv = state.wv
-        if adapt_mass:
+        mSigma, mchol, mm2 = state.mSigma, state.mchol, state.mm2
+        if adapt_mass and not dense:
             wv, _ = adaptation.windowed_precond_step(
                 wv, da, position, state.draw_ind, mass_cfg, reset_da=False)
+        elif dense:
+            idx = jnp.minimum(state.draw_ind, mass_cfg["collect"].shape[0] - 1)
+            in_warmup = state.draw_ind < mass_cfg["n_adapt"]
+            collecting = in_warmup & mass_cfg["collect"][idx]
+            wend = in_warmup & mass_cfg["window_end"][idx]
+            wc, wm, mm2, mSigma, mchol = adaptation.windowed_mass_update(
+                state.wv.count, state.wv.mean, mm2, mSigma, mchol,
+                position, collecting, wend, "dense", mass_cfg["axis_name"])
+            wv = adaptation.WindowedVariance(count=wc, mean=wm,
+                                             m2=state.wv.m2, var=state.wv.var)
 
         new_state = ChEESState(
             position=position, potential=pot_out, da=da,
             log_T=log_T_out, adam_m=adam_m_out, adam_v=adam_v_out,
-            wv=wv, draw_ind=state.draw_ind + 1,
+            wv=wv, mSigma=mSigma, mchol=mchol, mm2=mm2,
+            draw_ind=state.draw_ind + 1,
         )
         info = {
             "accepted": accepted,
@@ -213,6 +258,9 @@ def build_chees_kernel(box_log_kernel, grad_fn, cfg: ChEESSettings,
             adam_m=jnp.asarray(0.0, dtype),
             adam_v=jnp.asarray(0.0, dtype),
             wv=adaptation.wv_init(dim, dtype),
+            mSigma=jnp.eye(dim, dtype=dtype) if dense else jnp.ones((1,), dtype),
+            mchol=jnp.eye(dim, dtype=dtype) if dense else jnp.ones((1,), dtype),
+            mm2=jnp.zeros((dim, dim), dtype) if dense else jnp.ones((1,), dtype),
             draw_ind=jnp.asarray(0, jnp.int32),
         )
 
