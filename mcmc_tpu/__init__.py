@@ -89,20 +89,19 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
     ChEES-HMC with diagonal mass — the recommended choice for large chain
     batches on TPU (~9x NUTS min-ESS/s on the flagship benchmark).
     ``target_accept`` defaults per algorithm (0.8 NUTS / 0.651 ChEES);
-    ``dense_mass``/``max_tree_depth`` are NUTS-only. Both
+    ``dense_mass`` selects full-covariance mass for either algorithm;
+    ``max_tree_depth`` is NUTS-only. Both
     attach ``diagnostics.summary`` (mean, sd, MCSE, split/rank R-hat,
     bulk/tail ESS). The "it just works" entry point the reference's
     fixed-settings API cannot offer.
     """
     if algorithm == "chees":
-        if dense_mass:
-            raise ValueError("dense_mass is not available for "
-                             "algorithm='chees' (diagonal mass only)")
         cs = ChEESSettings(n_burnin_draws=n_warmup, n_keep_draws=n_draws)
         if target_accept is not None:
             cs.target_accept_rate = target_accept
         out = chees(initial_vals, log_kernel, cs, n_chains=n_chains, key=key,
-                    mesh=mesh, adapt_mass_matrix=True)
+                    mesh=mesh,
+                    adapt_mass_matrix="dense" if dense_mass else "diag")
     elif algorithm == "nuts":
         s = NUTSSettings(
             n_burnin_draws=n_warmup, n_keep_draws=n_draws, n_adapt_draws=n_warmup,

@@ -30,8 +30,9 @@ Per draw:
   paper's estimator with acceptance-probability weights;
 - ``eps`` is tuned by dual averaging toward 0.651 (the optimal acceptance
   rate for jittered-trajectory HMC derived in the paper);
-- optional windowed diagonal mass adaptation (the shared
-  adaptation.window_schedule machinery).
+- optional windowed mass adaptation, diagonal or dense full-covariance
+  (the shared adaptation.window_schedule / windowed_mass_update
+  machinery).
 
 All adaptation freezes after ``n_burnin_draws``.
 """
