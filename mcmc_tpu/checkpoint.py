@@ -149,6 +149,36 @@ def _merge_moments(mom, batch):
 _MOM_KEYS = ("__mom_count", "__mom_mean", "__mom_m2")
 
 
+def _async_host_copy_enabled():
+    """Async D2H prefetch is disabled on remote-tunnel backends (axon):
+    measured there, ``copy_to_host_async`` intermittently routes the
+    transfer through a pathologically slow path (64 MiB: 48-276 s vs 2-3.5 s
+    for a plain synchronous pull). On host-attached cpu/tpu/gpu it is the
+    right call — the copy chases the compute and persist finds the bytes
+    host-resident."""
+    return "axon" not in (jax.config.jax_platforms or "")
+
+
+def _start_host_copy(tree):
+    """Kick off async device->host transfers for every leaf of ``tree``.
+
+    jax dispatch is asynchronous, so calling this right after a chunk is
+    enqueued schedules the D2H copy to run as soon as the chunk finishes on
+    device — by the time ``persist`` calls ``np.asarray`` the bytes are
+    already on the host (or in flight), instead of starting a synchronous
+    transfer there. Typed PRNG-key leaves and non-jax leaves are skipped.
+    """
+    if not _async_host_copy_enabled():
+        return
+    for leaf in jax.tree_util.tree_leaves(tree):
+        fn = getattr(leaf, "copy_to_host_async", None)
+        if fn is not None:
+            try:
+                fn()
+            except Exception:
+                pass  # e.g. typed key arrays on some backends
+
+
 def _sum_info(totals, infos):
     """Fold one chunk's per-draw info traces into the running totals.
 
@@ -355,8 +385,13 @@ class ChunkedRunner:
                 else:
                     keys, state, draws, infos = run_chunk(keys, state)
                 # jax dispatch is asynchronous: the chunk above is now
-                # queued on the device; persist the PREVIOUS chunk while it
-                # computes (double-buffered pipeline)
+                # queued on the device; schedule its D2H transfer to chase
+                # it, then persist the PREVIOUS chunk while both run
+                # (double-buffered pipeline). Burn-in draws are discarded by
+                # persist, so only kept-phase chunks transfer their draws.
+                if done >= n_burnin:
+                    _start_host_copy((draws, infos))
+                _start_host_copy((keys, state))  # checkpointed every chunk
                 if pending is not None:
                     persist(pending)
                 pending = {"keys": keys, "state": state, "draws": draws,
