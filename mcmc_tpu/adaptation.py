@@ -152,6 +152,30 @@ def windowed_precond_step(wv: WindowedVariance, da, new_position, draw_ind,
     return wv, da
 
 
+def windowed_dense_step(wv: WindowedVariance, da, cov, chol, m2, x,
+                        draw_ind, cfg, reset_da: bool):
+    """Dense analog of :func:`windowed_precond_step`, shared by RWMH, MALA
+    and ChEES: fold ``x`` into the dense Welford accumulator while the
+    schedule says collect, adopt the regularized covariance + its Cholesky
+    at window ends, and (``reset_da=True``) restart dual averaging from the
+    current scale there. ``wv.m2``/``wv.var`` hold the *diagonal*
+    accumulator and pass through untouched — the dense accumulator is
+    ``m2``. Returns ``(wv, da, cov, chol, m2)``."""
+    idx = jnp.minimum(draw_ind, cfg["collect"].shape[0] - 1)
+    in_warmup = draw_ind < cfg["n_adapt"]
+    collecting = in_warmup & cfg["collect"][idx]
+    wend = in_warmup & cfg["window_end"][idx]
+    wc, wm, m2, cov, chol = windowed_mass_update(
+        wv.count, wv.mean, m2, cov, chol, x,
+        collecting, wend, "dense", cfg["axis_name"])
+    wv = WindowedVariance(count=wc, mean=wm, m2=wv.m2, var=wv.var)
+    if reset_da:
+        da_reset = da_init(jnp.exp(da.log_eps))
+        da = jax.tree_util.tree_map(
+            lambda r, old: jnp.where(wend, r, old), da_reset, da)
+    return wv, da, cov, chol, m2
+
+
 def windowed_mass_update(count, mean, m2, inv_mass, chol, x,
                          collecting, window_end, mode, axis_name=None):
     """One draw of windowed Welford mass estimation, shared by HMC and NUTS

@@ -222,15 +222,9 @@ def build_chees_kernel(box_log_kernel, grad_fn, cfg: ChEESSettings,
             wv, _ = adaptation.windowed_precond_step(
                 wv, da, position, state.draw_ind, mass_cfg, reset_da=False)
         elif dense:
-            idx = jnp.minimum(state.draw_ind, mass_cfg["collect"].shape[0] - 1)
-            in_warmup = state.draw_ind < mass_cfg["n_adapt"]
-            collecting = in_warmup & mass_cfg["collect"][idx]
-            wend = in_warmup & mass_cfg["window_end"][idx]
-            wc, wm, mm2, mSigma, mchol = adaptation.windowed_mass_update(
-                state.wv.count, state.wv.mean, mm2, mSigma, mchol,
-                position, collecting, wend, "dense", mass_cfg["axis_name"])
-            wv = adaptation.WindowedVariance(count=wc, mean=wm,
-                                             m2=state.wv.m2, var=state.wv.var)
+            wv, da, mSigma, mchol, mm2 = adaptation.windowed_dense_step(
+                state.wv, da, mSigma, mchol, mm2,
+                position, state.draw_ind, mass_cfg, reset_da=False)
 
         new_state = ChEESState(
             position=position, potential=pot_out, da=da,

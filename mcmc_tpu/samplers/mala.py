@@ -99,9 +99,9 @@ def build_mala_kernel(prob: common.Problem, precond: common.SPD, step_size,
         return z + 0.5 * eps2 * kick
 
     def prop_sigma(jac, eps2, pvar, pM):
-        """Proposal covariance eps^2 * J * M in the cheapest representation."""
-        if dense:
-            return eps2 * pM          # dense adapt is unbounded-only
+        """Proposal covariance eps^2 * J * M in the cheapest representation.
+        (The dense mode never calls this — its asymmetry term is computed
+        from the carried Cholesky directly.)"""
         if adapt_m:
             return eps2 * jac * pvar
         if precond.kind == "identity":
@@ -157,12 +157,26 @@ def build_mala_kernel(prob: common.Problem, precond: common.SPD, step_size,
 
         # mala_prop_adjustment (reference mala.ipp:30-70): both covariance
         # terms use the proposal's Jacobian, as in the reference.
-        sigma = prop_sigma(prop_jac, eps2, pvar, state.pM)
-        if reference_mode and precond.kind == "full" and not adapt_m:
+        if dense:
+            # sigma = eps^2 * pM is symmetric PD (dense adapt is
+            # unbounded-only, enforced at the entry point) and its
+            # Cholesky eps * pchol is already carried in the state; the
+            # log-det terms of the two MVN densities cancel, so the
+            # asymmetry term reduces to two O(d^2) triangular solves
+            # instead of two fresh O(d^3) factorizations inside dmvnorm
+            # (identical value).
+            r_back = jax.scipy.linalg.solve_triangular(
+                state.pchol, state.position - prop_mean, lower=True) / eps
+            r_fwd = jax.scipy.linalg.solve_triangular(
+                state.pchol, proposal - prev_mean, lower=True) / eps
+            adj = 0.5 * (r_fwd @ r_fwd - r_back @ r_back)
+        elif reference_mode and precond.kind == "full" and not adapt_m:
             # eps^2 * J * M is asymmetric; evaluate it the reference's way
+            sigma = prop_sigma(prop_jac, eps2, pvar, state.pM)
             adj = _log_mvn_general(state.position, prop_mean, sigma) \
                 - _log_mvn_general(proposal, prev_mean, sigma)
         else:
+            sigma = prop_sigma(prop_jac, eps2, pvar, state.pM)
             adj = stats.dmvnorm(state.position, prop_mean, sigma, log=True) \
                 - stats.dmvnorm(proposal, prev_mean, sigma, log=True)
 
@@ -187,21 +201,10 @@ def build_mala_kernel(prob: common.Problem, precond: common.SPD, step_size,
                 wv, da, new_position, state.draw_ind, precond_cfg,
                 reset_da=adapt_cfg is not None)
         elif dense:
-            idx = jnp.minimum(state.draw_ind,
-                              precond_cfg["collect"].shape[0] - 1)
-            in_warmup = state.draw_ind < precond_cfg["n_adapt"]
-            collecting = in_warmup & precond_cfg["collect"][idx]
-            wend = in_warmup & precond_cfg["window_end"][idx]
-            wc, wm, pm2, pM, pchol = adaptation.windowed_mass_update(
-                state.wv.count, state.wv.mean, pm2, pM, pchol,
-                new_position, collecting, wend, "dense",
-                precond_cfg["axis_name"])
-            wv = adaptation.WindowedVariance(count=wc, mean=wm,
-                                             m2=state.wv.m2, var=state.wv.var)
-            if adapt_cfg is not None:
-                da_reset = adaptation.da_init(jnp.exp(da.log_eps))
-                da = jax.tree_util.tree_map(
-                    lambda r, old: jnp.where(wend, r, old), da_reset, da)
+            wv, da, pM, pchol, pm2 = adaptation.windowed_dense_step(
+                state.wv, da, pM, pchol, pm2,
+                new_position, state.draw_ind, precond_cfg,
+                reset_da=adapt_cfg is not None)
 
         new_state = MALAState(
             position=new_position,

@@ -111,21 +111,12 @@ def build_rwmh_kernel(box_log_kernel, prop_chol_mv, par_scale,
                 wv, da, new_position, state.draw_ind, precond_cfg,
                 reset_da=adapt_cfg is not None)
         elif dense:
-            idx = jnp.minimum(state.draw_ind,
-                              precond_cfg["collect"].shape[0] - 1)
-            in_warmup = state.draw_ind < precond_cfg["n_adapt"]
-            collecting = in_warmup & precond_cfg["collect"][idx]
-            wend = in_warmup & precond_cfg["window_end"][idx]
-            wc, wm, pm2, _cov, pchol = adaptation.windowed_mass_update(
-                state.wv.count, state.wv.mean, pm2,
-                jnp.zeros_like(pm2), pchol, new_position,
-                collecting, wend, "dense", precond_cfg["axis_name"])
-            wv = adaptation.WindowedVariance(count=wc, mean=wm,
-                                             m2=state.wv.m2, var=state.wv.var)
-            if adapt_cfg is not None:
-                da_reset = adaptation.da_init(jnp.exp(da.log_eps))
-                da = jax.tree_util.tree_map(
-                    lambda r, old: jnp.where(wend, r, old), da_reset, da)
+            # the adopted covariance itself is discarded (only its Cholesky
+            # drives the proposal), hence the zeros placeholder
+            wv, da, _cov, pchol, pm2 = adaptation.windowed_dense_step(
+                state.wv, da, jnp.zeros_like(pm2), pchol, pm2,
+                new_position, state.draw_ind, precond_cfg,
+                reset_da=adapt_cfg is not None)
 
         new_state = RWMHState(
             position=new_position,

@@ -157,7 +157,7 @@ def _bounds_case(draw):
 
 @given(_bounds_case())
 @hyp_settings(max_examples=50, deadline=None)
-def test_bounds_roundtrip_property(case):
+def test_bounds_roundtrip_hypothesis(case):
     """For ANY mix of bound types and in-range point: codes are correct,
     transform/inv_transform round-trips, the log-Jacobian is finite, and
     the inverse-Jacobian diagonal is positive."""

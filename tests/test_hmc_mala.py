@@ -280,3 +280,27 @@ def test_rwmh_mala_dense_precond_correlated():
     with pytest.raises(ValueError, match="unbounded-only"):
         mcmc_tpu.mala(jnp.ones(dim), lk, sb, n_chains=4,
                       key=jax.random.PRNGKey(2), adapt_precond="dense")
+
+
+def test_mala_dense_asymmetry_triangular_identity():
+    """The dense-mode asymmetry term is computed from the carried Cholesky
+    via triangular solves (mala.py step); verify the identity it relies on:
+    logN(a; m1, e2*M) - logN(b; m2, e2*M) == 0.5*(||L^-1 r2||^2 - ||L^-1 r1||^2)
+    with L = eps * chol(M) (the log-dets cancel)."""
+    from mcmc_tpu import stats
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        d = int(rng.integers(2, 8))
+        A = rng.normal(size=(d, d))
+        eps = float(rng.uniform(0.1, 1.5))
+        with jax.enable_x64():
+            M = jnp.asarray(A @ A.T + d * np.eye(d), jnp.float64)
+            a, b, m1, m2 = (jnp.asarray(rng.normal(size=d)) for _ in range(4))
+            sigma = eps**2 * M
+            ref = stats.dmvnorm(a, m1, sigma, log=True) \
+                - stats.dmvnorm(b, m2, sigma, log=True)
+            L = jnp.linalg.cholesky(M)
+            r1 = jax.scipy.linalg.solve_triangular(L, a - m1, lower=True) / eps
+            r2 = jax.scipy.linalg.solve_triangular(L, b - m2, lower=True) / eps
+            fast = 0.5 * (r2 @ r2 - r1 @ r1)
+            np.testing.assert_allclose(float(fast), float(ref), rtol=1e-9)
