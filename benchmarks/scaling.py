@@ -94,10 +94,16 @@ def _worker():
         jax.block_until_ready(state)
         n += 1
     el = time.perf_counter() - t0
-    if pid == 0:
-        print(json.dumps({"nproc": nproc, "devices": jax.device_count(),
-                          "samples_per_sec": round(n * STEPS * C / el, 1)}),
-              flush=True)
+    # Every worker reports its OWN completed iteration count: the workload
+    # is collective-free, so processes advance independently and finish
+    # different numbers of run() calls under host contention. The parent
+    # sums per-process local rates — extrapolating pid 0's count to all
+    # processes would hide exactly the degradation this sweep measures.
+    print(json.dumps({"nproc": nproc, "pid": pid,
+                      "devices": jax.device_count(),
+                      "n_iters": n, "elapsed": round(el, 4),
+                      "local_chains": C // nproc, "steps": STEPS}),
+          flush=True)
 
 
 def _multiprocess_sweep(max_procs, chains_per_dev, seconds):
@@ -117,22 +123,33 @@ def _multiprocess_sweep(max_procs, chains_per_dev, seconds):
                     "MCMC_SCALING_CPD": str(chains_per_dev),
                     "MCMC_SCALING_SECONDS": str(seconds)}
         procs = []
-        for pid in range(nproc):
-            env = {**env_base, "MCMC_SCALING_PID": str(pid)}
-            procs.append(subprocess.Popen(
-                [sys.executable, __file__], env=env,
-                stdout=subprocess.PIPE, stderr=subprocess.PIPE))
-        out0 = None
-        for pid, p in enumerate(procs):
-            out, err = p.communicate(timeout=600)
-            if p.returncode != 0:
-                raise RuntimeError(f"worker {pid}/{nproc} failed: "
-                                   f"{err.decode()[-800:]}")
-            if pid == 0:
+        try:
+            for pid in range(nproc):
+                env = {**env_base, "MCMC_SCALING_PID": str(pid)}
+                procs.append(subprocess.Popen(
+                    [sys.executable, __file__], env=env,
+                    stdout=subprocess.PIPE, stderr=subprocess.PIPE))
+            rows = []
+            for pid, p in enumerate(procs):
+                out, err = p.communicate(timeout=600)
+                if p.returncode != 0:
+                    raise RuntimeError(f"worker {pid}/{nproc} failed: "
+                                       f"{err.decode()[-800:]}")
                 lines = [l for l in out.decode().splitlines()
                          if l.startswith("{")]
-                out0 = json.loads(lines[-1])
-        results.append(out0)
+                rows.append(json.loads(lines[-1]))
+        finally:
+            # a failed/hung worker must not leave siblings (or the hung
+            # rendezvous partner) orphaned holding cores + the coordinator
+            # port for the next sweep iteration
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                    p.wait()
+        # global rate = sum of independent per-process local rates
+        sps = sum(r["n_iters"] * r["steps"] * r["local_chains"] / r["elapsed"]
+                  for r in rows)
+        results.append({"nproc": nproc, "samples_per_sec": round(sps, 1)})
 
     base = results[0]["samples_per_sec"]
     print(json.dumps({
