@@ -155,8 +155,15 @@ def _async_host_copy_enabled():
     transfer through a pathologically slow path (64 MiB: 48-276 s vs 2-3.5 s
     for a plain synchronous pull). On host-attached cpu/tpu/gpu it is the
     right call — the copy chases the compute and persist finds the bytes
-    host-resident."""
-    return "axon" not in (jax.config.jax_platforms or "")
+    host-resident.
+
+    Detection: the device's ``platform`` attribute reports "tpu" under axon
+    (measured), so the tunnel is only visible in the platform *selection*
+    — check both the jax config string and the env var it defaults from
+    (covers axon chosen by plugin priority with the config left unset)."""
+    selected = (jax.config.jax_platforms or
+                os.environ.get("JAX_PLATFORMS", ""))
+    return "axon" not in selected
 
 
 def _start_host_copy(tree):
