@@ -103,7 +103,20 @@ class Problem:
 
 def setup_problem(initial_vals, log_kernel, algo, n_chains: Optional[int], dtype=None) -> Problem:
     """Common preamble of every sampler (reference src/rwmh.cpp:64-103)."""
-    x0 = jnp.asarray(initial_vals, dtype)
+    if callable(initial_vals) and not hasattr(initial_vals, "__array__"):
+        raise TypeError(
+            "initial_vals is a function — the argument order is "
+            "(initial_vals, log_kernel, ...), initial values first")
+    if not callable(log_kernel):
+        raise TypeError(
+            f"log_kernel must be callable (a log-density function); got "
+            f"{type(log_kernel).__name__}")
+    try:
+        x0 = jnp.asarray(initial_vals, dtype)
+    except (TypeError, ValueError) as e:
+        raise TypeError(
+            f"initial_vals must be array-like; got "
+            f"{type(initial_vals).__name__}") from e
     dtype = x0.dtype
     squeeze = x0.ndim == 1 and (n_chains is None or n_chains == 1)
     if x0.ndim == 1:

@@ -120,11 +120,10 @@ def de(initial_vals, log_kernel, settings=None, *, key=None, mesh=None,
     algo, s = resolve_settings(settings, "de_settings", DESettings)
     key = resolve_key(key, algo)
 
-    x0 = jnp.asarray(initial_vals, dtype)
+    prob = common.setup_problem(initial_vals, log_kernel, algo, None, dtype)
+    x0 = jnp.asarray(initial_vals, prob.dtype)
     dtype = x0.dtype
     n_vals = x0.shape[-1] if x0.ndim else x0.shape[0]
-
-    prob = common.setup_problem(initial_vals, log_kernel, algo, None, dtype)
 
     init_lb = jnp.asarray(s.initial_lb, dtype) if s.initial_lb is not None else x0 - 0.5
     init_ub = jnp.asarray(s.initial_ub, dtype) if s.initial_ub is not None else x0 + 0.5

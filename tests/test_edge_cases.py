@@ -114,3 +114,18 @@ def test_chees_checkpoint_roundtrip(tmp_path):
                           key=jax.random.PRNGKey(0),
                           checkpoint_dir=tmp_path / "c", checkpoint_every=80)
     np.testing.assert_array_equal(np.asarray(out.draws), np.asarray(out2.draws))
+
+
+def test_swapped_arguments_clear_error():
+    """Passing (log_kernel, initial_vals) — the classic argument swap —
+    raises an actionable TypeError at the entry boundary, not a deep JAX
+    dtype error from inside tracing."""
+    lk = lambda v: -0.5 * jnp.sum(v**2)
+    with pytest.raises(TypeError, match="argument order"):
+        mcmc_tpu.rwmh(lk, jnp.zeros(2), mcmc_tpu.RWMHSettings())
+    with pytest.raises(TypeError, match="argument order"):
+        mcmc_tpu.fit(lk, jnp.zeros(2))
+    with pytest.raises(TypeError, match="callable"):
+        mcmc_tpu.nuts(jnp.zeros(2), jnp.zeros(2))
+    with pytest.raises(TypeError, match="array-like"):
+        mcmc_tpu.hmc(object(), lk)
