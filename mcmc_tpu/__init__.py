@@ -33,6 +33,7 @@ from mcmc_tpu.settings import (
     RMHMCSettings,
     DESettings,
     AEESSettings,
+    PTSettings,
 )
 from mcmc_tpu.results import SamplerResult
 from mcmc_tpu.samplers.rwmh import rwmh
@@ -43,6 +44,7 @@ from mcmc_tpu.samplers.chees import chees
 from mcmc_tpu.samplers.rmhmc import rmhmc
 from mcmc_tpu.samplers.de import de
 from mcmc_tpu.samplers.aees import aees
+from mcmc_tpu.samplers.pt import pt
 from mcmc_tpu import bounds
 from mcmc_tpu import stats
 from mcmc_tpu import diagnostics
@@ -52,7 +54,7 @@ __version__ = "0.1.0"
 
 _SAMPLERS = {
     "rwmh": rwmh, "mala": mala, "hmc": hmc, "nuts": nuts, "chees": chees,
-    "rmhmc": rmhmc, "de": de, "aees": aees,
+    "rmhmc": rmhmc, "de": de, "aees": aees, "pt": pt,
 }
 
 
@@ -117,10 +119,10 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
     return out
 
 __all__ = [
-    "rwmh", "mala", "hmc", "nuts", "chees", "rmhmc", "de", "aees",
+    "rwmh", "mala", "hmc", "nuts", "chees", "rmhmc", "de", "aees", "pt",
     "sample", "fit",
     "AlgoSettings", "RWMHSettings", "MALASettings", "HMCSettings",
     "NUTSSettings", "ChEESSettings", "RMHMCSettings", "DESettings",
-    "AEESSettings",
+    "AEESSettings", "PTSettings",
     "SamplerResult", "bounds", "stats", "diagnostics", "models",
 ]

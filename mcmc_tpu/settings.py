@@ -21,7 +21,7 @@ from typing import Any, Optional
 __all__ = [
     "RWMHSettings", "MALASettings", "HMCSettings", "NUTSSettings",
     "ChEESSettings", "RMHMCSettings", "DESettings", "AEESSettings",
-    "AlgoSettings",
+    "PTSettings", "AlgoSettings",
 ]
 
 ArrayLike = Any
@@ -131,6 +131,29 @@ class AEESSettings:
 
 
 @dataclass
+class PTSettings:
+    """Parallel tempering / replica exchange (no reference analog — the
+    classic multimodal sampler the reference's AEES approximates; see
+    samplers/pt.py). A ladder of replicas targets ``beta_k * log_kernel``
+    with HMC or RWMH inner moves; adjacent replicas attempt even/odd
+    state swaps — on TPU a pure masked index permutation, no host sync."""
+    n_burnin_draws: int = 1000
+    n_keep_draws: int = 1000
+    temper_vec: Optional[ArrayLike] = None  # user ladder; T=1 appended
+    n_temps: int = 8                 # geometric ladder when temper_vec=None
+    max_temp: float = 100.0
+    inner: str = "hmc"               # "hmc" | "rwmh" inner transition
+    step_size: float = 0.1           # inner HMC step at T=1 (scaled sqrt(T))
+    n_leap_steps: int = 8
+    par_scale: float = 1.0           # inner RWMH scale at T=1 (scaled sqrt(T))
+    cov_mat: Optional[ArrayLike] = None
+    swap_every: int = 1              # attempt swaps every N sweeps
+    adapt_temps: bool = False        # Robbins-Monro ladder adaptation
+    n_adapt_draws: Optional[int] = None   # defaults to n_burnin_draws
+    target_swap_accept: float = 0.234
+
+
+@dataclass
 class AlgoSettings:
     """Umbrella settings (reference mcmc_structs.hpp:151-184).
 
@@ -152,6 +175,7 @@ class AlgoSettings:
     rmhmc_settings: RMHMCSettings = field(default_factory=RMHMCSettings)
     de_settings: DESettings = field(default_factory=DESettings)
     aees_settings: AEESSettings = field(default_factory=AEESSettings)
+    pt_settings: PTSettings = field(default_factory=PTSettings)
 
     def replace(self, **kw) -> "AlgoSettings":
         return dataclasses.replace(self, **kw)
