@@ -179,3 +179,34 @@ def test_pt_single_temperature_degenerates_to_inner():
     d = np.asarray(out.draws)
     np.testing.assert_allclose(d.mean(axis=(0, 1)), 0.0, atol=0.12)
     np.testing.assert_allclose(d.var(axis=(0, 1)), 1.0, atol=0.15)
+
+
+def test_pt_sharded_matches_library_distributionally():
+    """Ladder-sharded PT on a 6-device mesh: same config as the library
+    sampler, agreeing mode balance and swap-acceptance profile (RNG stream
+    layouts differ, so agreement is distributional)."""
+    from jax.sharding import Mesh
+    from mcmc_tpu.parallel import pt_sharded
+
+    if len(jax.devices()) < 6:
+        pytest.skip("needs 6 virtual devices")
+    mesh = Mesh(np.array(jax.devices()[:6]), ("chains",))
+    s = mcmc_tpu.PTSettings(n_burnin_draws=400, n_keep_draws=2500, n_temps=6,
+                            max_temp=50.0, inner="hmc", step_size=0.25,
+                            n_leap_steps=5)
+    out = pt_sharded(jnp.zeros(2), bimodal, s, mesh=mesh,
+                     key=jax.random.PRNGKey(0))
+    d = np.asarray(out.draws)
+    assert d.shape == (2500, 2)
+    frac = float((d[..., 0] > 0).mean())
+    assert 0.35 < frac < 0.65, frac
+    rates = np.asarray(out.diagnostics["swap_accept_rate"])
+    ref = mcmc_tpu.pt(jnp.zeros(2), bimodal, s, n_chains=4,
+                      key=jax.random.PRNGKey(1))
+    ref_rates = np.asarray(ref.diagnostics["swap_accept_rate"]).mean(axis=0)
+    np.testing.assert_allclose(rates, ref_rates, atol=0.12)
+
+    with pytest.raises(ValueError, match="fixed ladder"):
+        pt_sharded(jnp.zeros(2), bimodal,
+                   mcmc_tpu.PTSettings(n_temps=6, adapt_temps=True),
+                   mesh=mesh)
