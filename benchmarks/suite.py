@@ -5,7 +5,7 @@
   2. MALA + HMC (autodiff gradients) on Bayesian logistic regression
   3. NUTS on the 100-d ill-conditioned Gaussian and the banana
   4. DE-MCMC on a multimodal Gaussian mixture
-  5. AEES + RM-HMC on multimodal / (mu, sigma) posteriors
+  5. AEES + PT + RM-HMC on multimodal / (mu, sigma) posteriors
 
 For each: wall-clock, chain-draws/sec, min ESS/sec, max split R-hat.
 Prints one JSON line per config plus a trailing summary line. The primary
@@ -121,6 +121,14 @@ def run_all(quick=False, out_path=None):
     record("aees_mixture", lambda: mcmc_tpu.aees(
         mu[0], lk_hard, aees_settings, key=jax.random.PRNGKey(8), n_runs=16,
         history_capacity=512))
+    # 5b. parallel tempering (beyond-reference) on the same hard mixture
+    record("pt_mixture", lambda: mcmc_tpu.pt(
+        mu[0], lk_hard,
+        mcmc_tpu.PTSettings(n_burnin_draws=1000 // scale,
+                            n_keep_draws=2000 // scale,
+                            n_temps=6, max_temp=60.0, adapt_temps=True,
+                            inner="hmc", step_size=0.12, n_leap_steps=5),
+        n_chains=16, key=jax.random.PRNGKey(11)))
     record("rmhmc_fisher", lambda: mcmc_tpu.rmhmc(
         jnp.array([2.5, 2.5]), lk_ms, models.normal_fisher_metric(1000),
         mcmc_tpu.RMHMCSettings(n_burnin_draws=1500 // scale,

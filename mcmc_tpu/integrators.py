@@ -53,19 +53,29 @@ def leapfrog(grad_fn, inv_mv, step_size, n_steps, position, momentum):
 
     ``inv_mv`` applies the inverse preconditioner M^{-1}. ``step_size`` may be
     a traced scalar (NUTS varies it per draw); ``n_steps`` must be static.
+
+    The gradient at the step boundary is carried through the scan: the
+    reference evaluates ``mntm_update_fn`` twice per step, but its second
+    half-kick gradient is the next step's first half-kick gradient at the
+    unchanged position, so carrying it is bit-identical (same op sequence)
+    while costing ``n_steps + 1`` gradient evaluations instead of
+    ``2 * n_steps`` — XLA cannot CSE across scan iterations on its own.
     """
+    g0 = grad_fn(position)
 
     def one_step(carry, _):
-        z, p = carry
-        p = p + 0.5 * step_size * grad_fn(z)
+        z, p, g = carry
+        p = p + 0.5 * step_size * g
         z = z + step_size * inv_mv(p)
-        p = p + 0.5 * step_size * grad_fn(z)
-        return (z, p), None
+        g = grad_fn(z)
+        p = p + 0.5 * step_size * g
+        return (z, p, g), None
 
     if isinstance(n_steps, int) and n_steps == 1:
-        (z, p), _ = one_step((position, momentum), None)
+        (z, p, _), _ = one_step((position, momentum, g0), None)
         return z, p
-    (z, p), _ = lax.scan(one_step, (position, momentum), None, length=n_steps)
+    (z, p, _), _ = lax.scan(one_step, (position, momentum, g0), None,
+                            length=n_steps)
     return z, p
 
 

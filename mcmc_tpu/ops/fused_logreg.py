@@ -120,9 +120,12 @@ def make_fused_trajectory(X, y, prior_scale: float, step_size: float,
                 u = None
             return g, u
 
+        # gradient hoisted across steps: n_leap + 1 evaluations, not
+        # 2 * n_leap (the boundary gradient is shared by adjacent half-kicks
+        # at the unchanged position — bit-identical op sequence)
         u_out = None
+        g, _ = grad_of(z, False)
         for k in range(n_leap):
-            g, _ = grad_of(z, False)
             p = p + (0.5 * eps) * g
             z = z + eps * p
             g, u = grad_of(z, k == n_leap - 1)
@@ -133,7 +136,7 @@ def make_fused_trajectory(X, y, prior_scale: float, step_size: float,
         op_ref[:] = p
         ou_ref[:] = u_out
 
-    n_flops = 2 * n_leap * (4 * block_chains * Dp * Np)
+    n_flops = (n_leap + 1) * (4 * block_chains * Dp * Np)
 
     def traj(z, p):
         n_chains = z.shape[0]
@@ -276,10 +279,13 @@ def make_fused_gaussian_trajectory(precision, mean=None, step_size=0.1,
             # 3-pass bf16 decomposition)
             return -jnp.dot(z - mu, prec, preferred_element_type=jnp.float32)
 
+        # boundary gradient hoisted: n_leap + 1 matmuls, not 2 * n_leap
+        g = grad_of(z)
         for _ in range(n_leap):
-            p = p + (0.5 * eps) * grad_of(z)
+            p = p + (0.5 * eps) * g
             z = z + eps * p
-            p = p + (0.5 * eps) * grad_of(z)
+            g = grad_of(z)
+            p = p + (0.5 * eps) * g
 
         d = z - mu
         u = 0.5 * jnp.sum(d * jnp.dot(d, prec,
@@ -440,9 +446,10 @@ def make_fused_trajectory_rt(X, y, prior_scale: float, n_leap: int,
                 u = None
             return g, u
 
+        # boundary gradient hoisted: n_leap + 1 evaluations, not 2 * n_leap
         u_out = None
+        g, _ = grad_of(z, False)
         for k in range(n_leap):
-            g, _ = grad_of(z, False)
             p = p + (0.5 * eps) * g
             z = z + eps * (im * p)
             g, u = grad_of(z, k == n_leap - 1)
