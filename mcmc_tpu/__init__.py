@@ -34,6 +34,7 @@ from mcmc_tpu.settings import (
     DESettings,
     AEESSettings,
     PTSettings,
+    SMCSettings,
 )
 from mcmc_tpu.results import SamplerResult
 from mcmc_tpu.samplers.rwmh import rwmh
@@ -45,6 +46,7 @@ from mcmc_tpu.samplers.rmhmc import rmhmc
 from mcmc_tpu.samplers.de import de
 from mcmc_tpu.samplers.aees import aees
 from mcmc_tpu.samplers.pt import pt
+from mcmc_tpu.samplers.smc import smc
 from mcmc_tpu import bounds
 from mcmc_tpu import stats
 from mcmc_tpu import diagnostics
@@ -54,7 +56,7 @@ __version__ = "0.1.0"
 
 _SAMPLERS = {
     "rwmh": rwmh, "mala": mala, "hmc": hmc, "nuts": nuts, "chees": chees,
-    "rmhmc": rmhmc, "de": de, "aees": aees, "pt": pt,
+    "rmhmc": rmhmc, "de": de, "aees": aees, "pt": pt, "smc": smc,
 }
 
 
@@ -120,9 +122,9 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
 
 __all__ = [
     "rwmh", "mala", "hmc", "nuts", "chees", "rmhmc", "de", "aees", "pt",
-    "sample", "fit",
+    "smc", "sample", "fit",
     "AlgoSettings", "RWMHSettings", "MALASettings", "HMCSettings",
     "NUTSSettings", "ChEESSettings", "RMHMCSettings", "DESettings",
-    "AEESSettings", "PTSettings",
+    "AEESSettings", "PTSettings", "SMCSettings",
     "SamplerResult", "bounds", "stats", "diagnostics", "models",
 ]

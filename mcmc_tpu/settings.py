@@ -21,7 +21,7 @@ from typing import Any, Optional
 __all__ = [
     "RWMHSettings", "MALASettings", "HMCSettings", "NUTSSettings",
     "ChEESSettings", "RMHMCSettings", "DESettings", "AEESSettings",
-    "PTSettings", "AlgoSettings",
+    "PTSettings", "SMCSettings", "AlgoSettings",
 ]
 
 ArrayLike = Any
@@ -154,6 +154,26 @@ class PTSettings:
 
 
 @dataclass
+class SMCSettings:
+    """Adaptive tempered Sequential Monte Carlo (no reference analog — the
+    population-native completion of the reference's DE/AEES family; see
+    samplers/smc.py). Anneals a particle cloud from ``N(initial_vals,
+    diag(init_scale^2))`` to the posterior with an ESS-adaptive temperature
+    schedule, resampling, and population-preconditioned mutation; also
+    estimates the log normalizing constant."""
+    n_particles: int = 4096
+    ess_target: float = 0.5          # incremental-ESS fraction per stage
+    max_stages: int = 100
+    n_mcmc_steps: int = 5            # mutation moves per particle per stage
+    inner: str = "rwmh"              # "rwmh" | "hmc" mutation kernel
+    par_scale: float = 1.0           # rwmh: scales 2.38/sqrt(d) * pop-chol
+    step_size: float = 0.5           # hmc: step in population-std units
+    n_leap_steps: int = 5
+    init_scale: ArrayLike = 1.0      # scalar or (n_vals,) q0 std dev
+    resample: str = "systematic"     # | "stratified" | "multinomial"
+
+
+@dataclass
 class AlgoSettings:
     """Umbrella settings (reference mcmc_structs.hpp:151-184).
 
@@ -176,6 +196,7 @@ class AlgoSettings:
     de_settings: DESettings = field(default_factory=DESettings)
     aees_settings: AEESSettings = field(default_factory=AEESSettings)
     pt_settings: PTSettings = field(default_factory=PTSettings)
+    smc_settings: SMCSettings = field(default_factory=SMCSettings)
 
     def replace(self, **kw) -> "AlgoSettings":
         return dataclasses.replace(self, **kw)
