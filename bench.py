@@ -75,12 +75,17 @@ def measure_throughput(X, y, on_tpu):
     from jax import lax
     from mcmc_tpu.ops.fused_logreg import make_fused_hmc_step
 
+    # block_chains=256 + 400 steps/jitted-call measured best on the v5e
+    # (round-2 amortization probe: 50 steps/call left ~45% on the table —
+    # per-call host sync through the axon tunnel dominates short scans;
+    # block_chains 512/1024 were within noise or slower, 2048 OOMs VMEM).
     step = make_fused_hmc_step(X, y, step_size=STEP_SIZE, n_leap=N_LEAP,
                                block_chains=256, interpret=not on_tpu)
     positions = 0.05 * jax.random.normal(jax.random.PRNGKey(1), (N_CHAINS, DIM))
     state = step.init(positions)
 
-    STEPS_PER_CALL = 50
+    STEPS_PER_CALL = 400 if on_tpu else 10
+    N_CALLS = 40 if on_tpu else 2
 
     @jax.jit
     def run_steps(key, state):
@@ -97,16 +102,17 @@ def measure_throughput(X, y, on_tpu):
     key, state, acc = run_steps(key, state)          # warmup / compile
     jax.block_until_ready(state)
 
-    n_calls = 0
+    # Async dispatch: each call consumes the previous call's state, so the
+    # device pipelines back-to-back; one block at the end keeps host/tunnel
+    # round-trip latency off the measurement (it is per-session overhead,
+    # not per-step cost).
     t0 = time.perf_counter()
-    elapsed = 0.0
-    while elapsed < 10.0:
+    for _ in range(N_CALLS):
         key, state, acc = run_steps(key, state)
-        jax.block_until_ready(state)
-        n_calls += 1
-        elapsed = time.perf_counter() - t0
+    jax.block_until_ready(state)
+    elapsed = time.perf_counter() - t0
 
-    total = n_calls * STEPS_PER_CALL * N_LEAP * N_CHAINS
+    total = N_CALLS * STEPS_PER_CALL * N_LEAP * N_CHAINS
     return total / elapsed, float(acc)
 
 

@@ -129,6 +129,34 @@ def run_all(quick=False, out_path=None):
                             n_temps=6, max_temp=60.0, adapt_temps=True,
                             inner="hmc", step_size=0.12, n_leap_steps=5),
         n_chains=16, key=jax.random.PRNGKey(11)))
+    # 5c. tempered SMC (beyond-reference) on the same hard mixture. SMC
+    # returns one weighted-then-resampled population, not a chain trace, so
+    # chain diagnostics don't apply; its quality metrics are the log-evidence
+    # error (the mixture density is normalized, so true log Z = 0) and the
+    # recovered mode-mass split (true 0.5/0.5).
+    def run_smc():
+        t0 = time.perf_counter()
+        out = mcmc_tpu.smc(
+            jnp.zeros(2), lk_mix,
+            mcmc_tpu.SMCSettings(n_particles=16384 // scale, n_mcmc_steps=5,
+                                 init_scale=4.0),
+            key=jax.random.PRNGKey(12))
+        jax.block_until_ready(out.draws)
+        el = time.perf_counter() - t0
+        cloud = np.asarray(out.draws)
+        mass_hi = float((cloud[:, 0] > 0).mean())
+        row = {
+            "config": "smc_mixture",
+            "seconds": round(el, 2),
+            "particles_per_sec": round(cloud.shape[0] / el, 1),
+            "n_stages": int(out.diagnostics["n_stages"]),
+            "abs_log_z_error": round(abs(float(out.diagnostics["log_z"])), 4),
+            "mode_mass_error": round(abs(mass_hi - 0.5), 4),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    run_smc()
+
     record("rmhmc_fisher", lambda: mcmc_tpu.rmhmc(
         jnp.array([2.5, 2.5]), lk_ms, models.normal_fisher_metric(1000),
         mcmc_tpu.RMHMCSettings(n_burnin_draws=1500 // scale,
@@ -137,7 +165,8 @@ def run_all(quick=False, out_path=None):
         n_chains=64, key=jax.random.PRNGKey(9)))
 
     summary = {"suite": "baseline_configs", "n_configs": len(results),
-               "worst_split_rhat": max(r["max_split_rhat"] for r in results),
+               "worst_split_rhat": max(r["max_split_rhat"] for r in results
+                                       if "max_split_rhat" in r),
                "platform": jax.devices()[0].platform}
     print(json.dumps(summary))
     if out_path is not None:
