@@ -35,6 +35,7 @@ from mcmc_tpu.settings import (
     AEESSettings,
     PTSettings,
     SMCSettings,
+    StretchSettings,
 )
 from mcmc_tpu.results import SamplerResult
 from mcmc_tpu.samplers.rwmh import rwmh
@@ -47,6 +48,7 @@ from mcmc_tpu.samplers.de import de
 from mcmc_tpu.samplers.aees import aees
 from mcmc_tpu.samplers.pt import pt
 from mcmc_tpu.samplers.smc import smc
+from mcmc_tpu.samplers.stretch import stretch
 from mcmc_tpu import bounds
 from mcmc_tpu import stats
 from mcmc_tpu import diagnostics
@@ -57,6 +59,7 @@ __version__ = "0.1.0"
 _SAMPLERS = {
     "rwmh": rwmh, "mala": mala, "hmc": hmc, "nuts": nuts, "chees": chees,
     "rmhmc": rmhmc, "de": de, "aees": aees, "pt": pt, "smc": smc,
+    "stretch": stretch,
 }
 
 
@@ -122,9 +125,9 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
 
 __all__ = [
     "rwmh", "mala", "hmc", "nuts", "chees", "rmhmc", "de", "aees", "pt",
-    "smc", "sample", "fit",
+    "smc", "stretch", "sample", "fit",
     "AlgoSettings", "RWMHSettings", "MALASettings", "HMCSettings",
     "NUTSSettings", "ChEESSettings", "RMHMCSettings", "DESettings",
-    "AEESSettings", "PTSettings", "SMCSettings",
+    "AEESSettings", "PTSettings", "SMCSettings", "StretchSettings",
     "SamplerResult", "bounds", "stats", "diagnostics", "models",
 ]

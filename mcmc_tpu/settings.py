@@ -21,7 +21,7 @@ from typing import Any, Optional
 __all__ = [
     "RWMHSettings", "MALASettings", "HMCSettings", "NUTSSettings",
     "ChEESSettings", "RMHMCSettings", "DESettings", "AEESSettings",
-    "PTSettings", "SMCSettings", "AlgoSettings",
+    "PTSettings", "SMCSettings", "StretchSettings", "AlgoSettings",
 ]
 
 ArrayLike = Any
@@ -174,6 +174,21 @@ class SMCSettings:
 
 
 @dataclass
+class StretchSettings:
+    """Affine-invariant ensemble sampler, Goodman & Weare (2010) stretch
+    move (no reference analog — completes the gradient-free population
+    family beside DESettings; see samplers/stretch.py). ``par_a`` is the
+    stretch scale (proposal support ``z in [1/a, a]``); ``init_spread`` the
+    Gaussian-ball radius of the initial ensemble around ``initial_vals`` on
+    the unconstrained space. ``n_walkers`` must be even and >= 2 * n_vals."""
+    n_walkers: int = 100
+    par_a: float = 2.0
+    n_burnin_draws: int = 1000
+    n_keep_draws: int = 1000
+    init_spread: ArrayLike = 0.5
+
+
+@dataclass
 class AlgoSettings:
     """Umbrella settings (reference mcmc_structs.hpp:151-184).
 
@@ -197,6 +212,7 @@ class AlgoSettings:
     aees_settings: AEESSettings = field(default_factory=AEESSettings)
     pt_settings: PTSettings = field(default_factory=PTSettings)
     smc_settings: SMCSettings = field(default_factory=SMCSettings)
+    stretch_settings: StretchSettings = field(default_factory=StretchSettings)
 
     def replace(self, **kw) -> "AlgoSettings":
         return dataclasses.replace(self, **kw)
