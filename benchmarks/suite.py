@@ -122,13 +122,15 @@ def run_all(quick=False, out_path=None):
         mu[0], lk_hard, aees_settings, key=jax.random.PRNGKey(8), n_runs=16,
         history_capacity=512))
     # 5b. parallel tempering (beyond-reference) on the same hard mixture
+    # (32 chains x 3000 draws: the mode-occupancy statistic that drives
+    # split R-hat on a 0.1-variance mixture needs the larger sample)
     record("pt_mixture", lambda: mcmc_tpu.pt(
         mu[0], lk_hard,
         mcmc_tpu.PTSettings(n_burnin_draws=1000 // scale,
-                            n_keep_draws=2000 // scale,
+                            n_keep_draws=3000 // scale,
                             n_temps=6, max_temp=60.0, adapt_temps=True,
                             inner="hmc", step_size=0.12, n_leap_steps=5),
-        n_chains=16, key=jax.random.PRNGKey(11)))
+        n_chains=32, key=jax.random.PRNGKey(11)))
     # 5c. tempered SMC (beyond-reference) on the same hard mixture. SMC
     # returns one weighted-then-resampled population, not a chain trace, so
     # chain diagnostics don't apply; its quality metrics are the log-evidence
@@ -156,6 +158,19 @@ def run_all(quick=False, out_path=None):
         results.append(row)
         print(json.dumps(row), flush=True)
     run_smc()
+
+    # 5d. affine-invariant ensemble (beyond-reference) on a rho=0.95
+    # correlated Gaussian — the target class its affine invariance makes
+    # free; no preconditioner or scale anywhere
+    rho = 0.95
+    cov_c = jnp.array([[1.0, rho], [rho, 1.0]])
+    prec_c = jnp.linalg.inv(cov_c)
+    record("stretch_correlated", lambda: mcmc_tpu.stretch(
+        jnp.zeros(2), lambda v: -0.5 * v @ prec_c @ v,
+        mcmc_tpu.StretchSettings(n_walkers=256,
+                                 n_burnin_draws=2000 // scale,
+                                 n_keep_draws=6000 // scale),
+        key=jax.random.PRNGKey(13)))
 
     record("rmhmc_fisher", lambda: mcmc_tpu.rmhmc(
         jnp.array([2.5, 2.5]), lk_ms, models.normal_fisher_metric(1000),

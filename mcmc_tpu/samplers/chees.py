@@ -264,7 +264,8 @@ def build_chees_kernel(box_log_kernel, grad_fn, cfg: ChEESSettings,
 
 def chees(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
           mesh=None, checkpoint_dir=None, checkpoint_every=500, dtype=None,
-          bounded_grad="reference", adapt_mass_matrix=False) -> SamplerResult:
+          bounded_grad="reference", adapt_mass_matrix=False,
+          thin=1) -> SamplerResult:
     """Run ChEES-HMC (see module docstring). Requires ``n_chains`` >= ~16 —
     the trajectory-length criterion pools cross-chain expectations.
 
@@ -294,6 +295,7 @@ def chees(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
         key, state0, step, s.n_burnin_draws, s.n_keep_draws,
         collect_fn=lambda st: st.position, mesh=mesh,
         checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        thin=thin,
     )
 
     n_accept = common.tally_accepts(infos)

@@ -162,8 +162,45 @@ def tally_accepts(infos):
     return jnp.asarray(infos["totals"]["accepted"])
 
 
+def thin_step(step_fn, thin: int):
+    """Wrap a single-chain kernel so each call advances ``thin`` transitions
+    and reports one draw — the draw-history-scaling lever the reference
+    lacks (SURVEY.md §5: stored draws grow with run length; thinning keeps
+    the buffer at ``n_keep`` rows while the chain advances ``n_keep*thin``
+    steps). Composes with vmap, mesh sharding, and the checkpoint runner
+    because it stays inside the ``(key, state) -> (state, info)`` contract.
+
+    Info aggregation over the window: boolean entries (``accepted``,
+    ``diverged``) become int32 *counts* over the window's transitions;
+    everything else reports the last transition's value.
+    """
+    thin = int(thin)
+    if thin < 1:
+        raise ValueError(f"thin must be >= 1, got {thin}")
+    if thin == 1:
+        return step_fn
+
+    def step(key, state):
+        keys = jax.random.split(key, thin)
+
+        def inner(st, k):
+            st, info = step_fn(k, st)
+            return st, info
+
+        state, infos = lax.scan(inner, state, keys)
+        info = jax.tree_util.tree_map(
+            lambda v: v.astype(jnp.int32).sum(axis=0)
+            if v.dtype == jnp.bool_ else v[-1],
+            infos,
+        )
+        return state, info
+
+    return step
+
+
 def run_sampler_loop(key, state0, step_fn, n_burnin, n_keep, collect_fn,
-                     mesh=None, checkpoint_dir=None, checkpoint_every=500):
+                     mesh=None, checkpoint_dir=None, checkpoint_every=500,
+                     thin=1):
     """Burn-in + keep scans of a vmapped transition kernel.
 
     ``state0`` is chain-batched on the leading axis; ``step_fn`` is the
@@ -185,7 +222,12 @@ def run_sampler_loop(key, state0, step_fn, n_burnin, n_keep, collect_fn,
 
     Returns ``(final_state, draws, infos)`` where ``draws`` stacks
     ``collect_fn(state)`` over kept iterations: shape ``(n_keep, n_chains, ...)``.
+
+    ``thin=k`` advances ``k`` transitions per draw (burn-in and keep phases
+    alike, the emcee ``thin_by`` convention) while storing only ``n_keep``
+    rows — see :func:`thin_step` for the info-aggregation contract.
     """
+    step_fn = thin_step(step_fn, thin)
     if checkpoint_dir is not None:
         from mcmc_tpu.checkpoint import ChunkedRunner
         runner = ChunkedRunner(

@@ -177,7 +177,7 @@ def build_hmc_kernel(box_log_kernel, grad_fn, precond: common.SPD,
 
 def hmc(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, mesh=None, checkpoint_dir=None, checkpoint_every=500,
         dtype=None, bounded_grad="reference", adapt_step_size=False,
-        target_accept=None, adapt_mass_matrix=False) -> SamplerResult:
+        target_accept=None, adapt_mass_matrix=False, thin=1) -> SamplerResult:
     """Run HMC. See reference src/hmc.cpp and mcmc_structs.hpp:66-78 for the
     settings fields; ``bounded_grad`` selects the constrained-space gradient
     convention (see mcmc_tpu.integrators). ``adapt_step_size=True`` tunes
@@ -220,6 +220,7 @@ def hmc(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, mes
         key, state0, step, s.n_burnin_draws, s.n_keep_draws,
         collect_fn=lambda st: st.position, mesh=mesh,
         checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        thin=thin,
     )
 
     n_accept = common.tally_accepts(infos)

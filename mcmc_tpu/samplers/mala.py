@@ -226,7 +226,7 @@ def build_mala_kernel(prob: common.Problem, precond: common.SPD, step_size,
 def mala(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, mesh=None, checkpoint_dir=None, checkpoint_every=500,
          dtype=None, bounded_grad="reference", adapt_step_size=False,
          adapt_precond=False, pooled_adaptation=False,
-         target_accept=None) -> SamplerResult:
+         target_accept=None, thin=1) -> SamplerResult:
     """``adapt_step_size=True`` tunes the step size toward 0.574 acceptance
     during burn-in; ``adapt_precond=True`` learns a diagonal preconditioner
     (drift **and** proposal covariance) from windowed Welford variance
@@ -270,6 +270,7 @@ def mala(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, me
         key, state0, step, s.n_burnin_draws, s.n_keep_draws,
         collect_fn=lambda st: st.position, mesh=mesh,
         checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        thin=thin,
     )
 
     n_accept = common.tally_accepts(infos)

@@ -530,7 +530,7 @@ def nuts(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, me
          dtype=None, bounded_grad="reference",
          pooled_adaptation=False, adapt_mass_matrix=False,
          adapt_depth=False, depth_quantile=0.98,
-         tree_variant="endpoint", sample_method="slice") -> SamplerResult:
+         tree_variant="endpoint", sample_method="slice", thin=1) -> SamplerResult:
     """Run NUTS (reference src/nuts.cpp entry points).
 
     ``pooled_adaptation=True`` shares one dual-averaging step-size
@@ -591,6 +591,7 @@ def nuts(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, me
         key, state0, step, s.n_burnin_draws, s.n_keep_draws,
         collect_fn=lambda st: st.position, mesh=mesh,
         checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        thin=thin,
     )
 
     n_accept = common.tally_accepts(infos)

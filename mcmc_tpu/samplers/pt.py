@@ -213,7 +213,7 @@ def build_pt_kernel(box, s: PTSettings, dim, dt, n_adapt,
 
 def pt(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
        mesh=None, checkpoint_dir=None, checkpoint_every=500,
-       dtype=None) -> SamplerResult:
+       dtype=None, thin=1) -> SamplerResult:
     """Run parallel tempering. Returns the cold (T = 1) chain's kept draws,
     ``(n_keep, n_chains, n_vals)`` (chain axis squeezed when ``n_chains`` is
     None), like the other entry points.
@@ -247,7 +247,8 @@ def pt(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
     final, draws, infos = common.run_sampler_loop(
         key, state0, step, s.n_burnin_draws, s.n_keep_draws,
         collect_fn=lambda st: st.X[:, K - 1], mesh=mesh,
-        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every)
+        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        thin=thin)
 
     draws = common.finalize_draws(draws, prob)
     n_accept = common.tally_accepts(infos)

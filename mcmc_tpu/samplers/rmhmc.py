@@ -178,7 +178,7 @@ def build_rmhmc_kernel(prob: common.Problem, metric_fn, cfg: RMHMCSettings):
 
 def rmhmc(initial_vals, log_kernel, metric_fn, settings=None, *, n_chains=None,
           key=None, mesh=None, checkpoint_dir=None, checkpoint_every=500,
-          dtype=None) -> SamplerResult:
+          dtype=None, thin=1) -> SamplerResult:
     """Run RM-HMC. ``metric_fn(params) -> (d, d)`` SPD metric in constrained
     space; derivatives via jax.jacfwd replace the reference's hand-coded
     tensor cube (reference src/rmhmc.cpp entry at :281-303)."""
@@ -193,6 +193,7 @@ def rmhmc(initial_vals, log_kernel, metric_fn, settings=None, *, n_chains=None,
         key, state0, step, s.n_burnin_draws, s.n_keep_draws,
         collect_fn=lambda st: st.position, mesh=mesh,
         checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        thin=thin,
     )
 
     n_accept = common.tally_accepts(infos)

@@ -135,7 +135,7 @@ def build_rwmh_kernel(box_log_kernel, prop_chol_mv, par_scale,
 def rwmh(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
          mesh=None, checkpoint_dir=None, checkpoint_every=500, dtype=None,
          adapt_scale=False, adapt_precond=False, pooled_adaptation=False,
-         target_accept=None) -> SamplerResult:
+         target_accept=None, thin=1) -> SamplerResult:
     """Run RWMH. ``log_kernel(params) -> scalar`` is a pure JAX function
     (closures replace the reference's ``void* target_data``).
 
@@ -179,6 +179,7 @@ def rwmh(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
         key, state0, step, s.n_burnin_draws, s.n_keep_draws,
         collect_fn=lambda st: st.position, mesh=mesh,
         checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+        thin=thin,
     )
 
     n_accept = common.tally_accepts(infos)
