@@ -112,9 +112,11 @@ def run_all(quick=False, out_path=None):
         key=jax.random.PRNGKey(7)))
 
     # 5. AEES (multimodal) + RM-HMC ((mu, sigma) with Fisher metric)
+    # 24000 kept draws: the T=1-chain mode-occupancy statistic needs the
+    # long window to pass the R-hat <= 1.01 gate (12000 sat at 1.0113)
     aees_settings = mcmc_tpu.AEESSettings(
         n_initial_draws=500 // scale, n_burnin_draws=500 // scale,
-        n_keep_draws=12000 // scale, n_rings=11, ee_prob_par=0.05,
+        n_keep_draws=24000 // scale, n_rings=11, ee_prob_par=0.05,
         temper_vec=jnp.array([60.0, 9.0]), cov_mat=0.35 * jnp.eye(2))
     lk_hard = models.gaussian_mixture_model(mu, jnp.array([0.1, 0.1]),
                                             jnp.array([0.5, 0.5]))
