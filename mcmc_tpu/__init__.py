@@ -97,7 +97,11 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
     batches on TPU (~9x NUTS min-ESS/s on the flagship benchmark).
     ``target_accept`` defaults per algorithm (0.8 NUTS / 0.651 ChEES);
     ``dense_mass`` selects full-covariance mass for either algorithm;
-    ``max_tree_depth`` is NUTS-only. Both
+    ``max_tree_depth`` is NUTS-only. ``algorithm="stretch"`` runs the
+    affine-invariant ensemble — the derivative-free choice when
+    ``log_kernel`` is not differentiable (``n_chains`` maps to walkers,
+    min ``max(2 * dim, 32)`` and even; no tuning parameters exist to warm
+    up, so ``n_warmup`` is plain burn-in). All
     attach ``diagnostics.summary`` (mean, sd, MCSE, split/rank R-hat,
     bulk/tail ESS). The "it just works" entry point the reference's
     fixed-settings API cannot offer.
@@ -118,8 +122,21 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
         out = nuts(initial_vals, log_kernel, s, n_chains=n_chains, key=key,
                    mesh=mesh, pooled_adaptation=True,
                    adapt_mass_matrix="dense" if dense_mass else "diag")
+    elif algorithm == "stretch":
+        import numpy as _np
+        dim = int(_np.asarray(initial_vals).shape[-1])
+        n_walkers = max(int(n_chains), 2 * dim, 32)
+        n_walkers += n_walkers % 2
+        if mesh is not None:   # two shardable halves per device
+            m = 2 * int(_np.prod(list(mesh.shape.values())))
+            n_walkers = ((n_walkers + m - 1) // m) * m
+        ss = StretchSettings(n_walkers=n_walkers, n_burnin_draws=n_warmup,
+                             n_keep_draws=n_draws)
+        out = stretch(initial_vals, log_kernel, ss, key=key, mesh=mesh)
     else:
-        raise ValueError(f"fit algorithm must be 'nuts' or 'chees', got {algorithm!r}")
+        raise ValueError(
+            f"fit algorithm must be 'nuts', 'chees', or 'stretch', "
+            f"got {algorithm!r}")
     out.diagnostics["summary"] = diagnostics.summary(out.draws)
     return out
 

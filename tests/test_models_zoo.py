@@ -95,6 +95,24 @@ def test_fit_one_call():
     np.testing.assert_allclose(emp_var / np.asarray(lk.variances), 1.0, atol=0.5)
 
 
+def test_fit_stretch_derivative_free():
+    """mcmc_tpu.fit(algorithm='stretch'): the derivative-free path — walker
+    count is rounded up to max(2*dim, 32) and even, and the posterior of a
+    correlated Gaussian is recovered without gradients."""
+    cov = np.array([[1.0, 0.8], [0.8, 1.0]], np.float32)
+    prec = jnp.asarray(np.linalg.inv(cov))
+    lk = lambda v: -0.5 * v @ prec @ v
+    out = mcmc_tpu.fit(jnp.zeros(2), lk, algorithm="stretch", n_chains=8,
+                       n_warmup=400, n_draws=800, key=jax.random.PRNGKey(0))
+    assert out.draws.shape == (800, 32, 2)
+    summ = out.diagnostics["summary"]
+    assert float(np.asarray(summ["rhat"]).max()) < 1.05
+    emp_cov = np.cov(np.asarray(out.draws).reshape(-1, 2).T)
+    np.testing.assert_allclose(emp_cov, cov, atol=0.15)
+    with pytest.raises(ValueError, match="fit algorithm"):
+        mcmc_tpu.fit(jnp.zeros(2), lk, algorithm="gibbs")
+
+
 def test_horseshoe_regression_recovers_sparsity():
     """Horseshoe sparse regression: NUTS with mass adaptation recovers the
     two large true coefficients and shrinks the rest toward zero — the
