@@ -8,11 +8,13 @@ parity). All functions are jit-safe and batched: ``draws`` has shape
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
 __all__ = ["split_rhat", "ess", "rank_normalized_rhat", "bulk_ess", "tail_ess",
-           "summary",
+           "hdi", "summary",
            "moments_init", "moments_update", "moments_finalize", "moments_rhat"]
 
 
@@ -181,13 +183,36 @@ def moments_rhat(m):
     return jnp.sqrt(var_plus / w)
 
 
-def summary(draws):
-    """Posterior summary dict: mean, sd, MCSE, split R-hat, ESS."""
+def hdi(draws, prob=0.94):
+    """Highest-density interval of the pooled draws, per dimension.
+
+    Sliding-window minimal-width interval over the sorted pooled sample
+    (exact for unimodal posteriors; arviz's default estimator and 94%
+    convention). Returns a ``(2, n_vals)`` array of (low, high) bounds.
+    """
+    draws = _ensure_3d(draws)
+    pooled = draws.reshape(-1, draws.shape[-1])       # (N, dim)
+    n = pooled.shape[0]
+    srt = jnp.sort(pooled, axis=0)
+    w = max(1, min(n - 1, math.ceil(prob * n)))       # interval covers w+1 points
+    widths = srt[w:] - srt[: n - w]                   # (n-w, dim)
+    lo_ix = jnp.argmin(widths, axis=0)                # (dim,)
+    cols = jnp.arange(pooled.shape[-1])
+    return jnp.stack([srt[lo_ix, cols], srt[lo_ix + w, cols]])
+
+
+def summary(draws, quantiles=(0.05, 0.5, 0.95), hdi_prob=0.94):
+    """Posterior summary dict: mean, sd, MCSE, quantiles, HDI, split/rank
+    R-hat, bulk/tail ESS. Quantile keys are ``"q5"``/``"q50"``/``"q95"``
+    (percent, trailing zeros trimmed); HDI bounds are ``"hdi_low"``/
+    ``"hdi_high"`` at ``hdi_prob`` mass."""
     draws = _ensure_3d(draws)
     axes = (0, 1)
     sd = draws.std(axis=axes)
     n_eff = ess(draws)
-    return {
+    qs = jnp.quantile(draws, jnp.asarray(quantiles, draws.dtype), axis=axes)
+    bounds = hdi(draws, hdi_prob)
+    out = {
         "mean": draws.mean(axis=axes),
         "sd": sd,
         "mcse": sd / jnp.sqrt(n_eff),
@@ -196,4 +221,9 @@ def summary(draws):
         "rhat_rank": rank_normalized_rhat(draws),
         "ess_bulk": bulk_ess(draws),
         "ess_tail": tail_ess(draws),
+        "hdi_low": bounds[0],
+        "hdi_high": bounds[1],
     }
+    for p, row in zip(quantiles, qs):
+        out[f"q{100 * p:g}".replace(".", "_")] = row
+    return out

@@ -66,6 +66,32 @@ def test_rank_normalized_diagnostics():
     assert (r_bad > 1.05).all()
 
 
+def test_hdi_and_quantile_summary():
+    """hdi() matches the known normal 94% HDI (symmetric: ±1.88), prefers
+    the mode side on a skewed exponential (lower bound at ~0, tighter than
+    the central interval), and summary() carries q5/q50/q95 + HDI keys."""
+    key = jax.random.PRNGKey(7)
+    n, m = 4000, 4
+    normal = jax.random.normal(key, (n, m, 1))
+    lo, hi = np.asarray(diagnostics.hdi(normal, 0.94))
+    assert lo[0] == pytest.approx(-1.881, abs=0.12)
+    assert hi[0] == pytest.approx(1.881, abs=0.12)
+
+    expo = jax.random.exponential(key, (n, m, 1))
+    lo_e, hi_e = np.asarray(diagnostics.hdi(expo, 0.90))
+    assert lo_e[0] < 0.05            # HDI hugs the mode at 0
+    assert hi_e[0] == pytest.approx(2.30, abs=0.25)
+    # strictly narrower than the equal-tailed 90% interval [0.051, 3.00]
+    q = np.quantile(np.asarray(expo).ravel(), [0.05, 0.95])
+    assert (hi_e[0] - lo_e[0]) < (q[1] - q[0])
+
+    s = diagnostics.summary(normal)
+    for k in ("q5", "q50", "q95", "hdi_low", "hdi_high"):
+        assert k in s, k
+    assert float(np.asarray(s["q50"])[0]) == pytest.approx(0.0, abs=0.05)
+    assert float(np.asarray(s["q95"])[0]) == pytest.approx(1.645, abs=0.1)
+
+
 def test_ess_ar1_rank_normalized_consistent():
     """bulk_ess should roughly agree with plain ess for a Gaussian AR(1)."""
     rho = 0.5
