@@ -49,10 +49,14 @@ from mcmc_tpu.samplers.aees import aees
 from mcmc_tpu.samplers.pt import pt
 from mcmc_tpu.samplers.smc import smc
 from mcmc_tpu.samplers.stretch import stretch
+from mcmc_tpu.laplace import map_laplace, LaplaceResult
 from mcmc_tpu import bounds
 from mcmc_tpu import stats
 from mcmc_tpu import diagnostics
 from mcmc_tpu import models
+
+import jax
+import jax.numpy as jnp
 
 __version__ = "0.1.0"
 
@@ -87,7 +91,8 @@ def sample(algorithm, initial_vals, log_kernel, settings=None, **kwargs):
 
 def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
         key=None, mesh=None, algorithm="nuts", dense_mass=False,
-        target_accept=None, max_tree_depth=10):
+        target_accept=None, max_tree_depth=10, init=None,
+        lower_bounds=None, upper_bounds=None):
     """One-call posterior fit with full automatic warmup.
 
     ``algorithm="nuts"`` (default) runs NUTS with pooled dual-averaging
@@ -101,24 +106,49 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
     affine-invariant ensemble — the derivative-free choice when
     ``log_kernel`` is not differentiable (``n_chains`` maps to walkers,
     min ``max(2 * dim, 32)`` and even; no tuning parameters exist to warm
-    up, so ``n_warmup`` is plain burn-in). All
-    attach ``diagnostics.summary`` (mean, sd, MCSE, split/rank R-hat,
-    bulk/tail ESS). The "it just works" entry point the reference's
+    up, so ``n_warmup`` is plain burn-in). ``init="laplace"`` first finds
+    the posterior mode (:func:`mcmc_tpu.map_laplace`, batched-Adam MAP) and
+    starts every chain from an overdispersed draw of the Laplace Gaussian
+    instead of ``initial_vals`` directly. ``lower_bounds``/``upper_bounds``
+    (either or both, per-dimension, inf = unbounded) apply the same box-
+    constraint transform stack as the sampler entry points. All algorithms
+    attach
+    ``diagnostics.summary`` (mean, sd, MCSE, quantiles, HDI, split/rank
+    R-hat, bulk/tail ESS). The "it just works" entry point the reference's
     fixed-settings API cannot offer.
     """
+    if init not in (None, "laplace"):
+        raise ValueError(f"fit init must be None or 'laplace', got {init!r}")
+    bounded = lower_bounds is not None or upper_bounds is not None
+    def _algo(inner):
+        kw = dict(vals_bound=bounded, lower_bounds=lower_bounds,
+                  upper_bounds=upper_bounds) if bounded else {}
+        return AlgoSettings(**kw, **inner)
+    if init == "laplace":
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        key, k_map, k_init = jax.random.split(key, 3)
+        lap = map_laplace(initial_vals, log_kernel, _algo({}), key=k_map)
+        _laplace_init = lambda n: lap.draw_init(k_init, n)
     if algorithm == "chees":
+        if init == "laplace":
+            initial_vals = _laplace_init(n_chains)
         cs = ChEESSettings(n_burnin_draws=n_warmup, n_keep_draws=n_draws)
         if target_accept is not None:
             cs.target_accept_rate = target_accept
+        cs = _algo({"chees_settings": cs})
         out = chees(initial_vals, log_kernel, cs, n_chains=n_chains, key=key,
                     mesh=mesh,
                     adapt_mass_matrix="dense" if dense_mass else "diag")
     elif algorithm == "nuts":
+        if init == "laplace":
+            initial_vals = _laplace_init(n_chains)
         s = NUTSSettings(
             n_burnin_draws=n_warmup, n_keep_draws=n_draws, n_adapt_draws=n_warmup,
             target_accept_rate=0.8 if target_accept is None else target_accept,
             max_tree_depth=max_tree_depth,
         )
+        s = _algo({"nuts_settings": s})
         out = nuts(initial_vals, log_kernel, s, n_chains=n_chains, key=key,
                    mesh=mesh, pooled_adaptation=True,
                    adapt_mass_matrix="dense" if dense_mass else "diag")
@@ -132,6 +162,12 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
             n_walkers = ((n_walkers + m - 1) // m) * m
         ss = StretchSettings(n_walkers=n_walkers, n_burnin_draws=n_warmup,
                              n_keep_draws=n_draws)
+        if init == "laplace":
+            # ensemble centers on the MAP with curvature-matched spread
+            # (the walker ball lives in unconstrained space, as does cov)
+            initial_vals = lap.mode
+            ss.init_spread = jnp.sqrt(jnp.diagonal(lap.cov))
+        ss = _algo({"stretch_settings": ss})
         out = stretch(initial_vals, log_kernel, ss, key=key, mesh=mesh)
     else:
         raise ValueError(
@@ -142,7 +178,7 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
 
 __all__ = [
     "rwmh", "mala", "hmc", "nuts", "chees", "rmhmc", "de", "aees", "pt",
-    "smc", "stretch", "sample", "fit",
+    "smc", "stretch", "sample", "fit", "map_laplace", "LaplaceResult",
     "AlgoSettings", "RWMHSettings", "MALASettings", "HMCSettings",
     "NUTSSettings", "ChEESSettings", "RMHMCSettings", "DESettings",
     "AEESSettings", "PTSettings", "SMCSettings", "StretchSettings",

@@ -113,6 +113,19 @@ def test_fit_stretch_derivative_free():
         mcmc_tpu.fit(jnp.zeros(2), lk, algorithm="gibbs")
 
 
+def test_fit_with_bounds():
+    """fit(lower_bounds=...) applies the box-constraint stack: draws respect
+    the bound and match the truncated-normal mean E[X | X>0] for X~N(1,1)
+    = 1 + phi(-1)/(1 - Phi(-1)) ~= 1.2876."""
+    lk = lambda x: -0.5 * jnp.sum((x - 1.0) ** 2)
+    out = mcmc_tpu.fit(jnp.ones(1) * 0.5, lk, n_chains=8, n_warmup=400,
+                       n_draws=600, key=jax.random.PRNGKey(2),
+                       lower_bounds=jnp.zeros(1))
+    d = np.asarray(out.draws)
+    assert (d > 0).all()
+    assert float(d.mean()) == pytest.approx(1.2876, abs=0.03)
+
+
 def test_horseshoe_regression_recovers_sparsity():
     """Horseshoe sparse regression: NUTS with mass adaptation recovers the
     two large true coefficients and shrinks the rest toward zero — the
