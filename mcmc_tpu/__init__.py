@@ -92,7 +92,8 @@ def sample(algorithm, initial_vals, log_kernel, settings=None, **kwargs):
 def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
         key=None, mesh=None, algorithm="nuts", dense_mass=False,
         target_accept=None, max_tree_depth=10, init=None,
-        lower_bounds=None, upper_bounds=None):
+        lower_bounds=None, upper_bounds=None,
+        rhat_target=None, min_ess=None, max_rounds=8):
     """One-call posterior fit with full automatic warmup.
 
     ``algorithm="nuts"`` (default) runs NUTS with pooled dual-averaging
@@ -111,7 +112,16 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
     starts every chain from an overdispersed draw of the Laplace Gaussian
     instead of ``initial_vals`` directly. ``lower_bounds``/``upper_bounds``
     (either or both, per-dimension, inf = unbounded) apply the same box-
-    constraint transform stack as the sampler entry points. All algorithms
+    constraint transform stack as the sampler entry points.
+
+    Run-until-converged: setting ``rhat_target`` (e.g. 1.01, checked
+    against the max rank-normalized split R-hat) and/or ``min_ess``
+    (checked against the min bulk ESS) keeps extending the run in warm
+    ``n_draws``-sized segments — no re-warmup, adapted step size / mass /
+    trajectory state carried — until the gates pass or ``max_rounds``
+    segments have run. ``diagnostics["n_rounds"]`` and
+    ``diagnostics["converged"]`` record the outcome; per-draw trace
+    diagnostics reflect the final segment only. All algorithms
     attach
     ``diagnostics.summary`` (mean, sd, MCSE, quantiles, HDI, split/rank
     R-hat, bulk/tail ESS). The "it just works" entry point the reference's
@@ -119,14 +129,15 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
     """
     if init not in (None, "laplace"):
         raise ValueError(f"fit init must be None or 'laplace', got {init!r}")
+    extend = rhat_target is not None or min_ess is not None
+    if (extend or init == "laplace") and key is None:
+        key = jax.random.PRNGKey(0)
     bounded = lower_bounds is not None or upper_bounds is not None
     def _algo(inner):
         kw = dict(vals_bound=bounded, lower_bounds=lower_bounds,
                   upper_bounds=upper_bounds) if bounded else {}
         return AlgoSettings(**kw, **inner)
     if init == "laplace":
-        if key is None:
-            key = jax.random.PRNGKey(0)
         key, k_map, k_init = jax.random.split(key, 3)
         lap = map_laplace(initial_vals, log_kernel, _algo({}), key=k_map)
         _laplace_init = lambda n: lap.draw_init(k_init, n)
@@ -138,7 +149,7 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
             cs.target_accept_rate = target_accept
         cs = _algo({"chees_settings": cs})
         out = chees(initial_vals, log_kernel, cs, n_chains=n_chains, key=key,
-                    mesh=mesh,
+                    mesh=mesh, return_resume=extend,
                     adapt_mass_matrix="dense" if dense_mass else "diag")
     elif algorithm == "nuts":
         if init == "laplace":
@@ -150,7 +161,7 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
         )
         s = _algo({"nuts_settings": s})
         out = nuts(initial_vals, log_kernel, s, n_chains=n_chains, key=key,
-                   mesh=mesh, pooled_adaptation=True,
+                   mesh=mesh, pooled_adaptation=True, return_resume=extend,
                    adapt_mass_matrix="dense" if dense_mass else "diag")
     elif algorithm == "stretch":
         import numpy as _np
@@ -168,11 +179,37 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
             initial_vals = lap.mode
             ss.init_spread = jnp.sqrt(jnp.diagonal(lap.cov))
         ss = _algo({"stretch_settings": ss})
-        out = stretch(initial_vals, log_kernel, ss, key=key, mesh=mesh)
+        out = stretch(initial_vals, log_kernel, ss, key=key, mesh=mesh,
+                      return_resume=extend)
     else:
         raise ValueError(
             f"fit algorithm must be 'nuts', 'chees', or 'stretch', "
             f"got {algorithm!r}")
+    if extend:
+        resume = out.diagnostics.pop("resume")
+        segs, accepts, rounds = [out.draws], [out.n_accept_draws], 1
+        while True:
+            d = jnp.concatenate(segs, axis=0) if len(segs) > 1 else segs[0]
+            ok = (rhat_target is None
+                  or float(diagnostics.rank_normalized_rhat(d).max())
+                  <= rhat_target)
+            if ok and min_ess is not None:
+                ok = float(diagnostics.bulk_ess(d).min()) >= min_ess
+            if ok or rounds >= max_rounds:
+                break
+            key, k_ext = jax.random.split(key)
+            out = resume(k_ext, n_draws)
+            resume = out.diagnostics.pop("resume")
+            segs.append(out.draws)
+            accepts.append(out.n_accept_draws)
+            rounds += 1
+        n_acc = accepts[0]
+        for a in accepts[1:]:
+            n_acc = n_acc + a
+        out = SamplerResult(
+            draws=d, n_accept_draws=n_acc,
+            diagnostics={**out.diagnostics, "n_rounds": rounds,
+                         "converged": ok})
     out.diagnostics["summary"] = diagnostics.summary(out.draws)
     return out
 

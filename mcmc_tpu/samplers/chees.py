@@ -265,14 +265,20 @@ def build_chees_kernel(box_log_kernel, grad_fn, cfg: ChEESSettings,
 def chees(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
           mesh=None, checkpoint_dir=None, checkpoint_every=500, dtype=None,
           bounded_grad="reference", adapt_mass_matrix=False,
-          thin=1) -> SamplerResult:
+          thin=1, return_resume=False) -> SamplerResult:
     """Run ChEES-HMC (see module docstring). Requires ``n_chains`` >= ~16 —
     the trajectory-length criterion pools cross-chain expectations.
 
     Returns kept draws plus diagnostics: per-draw trajectory length, leap
-    counts, step size, pooled accept statistic, and the adapted values."""
+    counts, step size, pooled accept statistic, and the adapted values.
+    ``return_resume=True`` attaches ``diagnostics["resume"](key, n_keep)``
+    — a warm continuation from the final kernel state (adapted step size /
+    trajectory length / mass carry over); incompatible with
+    ``checkpoint_dir``."""
     algo, s = resolve_settings(settings, "chees_settings", ChEESSettings)
     key = resolve_key(key, algo)
+    if return_resume and checkpoint_dir is not None:
+        raise ValueError("return_resume is incompatible with checkpoint_dir")
 
     prob = common.setup_problem(initial_vals, log_kernel, algo, n_chains, dtype)
     if prob.n_chains < 2:
@@ -291,35 +297,42 @@ def chees(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
                                     mass_cfg)
     state0 = jax.vmap(init, axis_name=common.CHAIN_AXIS_NAME)(prob.first_draw)
 
-    final_state, draws, infos = common.run_sampler_loop(
-        key, state0, step, s.n_burnin_draws, s.n_keep_draws,
-        collect_fn=lambda st: st.position, mesh=mesh,
-        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
-        thin=thin,
-    )
+    def assemble(key, state0, n_burnin, n_keep):
+        final_state, draws, infos = common.run_sampler_loop(
+            key, state0, step, n_burnin, n_keep,
+            collect_fn=lambda st: st.position, mesh=mesh,
+            checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+            thin=thin,
+        )
 
-    n_accept = common.tally_accepts(infos)
-    draws = common.finalize_draws(draws, prob)
-    if "accepted" in infos:
-        diagnostics = {
-            "accept_stat": infos["accept_stat"],
-            "n_leap": infos["n_leap"],
-            "trajectory_length": infos["trajectory_length"],
-            "step_size": infos["step_size"],
-        }
-    else:
-        totals = infos["totals"]
-        diagnostics = {
-            "mean_accept_stat": jnp.asarray(totals["accept_stat"])
-            / s.n_keep_draws,
-            "mean_n_leap": jnp.asarray(totals["n_leap"]) / s.n_keep_draws,
-        }
-    diagnostics["adapted_step_size"] = jnp.exp(final_state.da.log_eps_bar)
-    diagnostics["adapted_trajectory_length"] = jnp.exp(final_state.log_T)
-    if prob.squeeze:
-        draws = draws[:, 0, :]
-        n_accept = n_accept[0]
-        diagnostics = {k: (v[:, 0] if v.ndim == 2 else v[0])
-                       for k, v in diagnostics.items()}
-    return SamplerResult(draws=draws, n_accept_draws=n_accept,
-                         diagnostics=diagnostics)
+        n_accept = common.tally_accepts(infos)
+        draws = common.finalize_draws(draws, prob)
+        if "accepted" in infos:
+            diagnostics = {
+                "accept_stat": infos["accept_stat"],
+                "n_leap": infos["n_leap"],
+                "trajectory_length": infos["trajectory_length"],
+                "step_size": infos["step_size"],
+            }
+        else:
+            totals = infos["totals"]
+            diagnostics = {
+                "mean_accept_stat": jnp.asarray(totals["accept_stat"])
+                / n_keep,
+                "mean_n_leap": jnp.asarray(totals["n_leap"]) / n_keep,
+            }
+        diagnostics["adapted_step_size"] = jnp.exp(final_state.da.log_eps_bar)
+        diagnostics["adapted_trajectory_length"] = jnp.exp(final_state.log_T)
+        if prob.squeeze:
+            draws = draws[:, 0, :]
+            n_accept = n_accept[0]
+            diagnostics = {k: (v[:, 0] if v.ndim == 2 else v[0])
+                           for k, v in diagnostics.items()}
+        return SamplerResult(draws=draws, n_accept_draws=n_accept,
+                             diagnostics=diagnostics), final_state
+
+    result, final_state = assemble(key, state0, s.n_burnin_draws,
+                                   s.n_keep_draws)
+    if return_resume:
+        common.attach_resume(result, assemble, final_state)
+    return result

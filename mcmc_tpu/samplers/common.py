@@ -276,6 +276,27 @@ def run_sampler_loop(key, state0, step_fn, n_burnin, n_keep, collect_fn,
     return run(state0, keys)
 
 
+def attach_resume(result, assemble, final_state):
+    """Attach a warm-continuation closure to a sampler result.
+
+    ``assemble(key, state0, n_burnin, n_keep) -> (SamplerResult, final_state)``
+    is the entry point's run-and-assemble tail. The attached
+    ``result.diagnostics["resume"](key, n_keep)`` runs ``n_keep`` further
+    draws from the final kernel state — no re-warmup, adaptation state
+    carried (and frozen, since ``draw_ind`` continues past ``n_adapt``) —
+    and itself carries a fresh ``"resume"``. This is the primitive behind
+    ``fit``'s run-until-converged mode.
+    """
+    def make(fs):
+        def resume(key, n_keep):
+            r2, fs2 = assemble(key, fs, 0, n_keep)
+            r2.diagnostics["resume"] = make(fs2)
+            return r2
+        return resume
+    result.diagnostics["resume"] = make(final_state)
+    return result
+
+
 def finalize_draws(draws, prob: Problem):
     """Back-transform kept draws to constrained space — the vectorized analog
     of the reference's OpenMP inv_transform pass (src/rwmh.cpp:156-163)."""

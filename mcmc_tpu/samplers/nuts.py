@@ -530,8 +530,14 @@ def nuts(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, me
          dtype=None, bounded_grad="reference",
          pooled_adaptation=False, adapt_mass_matrix=False,
          adapt_depth=False, depth_quantile=0.98,
-         tree_variant="endpoint", sample_method="slice", thin=1) -> SamplerResult:
+         tree_variant="endpoint", sample_method="slice", thin=1,
+         return_resume=False) -> SamplerResult:
     """Run NUTS (reference src/nuts.cpp entry points).
+
+    ``return_resume=True`` attaches ``diagnostics["resume"](key, n_keep)``
+    — a warm continuation from the final kernel state (no re-warmup; the
+    adapted step size / mass / depth budget carry over). Incompatible with
+    ``checkpoint_dir`` (whose artifact dir encodes a fixed total).
 
     ``pooled_adaptation=True`` shares one dual-averaging step-size
     trajectory across all chains by pooling the per-draw accept statistic
@@ -565,6 +571,8 @@ def nuts(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, me
     """
     algo, s = resolve_settings(settings, "nuts_settings", NUTSSettings)
     key = resolve_key(key, algo)
+    if return_resume and checkpoint_dir is not None:
+        raise ValueError("return_resume is incompatible with checkpoint_dir")
 
     prob = common.setup_problem(initial_vals, log_kernel, algo, n_chains, dtype)
     precond = common.make_spd(s.precond_mat, prob.n_vals, prob.dtype)
@@ -587,46 +595,53 @@ def nuts(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, me
     state0 = jax.vmap(init, axis_name=common.CHAIN_AXIS_NAME)(
         init_keys, prob.first_draw)
 
-    final_state, draws, infos = common.run_sampler_loop(
-        key, state0, step, s.n_burnin_draws, s.n_keep_draws,
-        collect_fn=lambda st: st.position, mesh=mesh,
-        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
-        thin=thin,
-    )
+    def assemble(key, state0, n_burnin, n_keep):
+        final_state, draws, infos = common.run_sampler_loop(
+            key, state0, step, n_burnin, n_keep,
+            collect_fn=lambda st: st.position, mesh=mesh,
+            checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+            thin=thin,
+        )
 
-    n_accept = common.tally_accepts(infos)
-    draws = common.finalize_draws(draws, prob)
-    if "accepted" in infos:
-        diagnostics = {
-            "tree_depth": infos["tree_depth"],
-            "n_divergent": infos["diverged"].sum(axis=0),
-            "accept_stat": infos["accept_stat"],
-            "step_size": infos["step_size"],
-        }
-    else:
-        # checkpointed run: per-draw traces are not retained — report the
-        # accumulated per-chain totals as counts/means instead
-        totals = infos["totals"]
-        diagnostics = {
-            "n_divergent": jnp.asarray(totals["diverged"]),
-            "mean_tree_depth": jnp.asarray(totals["tree_depth"])
-            / s.n_keep_draws,
-            "mean_accept_stat": jnp.asarray(totals["accept_stat"])
-            / s.n_keep_draws,
-        }
-    if adapt_mass_matrix:
-        diagnostics["inv_mass_diag"] = final_state.inv_mass
-    if adapt_depth:
-        diagnostics["depth_cap"] = final_state.depth_cap
-    if prob.squeeze:
-        draws = draws[:, 0, :]
-        n_accept = n_accept[0]
-        # per-draw traces are (n_keep, n_chains); counts are (n_chains,);
-        # inv_mass_diag is (n_chains, dim)
-        def _squeeze(k, v):
-            if k == "inv_mass_diag":
-                return v[0]
-            return v[:, 0] if v.ndim == 2 else v[0]
-        diagnostics = {k: _squeeze(k, v) for k, v in diagnostics.items()}
-    return SamplerResult(draws=draws, n_accept_draws=n_accept,
-                         diagnostics=diagnostics)
+        n_accept = common.tally_accepts(infos)
+        draws = common.finalize_draws(draws, prob)
+        if "accepted" in infos:
+            diagnostics = {
+                "tree_depth": infos["tree_depth"],
+                "n_divergent": infos["diverged"].sum(axis=0),
+                "accept_stat": infos["accept_stat"],
+                "step_size": infos["step_size"],
+            }
+        else:
+            # checkpointed run: per-draw traces are not retained — report the
+            # accumulated per-chain totals as counts/means instead
+            totals = infos["totals"]
+            diagnostics = {
+                "n_divergent": jnp.asarray(totals["diverged"]),
+                "mean_tree_depth": jnp.asarray(totals["tree_depth"])
+                / n_keep,
+                "mean_accept_stat": jnp.asarray(totals["accept_stat"])
+                / n_keep,
+            }
+        if adapt_mass_matrix:
+            diagnostics["inv_mass_diag"] = final_state.inv_mass
+        if adapt_depth:
+            diagnostics["depth_cap"] = final_state.depth_cap
+        if prob.squeeze:
+            draws = draws[:, 0, :]
+            n_accept = n_accept[0]
+            # per-draw traces are (n_keep, n_chains); counts are (n_chains,);
+            # inv_mass_diag is (n_chains, dim)
+            def _squeeze(k, v):
+                if k == "inv_mass_diag":
+                    return v[0]
+                return v[:, 0] if v.ndim == 2 else v[0]
+            diagnostics = {k: _squeeze(k, v) for k, v in diagnostics.items()}
+        return SamplerResult(draws=draws, n_accept_draws=n_accept,
+                             diagnostics=diagnostics), final_state
+
+    result, final_state = assemble(key, state0, s.n_burnin_draws,
+                                   s.n_keep_draws)
+    if return_resume:
+        common.attach_resume(result, assemble, final_state)
+    return result

@@ -113,8 +113,12 @@ def build_stretch_sweep(box_log_kernel, cfg: StretchSettings, n_vals: int):
 
 def stretch(initial_vals, log_kernel, settings=None, *, key=None, mesh=None,
             checkpoint_dir=None, checkpoint_every=500,
-            dtype=None) -> SamplerResult:
+            dtype=None, return_resume=False) -> SamplerResult:
     """Run the affine-invariant ensemble (stretch-move) sampler.
+
+    ``return_resume=True`` attaches ``diagnostics["resume"](key, n_keep)``
+    — a warm continuation from the final ensemble (incompatible with
+    ``checkpoint_dir``).
 
     ``initial_vals`` (shape ``(n_vals,)``) centers the initial ensemble:
     walkers start in a Gaussian ball of radius ``init_spread`` around it on
@@ -126,6 +130,8 @@ def stretch(initial_vals, log_kernel, settings=None, *, key=None, mesh=None,
     """
     algo, s = resolve_settings(settings, "stretch_settings", StretchSettings)
     key = resolve_key(key, algo)
+    if return_resume and checkpoint_dir is not None:
+        raise ValueError("return_resume is incompatible with checkpoint_dir")
 
     prob = common.setup_problem(initial_vals, log_kernel, algo, None, dtype)
     if not prob.squeeze:
@@ -190,21 +196,29 @@ def stretch(initial_vals, log_kernel, settings=None, *, key=None, mesh=None,
         state, info = sweep(sub, state)
         return (state, k), (state.X, info["accepted"])
 
-    def run(state0, key):
+    def run(state0, key, n_burnin, n_keep):
         carry = (state0, key)
-        if s.n_burnin_draws > 0:
+        if n_burnin > 0:
             def body_burn(carry, _):
                 carry, _out = body(carry, None)
                 return carry, None
-            carry, _ = lax.scan(body_burn, carry, None,
-                                length=s.n_burnin_draws)
-        _, out = lax.scan(body, carry, None, length=s.n_keep_draws)
-        return out
+            carry, _ = lax.scan(body_burn, carry, None, length=n_burnin)
+        carry, out = lax.scan(body, carry, None, length=n_keep)
+        return carry[0], out
 
-    draws, accepted = jax.jit(run)(state0, key)
+    run_jit = jax.jit(run, static_argnums=(2, 3))
 
-    draws = common.finalize_draws(draws, prob)
-    return SamplerResult(
-        draws=draws, n_accept_draws=accepted.sum(),
-        diagnostics={"accept_rate_per_walker": accepted.mean(axis=0)},
-    )
+    def assemble(key, state0, n_burnin, n_keep):
+        final_state, (draws, accepted) = run_jit(state0, key, n_burnin,
+                                                 n_keep)
+        draws = common.finalize_draws(draws, prob)
+        return SamplerResult(
+            draws=draws, n_accept_draws=accepted.sum(),
+            diagnostics={"accept_rate_per_walker": accepted.mean(axis=0)},
+        ), final_state
+
+    result, final_state = assemble(key, state0, s.n_burnin_draws,
+                                   s.n_keep_draws)
+    if return_resume:
+        common.attach_resume(result, assemble, final_state)
+    return result

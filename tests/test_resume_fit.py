@@ -1,0 +1,73 @@
+"""Warm continuation (return_resume) and fit run-until-converged."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mcmc_tpu
+from mcmc_tpu import NUTSSettings, StretchSettings
+
+
+def _gauss2(rho=0.5):
+    cov = np.array([[1.0, rho], [rho, 1.0]], np.float32)
+    prec = jnp.asarray(np.linalg.inv(cov))
+    return lambda x: -0.5 * x @ prec @ x
+
+
+def test_nuts_resume_continues_warm():
+    """resume(key, n) yields more draws from the adapted kernel: shapes are
+    right, the step size matches the adapted one (no re-warmup), and the
+    combined sample still matches the target moments."""
+    lk = _gauss2()
+    s = NUTSSettings(n_burnin_draws=300, n_keep_draws=200, n_adapt_draws=300)
+    out = mcmc_tpu.nuts(jnp.zeros(2), lk, s, n_chains=4,
+                        key=jax.random.PRNGKey(0), pooled_adaptation=True,
+                        adapt_mass_matrix=True, return_resume=True)
+    assert "resume" in out.diagnostics
+    out2 = out.diagnostics["resume"](jax.random.PRNGKey(1), 300)
+    assert out2.draws.shape == (300, 4, 2)
+    assert "resume" in out2.diagnostics        # chainable
+    # step size is the frozen adapted value, not a fresh warmup trace
+    np.testing.assert_allclose(np.asarray(out2.diagnostics["step_size"][0]),
+                               np.asarray(out.diagnostics["step_size"][-1]),
+                               rtol=1e-6)
+    alldraws = np.concatenate([np.asarray(out.draws), np.asarray(out2.draws)])
+    np.testing.assert_allclose(alldraws.mean(axis=(0, 1)), 0.0, atol=0.2)
+    emp = np.cov(alldraws.reshape(-1, 2).T)
+    assert emp[0, 1] == pytest.approx(0.5, abs=0.2)
+
+
+def test_resume_checkpoint_dir_conflict(tmp_path):
+    lk = _gauss2()
+    with pytest.raises(ValueError, match="return_resume"):
+        mcmc_tpu.stretch(jnp.zeros(2), lk,
+                         StretchSettings(n_walkers=8, n_keep_draws=10),
+                         key=jax.random.PRNGKey(0), return_resume=True,
+                         checkpoint_dir=str(tmp_path))
+
+
+def test_fit_until_min_ess():
+    """fit(min_ess=...) extends in warm segments until the bulk-ESS gate
+    passes; draws concatenate across segments and the outcome is recorded."""
+    lk = _gauss2()
+    out = mcmc_tpu.fit(jnp.zeros(2), lk, algorithm="chees", n_chains=16,
+                       n_warmup=300, n_draws=150, key=jax.random.PRNGKey(2),
+                       min_ess=2500, max_rounds=6)
+    rounds = int(out.diagnostics["n_rounds"])
+    assert out.diagnostics["converged"]
+    assert rounds >= 2                          # 150x16 draws can't hit 2500
+    assert out.draws.shape == (150 * rounds, 16, 2)
+    assert float(np.asarray(out.diagnostics["summary"]["ess_bulk"]).min()) \
+        >= 2500
+
+
+def test_fit_until_max_rounds_cap():
+    """An unreachable gate stops at max_rounds with converged=False."""
+    lk = _gauss2()
+    out = mcmc_tpu.fit(jnp.zeros(2), lk, algorithm="stretch", n_chains=8,
+                       n_warmup=200, n_draws=100, key=jax.random.PRNGKey(3),
+                       min_ess=1e9, max_rounds=2)
+    assert int(out.diagnostics["n_rounds"]) == 2
+    assert not out.diagnostics["converged"]
+    assert out.draws.shape[0] == 200
