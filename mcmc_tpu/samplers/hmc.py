@@ -177,16 +177,21 @@ def build_hmc_kernel(box_log_kernel, grad_fn, precond: common.SPD,
 
 def hmc(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, mesh=None, checkpoint_dir=None, checkpoint_every=500,
         dtype=None, bounded_grad="reference", adapt_step_size=False,
-        target_accept=None, adapt_mass_matrix=False, thin=1) -> SamplerResult:
+        target_accept=None, adapt_mass_matrix=False, thin=1,
+        return_resume=False) -> SamplerResult:
     """Run HMC. See reference src/hmc.cpp and mcmc_structs.hpp:66-78 for the
     settings fields; ``bounded_grad`` selects the constrained-space gradient
     convention (see mcmc_tpu.integrators). ``adapt_step_size=True`` tunes
     the step size by dual averaging toward 0.8 acceptance during burn-in;
     ``adapt_mass_matrix=True`` (or ``"diag"`` / ``"dense"``) adds windowed
     mass-matrix adaptation, mirroring NUTS's modes (neither extension has a
-    reference analog)."""
+    reference analog). ``return_resume=True`` attaches
+    ``diagnostics["resume"](key, n_keep)`` — a warm continuation from the
+    final kernel state; incompatible with ``checkpoint_dir``."""
     algo, s = resolve_settings(settings, "hmc_settings", HMCSettings)
     key = resolve_key(key, algo)
+    if return_resume and checkpoint_dir is not None:
+        raise ValueError("return_resume is incompatible with checkpoint_dir")
 
     prob = common.setup_problem(initial_vals, log_kernel, algo, n_chains, dtype)
     precond = common.make_spd(s.precond_mat, prob.n_vals, prob.dtype)
@@ -216,29 +221,37 @@ def hmc(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, mes
     )
     state0 = jax.vmap(init)(prob.first_draw)
 
-    final_state, draws, infos = common.run_sampler_loop(
-        key, state0, step, s.n_burnin_draws, s.n_keep_draws,
-        collect_fn=lambda st: st.position, mesh=mesh,
-        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
-        thin=thin,
-    )
+    def assemble(key, state0, n_burnin, n_keep):
+        final_state, draws, infos = common.run_sampler_loop(
+            key, state0, step, n_burnin, n_keep,
+            collect_fn=lambda st: st.position, mesh=mesh,
+            checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+            thin=thin,
+        )
 
-    n_accept = common.tally_accepts(infos)
-    draws = common.finalize_draws(draws, prob)
-    diagnostics = {}
-    if "energy_error" in infos:
-        diagnostics["energy_error"] = infos["energy_error"]
-    if adapt_step_size:
-        diagnostics["adapted_step_size"] = jnp.exp(final_state.da.log_eps_bar)
-    if adapt_mass_matrix:
-        diagnostics["inv_mass_diag"] = final_state.inv_mass
-    if prob.squeeze:
-        draws = draws[:, 0, :]
-        n_accept = n_accept[0]
-        def _squeeze(k, v):
-            if k == "inv_mass_diag":
-                return v[0]
-            return v[:, 0] if v.ndim == 2 else v[0]
-        diagnostics = {k: _squeeze(k, v) for k, v in diagnostics.items()}
-    return SamplerResult(draws=draws, n_accept_draws=n_accept,
-                         diagnostics=diagnostics)
+        n_accept = common.tally_accepts(infos)
+        draws = common.finalize_draws(draws, prob)
+        diagnostics = {}
+        if "energy_error" in infos:
+            diagnostics["energy_error"] = infos["energy_error"]
+        if adapt_step_size:
+            diagnostics["adapted_step_size"] = jnp.exp(
+                final_state.da.log_eps_bar)
+        if adapt_mass_matrix:
+            diagnostics["inv_mass_diag"] = final_state.inv_mass
+        if prob.squeeze:
+            draws = draws[:, 0, :]
+            n_accept = n_accept[0]
+            def _squeeze(k, v):
+                if k == "inv_mass_diag":
+                    return v[0]
+                return v[:, 0] if v.ndim == 2 else v[0]
+            diagnostics = {k: _squeeze(k, v) for k, v in diagnostics.items()}
+        return SamplerResult(draws=draws, n_accept_draws=n_accept,
+                             diagnostics=diagnostics), final_state
+
+    result, final_state = assemble(key, state0, s.n_burnin_draws,
+                                   s.n_keep_draws)
+    if return_resume:
+        common.attach_resume(result, assemble, final_state)
+    return result

@@ -226,16 +226,20 @@ def build_mala_kernel(prob: common.Problem, precond: common.SPD, step_size,
 def mala(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, mesh=None, checkpoint_dir=None, checkpoint_every=500,
          dtype=None, bounded_grad="reference", adapt_step_size=False,
          adapt_precond=False, pooled_adaptation=False,
-         target_accept=None, thin=1) -> SamplerResult:
+         target_accept=None, thin=1, return_resume=False) -> SamplerResult:
     """``adapt_step_size=True`` tunes the step size toward 0.574 acceptance
     during burn-in; ``adapt_precond=True`` learns a diagonal preconditioner
     (drift **and** proposal covariance) from windowed Welford variance
     estimates — the Stan-style schedule NUTS mass adaptation uses — pooled
     across chains with ``pooled_adaptation``. Incompatible with a user
     ``precond_mat``. (No reference analog; MCMCLib's ``precond_mat`` is a
-    fixed user matrix, mcmc_structs.hpp:130.)"""
+    fixed user matrix, mcmc_structs.hpp:130.) ``return_resume=True``
+    attaches ``diagnostics["resume"](key, n_keep)`` — a warm continuation
+    from the final kernel state; incompatible with ``checkpoint_dir``."""
     algo, s = resolve_settings(settings, "mala_settings", MALASettings)
     key = resolve_key(key, algo)
+    if return_resume and checkpoint_dir is not None:
+        raise ValueError("return_resume is incompatible with checkpoint_dir")
 
     prob = common.setup_problem(initial_vals, log_kernel, algo, n_chains, dtype)
     precond = common.make_spd(s.precond_mat, prob.n_vals, prob.dtype)
@@ -266,24 +270,32 @@ def mala(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, me
                                    adapt_cfg, precond_cfg)
     state0 = jax.vmap(init, axis_name=common.CHAIN_AXIS_NAME)(prob.first_draw)
 
-    final_state, draws, infos = common.run_sampler_loop(
-        key, state0, step, s.n_burnin_draws, s.n_keep_draws,
-        collect_fn=lambda st: st.position, mesh=mesh,
-        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
-        thin=thin,
-    )
+    def assemble(key, state0, n_burnin, n_keep):
+        final_state, draws, infos = common.run_sampler_loop(
+            key, state0, step, n_burnin, n_keep,
+            collect_fn=lambda st: st.position, mesh=mesh,
+            checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+            thin=thin,
+        )
 
-    n_accept = common.tally_accepts(infos)
-    draws = common.finalize_draws(draws, prob)
-    diagnostics = {}
-    if adapt_step_size:
-        diagnostics["adapted_step_size"] = jnp.exp(final_state.da.log_eps_bar)
-    if adapt_precond:
-        diagnostics["precond_var"] = final_state.wv.var \
-            if precond_cfg["mode"] == "diag" else final_state.pM
-    if prob.squeeze:
-        draws = draws[:, 0, :]
-        n_accept = n_accept[0]
-        diagnostics = {k: v[0] for k, v in diagnostics.items()}
-    return SamplerResult(draws=draws, n_accept_draws=n_accept,
-                         diagnostics=diagnostics)
+        n_accept = common.tally_accepts(infos)
+        draws = common.finalize_draws(draws, prob)
+        diagnostics = {}
+        if adapt_step_size:
+            diagnostics["adapted_step_size"] = jnp.exp(
+                final_state.da.log_eps_bar)
+        if adapt_precond:
+            diagnostics["precond_var"] = final_state.wv.var \
+                if precond_cfg["mode"] == "diag" else final_state.pM
+        if prob.squeeze:
+            draws = draws[:, 0, :]
+            n_accept = n_accept[0]
+            diagnostics = {k: v[0] for k, v in diagnostics.items()}
+        return SamplerResult(draws=draws, n_accept_draws=n_accept,
+                             diagnostics=diagnostics), final_state
+
+    result, final_state = assemble(key, state0, s.n_burnin_draws,
+                                   s.n_keep_draws)
+    if return_resume:
+        common.attach_resume(result, assemble, final_state)
+    return result

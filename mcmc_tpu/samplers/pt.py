@@ -213,7 +213,7 @@ def build_pt_kernel(box, s: PTSettings, dim, dt, n_adapt,
 
 def pt(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
        mesh=None, checkpoint_dir=None, checkpoint_every=500,
-       dtype=None, thin=1) -> SamplerResult:
+       dtype=None, thin=1, return_resume=False) -> SamplerResult:
     """Run parallel tempering. Returns the cold (T = 1) chain's kept draws,
     ``(n_keep, n_chains, n_vals)`` (chain axis squeezed when ``n_chains`` is
     None), like the other entry points.
@@ -224,9 +224,14 @@ def pt(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
 
     Diagnostics: ``temperatures`` (the final ladder — adapted when
     ``adapt_temps=True``) and ``swap_accept_rate`` (per adjacent pair, over
-    kept draws)."""
+    kept draws). ``return_resume=True`` attaches
+    ``diagnostics["resume"](key, n_keep)`` — a warm continuation from the
+    final replica states (adapted ladder carries over); incompatible with
+    ``checkpoint_dir``."""
     algo, s = resolve_settings(settings, "pt_settings", PTSettings)
     key = resolve_key(key, algo)
+    if return_resume and checkpoint_dir is not None:
+        raise ValueError("return_resume is incompatible with checkpoint_dir")
 
     prob = common.setup_problem(initial_vals, log_kernel, algo, n_chains, dtype)
     dim, dt, box = prob.n_vals, prob.dtype, prob.box_log_kernel
@@ -244,42 +249,49 @@ def pt(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
 
     state0 = jax.vmap(init_one)(prob.first_draw)
 
-    final, draws, infos = common.run_sampler_loop(
-        key, state0, step, s.n_burnin_draws, s.n_keep_draws,
-        collect_fn=lambda st: st.X[:, K - 1], mesh=mesh,
-        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
-        thin=thin)
+    def assemble(key, state0, n_burnin, n_keep):
+        final, draws, infos = common.run_sampler_loop(
+            key, state0, step, n_burnin, n_keep,
+            collect_fn=lambda st: st.X[:, K - 1], mesh=mesh,
+            checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+            thin=thin)
 
-    draws = common.finalize_draws(draws, prob)
-    n_accept = common.tally_accepts(infos)
+        draws = common.finalize_draws(draws, prob)
+        n_accept = common.tally_accepts(infos)
 
-    if K > 1:
-        if "totals" in infos:
-            acc_sum = jnp.asarray(infos["totals"]["swap_accepted"])
-            att_sum = jnp.asarray(infos["totals"]["swap_attempted"])
+        if K > 1:
+            if "totals" in infos:
+                acc_sum = jnp.asarray(infos["totals"]["swap_accepted"])
+                att_sum = jnp.asarray(infos["totals"]["swap_attempted"])
+            else:
+                acc_sum = infos["swap_accepted"].sum(axis=0)
+                att_sum = infos["swap_attempted"].sum(axis=0)
+            swap_rate = acc_sum / jnp.maximum(att_sum, 1.0)  # (n_chains, K-1)
+            if prob.squeeze:
+                swap_rate = swap_rate[0]
         else:
-            acc_sum = infos["swap_accepted"].sum(axis=0)
-            att_sum = infos["swap_attempted"].sum(axis=0)
-        swap_rate = acc_sum / jnp.maximum(att_sum, 1.0)   # (n_chains, K-1)
+            swap_rate = jnp.zeros((0,), dt)
+
+        if s.adapt_temps and K > 1:
+            # chain-pooled adaptation keeps every chain's ladder identical;
+            # report chain 0's
+            temps_final = jnp.exp(_log_temps_from_rho(final.rho[0], dt))
+        else:
+            temps_final = make_ladder(s, dt)
+
         if prob.squeeze:
-            swap_rate = swap_rate[0]
-    else:
-        swap_rate = jnp.zeros((0,), dt)
+            draws = draws[:, 0, :]
+            n_accept = n_accept[0]
 
-    if s.adapt_temps and K > 1:
-        # chain-pooled adaptation keeps every chain's ladder identical;
-        # report chain 0's
-        temps_final = jnp.exp(_log_temps_from_rho(final.rho[0], dt))
-    else:
-        temps_final = make_ladder(s, dt)
+        return SamplerResult(
+            draws=draws,
+            n_accept_draws=n_accept,
+            diagnostics={"temperatures": temps_final,
+                         "swap_accept_rate": swap_rate},
+        ), final
 
-    if prob.squeeze:
-        draws = draws[:, 0, :]
-        n_accept = n_accept[0]
-
-    return SamplerResult(
-        draws=draws,
-        n_accept_draws=n_accept,
-        diagnostics={"temperatures": temps_final,
-                     "swap_accept_rate": swap_rate},
-    )
+    result, final_state = assemble(key, state0, s.n_burnin_draws,
+                                   s.n_keep_draws)
+    if return_resume:
+        common.attach_resume(result, assemble, final_state)
+    return result

@@ -178,27 +178,40 @@ def build_rmhmc_kernel(prob: common.Problem, metric_fn, cfg: RMHMCSettings):
 
 def rmhmc(initial_vals, log_kernel, metric_fn, settings=None, *, n_chains=None,
           key=None, mesh=None, checkpoint_dir=None, checkpoint_every=500,
-          dtype=None, thin=1) -> SamplerResult:
+          dtype=None, thin=1, return_resume=False) -> SamplerResult:
     """Run RM-HMC. ``metric_fn(params) -> (d, d)`` SPD metric in constrained
     space; derivatives via jax.jacfwd replace the reference's hand-coded
-    tensor cube (reference src/rmhmc.cpp entry at :281-303)."""
+    tensor cube (reference src/rmhmc.cpp entry at :281-303).
+    ``return_resume=True`` attaches ``diagnostics["resume"](key, n_keep)``
+    — a warm continuation from the final kernel state; incompatible with
+    ``checkpoint_dir``."""
     algo, s = resolve_settings(settings, "rmhmc_settings", RMHMCSettings)
     key = resolve_key(key, algo)
+    if return_resume and checkpoint_dir is not None:
+        raise ValueError("return_resume is incompatible with checkpoint_dir")
 
     prob = common.setup_problem(initial_vals, log_kernel, algo, n_chains, dtype)
     init, step = build_rmhmc_kernel(prob, metric_fn, s)
     state0 = jax.vmap(init)(prob.first_draw)
 
-    _, draws, infos = common.run_sampler_loop(
-        key, state0, step, s.n_burnin_draws, s.n_keep_draws,
-        collect_fn=lambda st: st.position, mesh=mesh,
-        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
-        thin=thin,
-    )
+    def assemble(key, state0, n_burnin, n_keep):
+        final_state, draws, infos = common.run_sampler_loop(
+            key, state0, step, n_burnin, n_keep,
+            collect_fn=lambda st: st.position, mesh=mesh,
+            checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+            thin=thin,
+        )
 
-    n_accept = common.tally_accepts(infos)
-    draws = common.finalize_draws(draws, prob)
-    if prob.squeeze:
-        draws = draws[:, 0, :]
-        n_accept = n_accept[0]
-    return SamplerResult(draws=draws, n_accept_draws=n_accept)
+        n_accept = common.tally_accepts(infos)
+        draws = common.finalize_draws(draws, prob)
+        if prob.squeeze:
+            draws = draws[:, 0, :]
+            n_accept = n_accept[0]
+        return SamplerResult(draws=draws,
+                             n_accept_draws=n_accept), final_state
+
+    result, final_state = assemble(key, state0, s.n_burnin_draws,
+                                   s.n_keep_draws)
+    if return_resume:
+        common.attach_resume(result, assemble, final_state)
+    return result

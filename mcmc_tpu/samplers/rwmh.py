@@ -135,7 +135,7 @@ def build_rwmh_kernel(box_log_kernel, prop_chol_mv, par_scale,
 def rwmh(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
          mesh=None, checkpoint_dir=None, checkpoint_every=500, dtype=None,
          adapt_scale=False, adapt_precond=False, pooled_adaptation=False,
-         target_accept=None, thin=1) -> SamplerResult:
+         target_accept=None, thin=1, return_resume=False) -> SamplerResult:
     """Run RWMH. ``log_kernel(params) -> scalar`` is a pure JAX function
     (closures replace the reference's ``void* target_data``).
 
@@ -146,9 +146,14 @@ def rwmh(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
     ``adapt_precond=True`` (or ``"diag"`` / ``"dense"``) additionally
     learns a diagonal or full proposal covariance (see module docstring),
     pooled across chains when ``pooled_adaptation``.
+    ``return_resume=True`` attaches ``diagnostics["resume"](key, n_keep)``
+    — a warm continuation from the final kernel state (adapted scale /
+    proposal covariance carry over); incompatible with ``checkpoint_dir``.
     """
     algo, s = resolve_settings(settings, "rwmh_settings", RWMHSettings)
     key = resolve_key(key, algo)
+    if return_resume and checkpoint_dir is not None:
+        raise ValueError("return_resume is incompatible with checkpoint_dir")
 
     prob = common.setup_problem(initial_vals, log_kernel, algo, n_chains, dtype)
     cov = common.make_spd(s.cov_mat, prob.n_vals, prob.dtype)
@@ -175,25 +180,32 @@ def rwmh(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
                                    s.par_scale, adapt_cfg, precond_cfg)
     state0 = jax.vmap(init)(prob.first_draw)
 
-    final_state, draws, infos = common.run_sampler_loop(
-        key, state0, step, s.n_burnin_draws, s.n_keep_draws,
-        collect_fn=lambda st: st.position, mesh=mesh,
-        checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
-        thin=thin,
-    )
+    def assemble(key, state0, n_burnin, n_keep):
+        final_state, draws, infos = common.run_sampler_loop(
+            key, state0, step, n_burnin, n_keep,
+            collect_fn=lambda st: st.position, mesh=mesh,
+            checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+            thin=thin,
+        )
 
-    n_accept = common.tally_accepts(infos)
-    draws = common.finalize_draws(draws, prob)
-    diagnostics = {}
-    if adapt_scale:
-        diagnostics["adapted_scale"] = jnp.exp(final_state.da.log_eps_bar)
-    if adapt_precond:
-        diagnostics["proposal_var"] = final_state.wv.var \
-            if precond_cfg["mode"] == "diag" else \
-            final_state.pchol @ jnp.swapaxes(final_state.pchol, -1, -2)
-    if prob.squeeze:
-        draws = draws[:, 0, :]
-        n_accept = n_accept[0]
-        diagnostics = {k: v[0] for k, v in diagnostics.items()}
-    return SamplerResult(draws=draws, n_accept_draws=n_accept,
-                         diagnostics=diagnostics)
+        n_accept = common.tally_accepts(infos)
+        draws = common.finalize_draws(draws, prob)
+        diagnostics = {}
+        if adapt_scale:
+            diagnostics["adapted_scale"] = jnp.exp(final_state.da.log_eps_bar)
+        if adapt_precond:
+            diagnostics["proposal_var"] = final_state.wv.var \
+                if precond_cfg["mode"] == "diag" else \
+                final_state.pchol @ jnp.swapaxes(final_state.pchol, -1, -2)
+        if prob.squeeze:
+            draws = draws[:, 0, :]
+            n_accept = n_accept[0]
+            diagnostics = {k: v[0] for k, v in diagnostics.items()}
+        return SamplerResult(draws=draws, n_accept_draws=n_accept,
+                             diagnostics=diagnostics), final_state
+
+    result, final_state = assemble(key, state0, s.n_burnin_draws,
+                                   s.n_keep_draws)
+    if return_resume:
+        common.attach_resume(result, assemble, final_state)
+    return result

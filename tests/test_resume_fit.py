@@ -38,6 +38,37 @@ def test_nuts_resume_continues_warm():
     assert emp[0, 1] == pytest.approx(0.5, abs=0.2)
 
 
+@pytest.mark.parametrize("algo", ["rwmh", "mala", "hmc", "pt", "rmhmc"])
+def test_resume_all_chain_samplers(algo):
+    """Every chain sampler supports return_resume: the continuation produces
+    correctly-shaped draws whose pooled mean stays near the target's."""
+    lk = _gauss2(0.0)
+    kwargs = {"n_chains": 4, "key": jax.random.PRNGKey(7),
+              "return_resume": True}
+    settings_by = {
+        "rwmh": mcmc_tpu.RWMHSettings(n_burnin_draws=200, n_keep_draws=100,
+                                      par_scale=1.5),
+        "mala": mcmc_tpu.MALASettings(n_burnin_draws=200, n_keep_draws=100,
+                                      step_size=0.8),
+        "hmc": mcmc_tpu.HMCSettings(n_burnin_draws=200, n_keep_draws=100,
+                                    step_size=0.5),
+        "pt": mcmc_tpu.PTSettings(n_burnin_draws=200, n_keep_draws=100),
+        "rmhmc": mcmc_tpu.RMHMCSettings(n_burnin_draws=100, n_keep_draws=50,
+                                        step_size=0.4),
+    }
+    fn = getattr(mcmc_tpu, algo)
+    args = (jnp.zeros(2), lk)
+    if algo == "rmhmc":
+        args = (jnp.zeros(2), lk, lambda v: jnp.eye(2))
+    out = fn(*args, settings_by[algo], **kwargs)
+    n2 = 50
+    out2 = out.diagnostics["resume"](jax.random.PRNGKey(8), n2)
+    assert out2.draws.shape == (n2, 4, 2)
+    assert "resume" in out2.diagnostics
+    pooled = np.concatenate([np.asarray(out.draws), np.asarray(out2.draws)])
+    np.testing.assert_allclose(pooled.mean(axis=(0, 1)), 0.0, atol=0.4)
+
+
 def test_resume_checkpoint_dir_conflict(tmp_path):
     lk = _gauss2()
     with pytest.raises(ValueError, match="return_resume"):
