@@ -141,6 +141,13 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
         key, k_map, k_init = jax.random.split(key, 3)
         lap = map_laplace(initial_vals, log_kernel, _algo({}), key=k_map)
         _laplace_init = lambda n: lap.draw_init(k_init, n)
+    # Reserve a disjoint key for the sampler run: the extension loop below
+    # keeps splitting `key`, and jax.random.split(k, 2) rows are a prefix of
+    # split(k, n) rows, so handing the sampler the same `key` we later split
+    # would exactly replay its internal streams in the extension segments.
+    k_run = None
+    if key is not None:
+        key, k_run = jax.random.split(key)
     if algorithm == "chees":
         if init == "laplace":
             initial_vals = _laplace_init(n_chains)
@@ -148,7 +155,7 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
         if target_accept is not None:
             cs.target_accept_rate = target_accept
         cs = _algo({"chees_settings": cs})
-        out = chees(initial_vals, log_kernel, cs, n_chains=n_chains, key=key,
+        out = chees(initial_vals, log_kernel, cs, n_chains=n_chains, key=k_run,
                     mesh=mesh, return_resume=extend,
                     adapt_mass_matrix="dense" if dense_mass else "diag")
     elif algorithm == "nuts":
@@ -160,7 +167,7 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
             max_tree_depth=max_tree_depth,
         )
         s = _algo({"nuts_settings": s})
-        out = nuts(initial_vals, log_kernel, s, n_chains=n_chains, key=key,
+        out = nuts(initial_vals, log_kernel, s, n_chains=n_chains, key=k_run,
                    mesh=mesh, pooled_adaptation=True, return_resume=extend,
                    adapt_mass_matrix="dense" if dense_mass else "diag")
     elif algorithm == "stretch":
@@ -179,7 +186,7 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
             initial_vals = lap.mode
             ss.init_spread = jnp.sqrt(jnp.diagonal(lap.cov))
         ss = _algo({"stretch_settings": ss})
-        out = stretch(initial_vals, log_kernel, ss, key=key, mesh=mesh,
+        out = stretch(initial_vals, log_kernel, ss, key=k_run, mesh=mesh,
                       return_resume=extend)
     else:
         raise ValueError(

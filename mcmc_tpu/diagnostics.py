@@ -194,7 +194,7 @@ def hdi(draws, prob=0.94):
     pooled = draws.reshape(-1, draws.shape[-1])       # (N, dim)
     n = pooled.shape[0]
     srt = jnp.sort(pooled, axis=0)
-    w = max(1, min(n - 1, math.ceil(prob * n)))       # interval covers w+1 points
+    w = min(n - 1, max(1, math.floor(prob * n)))      # interval covers w+1 points
     widths = srt[w:] - srt[: n - w]                   # (n-w, dim)
     lo_ix = jnp.argmin(widths, axis=0)                # (dim,)
     cols = jnp.arange(pooled.shape[-1])

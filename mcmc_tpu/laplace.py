@@ -36,7 +36,6 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from mcmc_tpu import bounds as bounds_mod
 from mcmc_tpu.settings import AlgoSettings
@@ -103,6 +102,10 @@ def map_laplace(initial_vals, log_kernel, settings=None, *, n_steps=500,
     so a final-step oscillation cannot lose the mode. ``optimizer`` accepts
     any optax ``GradientTransformation`` to replace the default Adam.
     """
+    # optax is only needed here; importing lazily keeps the top-level
+    # `import mcmc_tpu` free of the dependency (it is not a declared
+    # install requirement — only the default optimizer uses it).
+    import optax
     if settings is None:
         settings = AlgoSettings()
     if not isinstance(settings, AlgoSettings):
@@ -160,8 +163,17 @@ def map_laplace(initial_vals, log_kernel, settings=None, *, n_steps=500,
         hess = -jax.hessian(box)(z_star)
         hess = 0.5 * (hess + hess.T)
         eigval, eigvec = jnp.linalg.eigh(hess)
-        floor = jnp.maximum(jnp.max(jnp.abs(eigval)), 1.0) * 1e-8
-        eigval = jnp.maximum(eigval, floor)
+        # Directions with non-positive (or numerically zero) curvature are
+        # not identified by the quadratic approximation (saddle/flat/ridge).
+        # Give them the TIGHTEST direction's variance rather than a tiny
+        # eigenvalue floor: 1/(1e-8*max) would inflate the covariance ~1e8x
+        # and draw_init would launch chains astronomically far from the
+        # mode (saturating bounds to +/-inf). Conservative-small keeps
+        # chains near the mode; restart_log_posts/grad_norm still expose
+        # the degeneracy to the caller.
+        max_abs = jnp.maximum(jnp.max(jnp.abs(eigval)), 1.0)
+        degenerate = eigval <= max_abs * 1e-8
+        eigval = jnp.where(degenerate, max_abs, eigval)
         cov = (eigvec / eigval) @ eigvec.T
         cov_sqrt = eigvec / jnp.sqrt(eigval)
         grad_norm = jnp.linalg.norm(jax.grad(box)(z_star))
