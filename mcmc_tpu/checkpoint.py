@@ -28,7 +28,9 @@ __all__ = ["save", "restore", "ChunkedRunner"]
 def save(path, tree):
     """Atomically serialize a pytree of arrays (and scalars) to ``path``."""
     path = pathlib.Path(path)
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    # typed PRNG keys can't pass through np.asarray; store their raw data
+    # (restore() re-wraps them from the template's leaf dtype)
+    leaves, treedef = jax.tree_util.tree_flatten(_key_data(tree))
     arrays = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
     payload = {"treedef": str(treedef), "n_leaves": len(leaves)}
     fd, tmp = tempfile.mkstemp(dir=path.parent, suffix=".tmp")
@@ -305,11 +307,29 @@ class ChunkedRunner:
         if ckpt.exists():
             try:
                 (keys, state), meta, totals = _load_ckpt(ckpt, like=(keys, state))
-                if all(meta.get(k) == v for k, v in run_meta.items()):
+                # chunk_size does not affect results (per-draw key/state
+                # stream is carried in the checkpoint; chunking only moves
+                # persistence boundaries — bit-identity is tested), and a
+                # LARGER n_draws is a seamless continuation of the same
+                # stream. Only n_burnin/dtype changes (or a shrunken total
+                # below the completed count) force a restart — and that is
+                # loud, never a silent discard of kept draws.
+                compat = (meta.get("n_burnin") == n_burnin
+                          and meta.get("dtype") == dtype_name
+                          and meta.get("done", 0) <= total)
+                if compat:
                     done = meta["done"]
                     if all(k in totals for k in _MOM_KEYS):
                         mom = [totals.pop(k) for k in _MOM_KEYS]
                 else:
+                    import warnings
+                    warnings.warn(
+                        f"checkpoint in {self.dir} is from a run with "
+                        f"n_burnin={meta.get('n_burnin')}, "
+                        f"dtype={meta.get('dtype')}, done={meta.get('done')} "
+                        f"(this run: n_burnin={n_burnin}, dtype={dtype_name}, "
+                        f"total={total}); restarting from scratch and "
+                        f"discarding its kept draws")
                     keys = key if self.single_key else \
                         jax.random.split(key, n_chains)
                     state, totals = state0, {}

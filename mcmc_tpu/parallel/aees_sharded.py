@@ -31,6 +31,7 @@ from jax import shard_map
 from mcmc_tpu.results import SamplerResult
 from mcmc_tpu.settings import AEESSettings
 from mcmc_tpu.samplers import common
+from mcmc_tpu.samplers.aees import make_mh_step, make_ee_jump
 from mcmc_tpu.samplers._resolve import resolve_settings, resolve_key
 
 __all__ = ["aees_sharded"]
@@ -59,6 +60,11 @@ def aees_sharded(initial_vals, log_kernel, settings=None, *, mesh: Mesh,
 
     user_temps = jnp.asarray(s.temper_vec, dt) if s.temper_vec is not None \
         else jnp.zeros((0,), dt)
+    if user_temps.size and not bool(jnp.all(user_temps > 1.0)):
+        raise ValueError(
+            "temper_vec entries must all be > 1 (temperatures, not inverse "
+            "temperatures); T=1 is appended automatically and the T=1 chain "
+            "is the one whose draws are returned")
     temps = jnp.sort(jnp.concatenate([user_temps, jnp.ones((1,), dt)]))[::-1]
     K = int(temps.shape[0])
     n_dev = mesh.shape[axis_name]
@@ -70,24 +76,23 @@ def aees_sharded(initial_vals, log_kernel, settings=None, *, mesh: Mesh,
     block = s.n_initial_draws + s.n_burnin_draws
     n_total = s.n_keep_draws + K * block
     n_rings = int(s.n_rings)
-    cov = common.make_spd(s.cov_mat, dim, dt)
 
     first = prob.first_draw[0]
     val_init = box(first)
+    # a NaN initial kernel value would NaN every accept comparison and
+    # wedge the chain; force -inf so the first finite proposal accepts
+    # (same guard as pt.py; reference inherits whatever the user passes)
+    val_init = jnp.where(jnp.isfinite(val_init), val_init,
+                         -jnp.asarray(jnp.inf, dt))
     idx_all = jnp.arange(n_total)
     ring_perm = [(i, i + 1) for i in range(K - 1)]
     capped = history_capacity is not None
     H = int(history_capacity) if capped else n_total
     idx_slots = jnp.arange(H)
 
-    def mh_step(key_, x, val_prev, temper):
-        k_n, k_u = jax.random.split(key_)
-        noise = jax.random.normal(k_n, (dim,), dt)
-        prop = x + jnp.sqrt(temper) * (s.par_scale * cov.sqrt_mv(noise))
-        val_new = box(prop)
-        comp = jnp.minimum(0.01, (val_new - val_prev) / temper)
-        acc = jax.random.uniform(k_u, dtype=dt) < jnp.exp(comp)
-        return jnp.where(acc, prop, x), jnp.where(acc, val_new, val_prev)
+    # the single shared move implementations (samplers/aees.py)
+    mh_step = make_mh_step(box, s, dim, dt)
+    ee_jump = make_ee_jump(box, n_rings, dt)
 
     def ladder_run(dev_key):
         """Body per device (inside shard_map). dev_key: (1, 2) key slice."""
@@ -102,29 +107,12 @@ def aees_sharded(initial_vals, log_kernel, settings=None, *, mesh: Mesh,
             spacing = avail // n_rings
 
             def jump(_):
-                k_pick, k_acc = jax.random.split(key_)
                 if capped:
                     mask = idx_slots < avail
                 else:
                     mask = (idx_slots >= begin) & (idx_slots < draw_ind)
-                masked = jnp.where(mask, hot_kv, jnp.inf)
-                order = jnp.argsort(masked)
-                sorted_vals = masked[order]
-                ring_pos = jnp.arange(1, n_rings) * spacing
-                ring_vals = 0.5 * (sorted_vals[ring_pos] + sorted_vals[ring_pos - 1])
-                which = jnp.searchsorted(ring_vals, cur_kv)
-                z = jax.random.uniform(k_pick, dtype=dt)
-                idx_rel = spacing * which + jnp.floor(z * spacing).astype(jnp.int32)
-                ind_abs = order[idx_rel]
-                x_cand = hot_x[ind_abs]
-                val = box(x_cand)
-                new_pair = jnp.array([val / hotter_temp, val / my_temp])
-                comp = jnp.minimum(0.01,
-                                   (new_pair[1] - kv2[1]) + (kv2[0] - new_pair[0]))
-                rej = jax.random.uniform(k_acc, dtype=dt) > jnp.exp(comp)
-                return (jnp.where(rej, x, x_cand),
-                        jnp.where(rej, cur_kv, val),
-                        jnp.where(rej, kv2, new_pair))
+                return ee_jump(key_, hot_kv, hot_x, mask, spacing,
+                               x, cur_kv, kv2, hotter_temp, my_temp)
 
             def stay(_):
                 return x, cur_kv, kv2

@@ -29,11 +29,10 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
-from mcmc_tpu import integrators
 from mcmc_tpu.results import SamplerResult
 from mcmc_tpu.settings import PTSettings
 from mcmc_tpu.samplers import common
-from mcmc_tpu.samplers.pt import make_ladder
+from mcmc_tpu.samplers.pt import make_ladder, make_inner_move
 from mcmc_tpu.samplers._resolve import resolve_settings, resolve_key
 
 __all__ = ["pt_sharded"]
@@ -53,7 +52,6 @@ def pt_sharded(initial_vals, log_kernel, settings=None, *, mesh: Mesh,
 
     prob = common.setup_problem(initial_vals, log_kernel, algo, None, dtype)
     dim, dt, box = prob.n_vals, prob.dtype, prob.box_log_kernel
-    grad_box = jax.grad(box)
 
     temps = make_ladder(s, dt)
     K = int(temps.shape[0])
@@ -61,10 +59,8 @@ def pt_sharded(initial_vals, log_kernel, settings=None, *, mesh: Mesh,
     if K != n_dev:
         raise ValueError(f"ladder size {K} must equal mesh size {n_dev}")
     betas = 1.0 / temps
-    inner = s.inner
-    if inner not in ("hmc", "rwmh"):
-        raise ValueError(f"inner must be 'hmc' or 'rwmh', got {inner!r}")
-    cov = common.make_spd(s.cov_mat, dim, dt) if inner == "rwmh" else None
+    # the single shared replica-move implementation (samplers/pt.py)
+    inner_move = make_inner_move(box, s, dim, dt)
     swap_every = max(int(s.swap_every), 1)
 
     first = prob.first_draw[0]
@@ -73,29 +69,6 @@ def pt_sharded(initial_vals, log_kernel, settings=None, *, mesh: Mesh,
     n_total = s.n_burnin_draws + s.n_keep_draws
     perm_up = [(i, i + 1) for i in range(K - 1)]     # k receives from k-1
     perm_down = [(i + 1, i) for i in range(K - 1)]   # k receives from k+1
-
-    def inner_move(key_, x, kv, beta, temper):
-        if inner == "hmc":
-            k_mom, k_acc = jax.random.split(key_)
-            eps = s.step_size * jnp.sqrt(temper)
-            p0 = jax.random.normal(k_mom, (dim,), dt)
-            z, p = integrators.leapfrog(
-                lambda zz: beta * grad_box(zz), lambda m: m, eps,
-                int(s.n_leap_steps), x, p0)
-            kv_new = box(z)
-            kv_safe = jnp.where(jnp.isfinite(kv_new), kv_new, -jnp.inf)
-            dH = beta * (kv_safe - kv) - 0.5 * (p @ p - p0 @ p0)
-            acc = jnp.log(jax.random.uniform(k_acc, dtype=dt)) \
-                < jnp.minimum(0.0, dH)
-            return jnp.where(acc, z, x), jnp.where(acc, kv_safe, kv), acc
-        k_n, k_u = jax.random.split(key_)
-        noise = jax.random.normal(k_n, (dim,), dt)
-        prop = x + jnp.sqrt(temper) * s.par_scale * cov.sqrt_mv(noise)
-        kv_new = box(prop)
-        kv_safe = jnp.where(jnp.isfinite(kv_new), kv_new, -jnp.inf)
-        comp = jnp.minimum(0.0, beta * (kv_safe - kv))
-        acc = jnp.log(jax.random.uniform(k_u, dtype=dt)) < comp
-        return jnp.where(acc, prop, x), jnp.where(acc, kv_safe, kv), acc
 
     def ladder_run(dev_key):
         k = lax.axis_index(axis_name)

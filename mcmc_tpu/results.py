@@ -37,8 +37,12 @@ class SamplerResult:
     @property
     def accept_rate(self):
         """``n_accept_draws / n_keep_draws`` (reference convention,
-        README.md:274, src/rwmh.cpp:140-142)."""
-        n_keep = self.draws.shape[0]
+        README.md:274, src/rwmh.cpp:140-142). With ``thin=k`` the keep
+        phase makes ``n_keep*k`` transitions and ``n_accept_draws`` counts
+        accepts over all of them, so the rate divides by the transition
+        count (samplers record ``diagnostics["thin"]``) and stays a
+        probability."""
+        n_keep = self.draws.shape[0] * int(self.diagnostics.get("thin", 1))
         return jnp.asarray(self.n_accept_draws) / n_keep
 
     @property

@@ -77,6 +77,65 @@ class AEESState(NamedTuple):
     draw_ind: jax.Array   # global draw counter (drives activation + windows)
 
 
+def make_mh_step(box, s: AEESSettings, dim, dt):
+    """Tempered single-step MH (reference aees.ipp:30-70); no finiteness
+    guard, as in the reference — NaN ratios reject. The ONE implementation
+    shared by the library sampler and the ladder-sharded variant
+    (:mod:`mcmc_tpu.parallel.aees_sharded`)."""
+    cov = common.make_spd(s.cov_mat, dim, dt)
+
+    def mh_step(key, x, val_prev, temper):
+        k_n, k_u = jax.random.split(key)
+        noise = jax.random.normal(k_n, (dim,), dt)
+        prop = x + jnp.sqrt(temper) * (s.par_scale * cov.sqrt_mv(noise))
+        val_new = box(prop)
+        comp = jnp.minimum(0.01, (val_new - val_prev) / temper)
+        acc = jax.random.uniform(k_u, dtype=dt) < jnp.exp(comp)
+        return jnp.where(acc, prop, x), jnp.where(acc, val_new, val_prev)
+
+    return mh_step
+
+
+def make_ee_jump(box, n_rings, dt):
+    """Core equi-energy jump (reference src/aees.cpp:196-240): sort the
+    donor chain's masked energy window into ``n_rings`` rings, draw a
+    stored candidate from the ring matching the current energy, accept by
+    the two-temperature ratio with ``min(0.01, ·)`` clamp. Shared by the
+    library sampler and the ladder-sharded variant so acceptance semantics
+    cannot diverge.
+
+    ``row_kv (H,)`` / ``row_x (H, d)`` are the donor history; ``mask`` the
+    valid-window mask; ``spacing`` (>0) the per-ring slot count."""
+    def jump(key, row_kv, row_x, mask, spacing, cur_x, cur_kv, kv2,
+             hotter_temp, my_temp):
+        k_pick, k_acc = jax.random.split(key)
+        masked = jnp.where(mask, row_kv, jnp.inf)
+        order = jnp.argsort(masked)        # slot indices, ascending energy
+        sorted_vals = masked[order]
+
+        ring_pos = jnp.arange(1, n_rings) * spacing      # (n_rings - 1,)
+        ring_vals = 0.5 * (sorted_vals[ring_pos] + sorted_vals[ring_pos - 1])
+        which = jnp.searchsorted(ring_vals, cur_kv)      # rings strictly below
+
+        z = jax.random.uniform(k_pick, dtype=dt)
+        idx_rel = spacing * which + jnp.floor(z * spacing).astype(jnp.int32)
+        ind_abs = order[idx_rel]
+
+        x_cand = row_x[ind_abs]
+        val = box(x_cand)
+        new_pair = jnp.array([val / hotter_temp, val / my_temp])
+        comp = jnp.minimum(0.01, (new_pair[1] - kv2[1]) + (kv2[0] - new_pair[0]))
+        # accept-convention comparison so a NaN comp (e.g. -inf kernel
+        # values at both ends) REJECTS, matching mh_step and the
+        # reference's rejected-by-default non-finite semantics
+        acc = jax.random.uniform(k_acc, dtype=dt) < jnp.exp(comp)
+        return (jnp.where(acc, x_cand, cur_x),
+                jnp.where(acc, val, cur_kv),
+                jnp.where(acc, new_pair, kv2))
+
+    return jump
+
+
 def build_aees_kernel(box, temps, s: AEESSettings, dim, dt,
                       history_capacity=None):
     """Returns ``(make_state0, step)`` for the AEES transition kernel.
@@ -91,22 +150,8 @@ def build_aees_kernel(box, temps, s: AEESSettings, dim, dt,
     capped = history_capacity is not None
     H = int(history_capacity) if capped else n_total
 
-    cov = common.make_spd(s.cov_mat, dim, dt)
-
-    def prop_scaled(noise):
-        return s.par_scale * cov.sqrt_mv(noise)
-
-    def mh_step(key, x, val_prev, temper):
-        """Tempered single-step MH (reference aees.ipp:30-70); no finiteness
-        guard, as in the reference — NaN ratios reject."""
-        k_n, k_u = jax.random.split(key)
-        noise = jax.random.normal(k_n, (dim,), dt)
-        prop = x + jnp.sqrt(temper) * prop_scaled(noise)
-        val_new = box(prop)
-        comp = jnp.minimum(0.01, (val_new - val_prev) / temper)
-        acc = jax.random.uniform(k_u, dtype=dt) < jnp.exp(comp)
-        return jnp.where(acc, prop, x), jnp.where(acc, val_new, val_prev)
-
+    mh_step = make_mh_step(box, s, dim, dt)
+    ee_jump = make_ee_jump(box, n_rings, dt)
     idx_slots = jnp.arange(H)
 
     def store(hist_kv, hist_draws, j, kv, x, draw_ind, k_res):
@@ -142,40 +187,13 @@ def build_aees_kernel(box, temps, s: AEESSettings, dim, dt,
         spacing = avail // n_rings
 
         def jump(_):
-            k_pick, k_acc = jax.random.split(key)
-            row = hist_kv[:, k - 1]
             if capped:
                 mask = idx_slots < avail
             else:
                 mask = (idx_slots >= begin) & (idx_slots <= draw_ind)
-            masked = jnp.where(mask, row, jnp.inf)
-            order = jnp.argsort(masked)        # slot indices, ascending energy
-            sorted_vals = masked[order]
-
-            ring_pos = jnp.arange(1, n_rings) * spacing      # (n_rings - 1,)
-            ring_vals = 0.5 * (sorted_vals[ring_pos] + sorted_vals[ring_pos - 1])
-
-            cur_e = state.cur_kv[k]
-            which = jnp.searchsorted(ring_vals, cur_e)       # rings strictly below
-
-            z = jax.random.uniform(k_pick, dtype=dt)
-            idx_rel = spacing * which + jnp.floor(z * spacing).astype(jnp.int32)
-            ind_abs = order[idx_rel]
-
-            x_cand = hist_draws[ind_abs, k - 1]
-            val = box(x_cand)
-            new_pair = jnp.array([val / temps[k - 1], val / temps[k]])
-
-            comp = jnp.minimum(
-                0.01,
-                (new_pair[1] - state.kv2[1, k]) + (state.kv2[0, k] - new_pair[0]),
-            )
-            rej = jax.random.uniform(k_acc, dtype=dt) > jnp.exp(comp)
-
-            x_out = jnp.where(rej, state.X[k], x_cand)
-            pair_out = jnp.where(rej, state.kv2[:, k], new_pair)
-            kv_out = jnp.where(rej, state.cur_kv[k], val)
-            return x_out, kv_out, pair_out
+            return ee_jump(key, hist_kv[:, k - 1], hist_draws[:, k - 1],
+                           mask, spacing, state.X[k], state.cur_kv[k],
+                           state.kv2[:, k], temps[k - 1], temps[k])
 
         def stay(_):
             return state.X[k], state.cur_kv[k], state.kv2[:, k]
@@ -277,6 +295,11 @@ def aees(initial_vals, log_kernel, settings=None, *, key=None, n_runs=None,
     # src/aees.cpp:60-72)
     user_temps = jnp.asarray(s.temper_vec, dt) if s.temper_vec is not None \
         else jnp.zeros((0,), dt)
+    if user_temps.size and not bool(jnp.all(user_temps > 1.0)):
+        raise ValueError(
+            "temper_vec entries must all be > 1 (temperatures, not inverse "
+            "temperatures); T=1 is appended automatically and the T=1 chain "
+            "is the one whose draws are returned")
     temps = jnp.sort(jnp.concatenate([user_temps, jnp.ones((1,), dt)]))[::-1]
     K = int(temps.shape[0])
     block = s.n_initial_draws + s.n_burnin_draws
@@ -286,6 +309,11 @@ def aees(initial_vals, log_kernel, settings=None, *, key=None, n_runs=None,
 
     first = prob.first_draw[0]
     val_init = box(first)
+    # a NaN initial kernel value would NaN every accept comparison and
+    # wedge the chain; force -inf so the first finite proposal accepts
+    # (same guard as pt.py; reference inherits whatever the user passes)
+    val_init = jnp.where(jnp.isfinite(val_init), val_init,
+                         -jnp.asarray(jnp.inf, dt))
     state0 = make_state0(first, val_init)
 
     n_burn = K * block
@@ -300,7 +328,7 @@ def aees(initial_vals, log_kernel, settings=None, *, key=None, n_runs=None,
         else:
             runner = ChunkedRunner(jax.vmap(step),
                                    collect_fn=lambda st: st.X[:, K - 1],
-                                   directory=checkpoint_dir)
+                                   directory=checkpoint_dir, mesh=mesh)
             st0 = jax.tree_util.tree_map(
                 lambda x: jnp.broadcast_to(x, (n_runs,) + x.shape), state0)
         _, draws, _totals = runner.run(key, st0, n_draws=n_keep,

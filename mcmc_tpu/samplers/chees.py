@@ -328,6 +328,8 @@ def chees(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
             n_accept = n_accept[0]
             diagnostics = {k: (v[:, 0] if v.ndim == 2 else v[0])
                            for k, v in diagnostics.items()}
+        if thin > 1:   # accept_rate divides by n_keep*thin
+            diagnostics["thin"] = int(thin)
         return SamplerResult(draws=draws, n_accept_draws=n_accept,
                              diagnostics=diagnostics), final_state
 

@@ -17,6 +17,7 @@ from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from mcmc_tpu import bounds as bounds_mod
@@ -122,6 +123,11 @@ def setup_problem(initial_vals, log_kernel, algo, n_chains: Optional[int], dtype
     if x0.ndim == 1:
         n = 1 if n_chains is None else int(n_chains)
         x0 = jnp.broadcast_to(x0, (n, x0.shape[0]))
+    elif (x0.ndim == 2 and n_chains is not None
+          and x0.shape[0] != int(n_chains)):
+        raise ValueError(
+            f"initial_vals has {x0.shape[0]} rows (one per chain) but "
+            f"n_chains={n_chains}; drop n_chains or match the leading axis")
     n_chains_eff, n_vals = x0.shape
 
     vals_bound = bool(algo.vals_bound)
@@ -238,7 +244,13 @@ def run_sampler_loop(key, state0, step_fn, n_burnin, n_keep, collect_fn,
             key, state0, n_draws=n_keep, n_burnin=n_burnin,
             chunk_size=checkpoint_every,
         )
-        return final, jnp.asarray(draws), {"totals": totals}
+        # the sink hands back a host memmap; keep it host-resident rather
+        # than materializing the full history on device — exactly the long
+        # runs checkpointing targets are the ones that don't fit (and on a
+        # tunneled backend the transfer itself costs minutes per GiB).
+        # Downstream jnp ops transfer on demand; bounded runs transfer once
+        # in finalize_draws for the back-transform, as before.
+        return final, np.asarray(draws), {"totals": totals}
 
     n_chains = jax.tree_util.tree_leaves(state0)[0].shape[0]
     keys = jax.random.split(key, n_chains)

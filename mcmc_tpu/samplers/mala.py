@@ -7,7 +7,14 @@ the proposal-asymmetry term computed from two MVN log-densities
 (mala.ipp:30-70). The reference's accept clamp ``min(0.01, .)``
 (src/mala.cpp:170) and its quirk of using the *proposal's* inverse-Jacobian
 in both asymmetry terms when bounded (mala.ipp:48-57) are preserved in
-``bounded_grad="reference"`` mode.
+``bounded_grad="reference"`` mode. Unlike HMC's kick-gradient quirk (which
+only perturbs the proposal, leaving the chain exact), this one makes the MH
+ratio inconsistent with the actual proposal density, so the bounded
+reference mode has a measurable stationary bias (truncated N(1,1) at 0:
+mean 1.40 vs true 1.288). ``bounded_grad="exact"`` is the corrected mode
+(measured 1.286) and the right choice unless bit-for-bit reference
+behavior is the goal; see docs/box_constraints.md and
+tests/test_bounded_samplers.py::test_mala_truncated_normal_exactness.
 
 Unlike the reference (3 kernel+gradient evaluations per draw), the gradient
 at the current point is carried in the chain state, so each draw costs one
@@ -238,6 +245,9 @@ def mala(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, me
     from the final kernel state; incompatible with ``checkpoint_dir``."""
     algo, s = resolve_settings(settings, "mala_settings", MALASettings)
     key = resolve_key(key, algo)
+    if bounded_grad not in ("reference", "exact"):
+        raise ValueError(f"bounded_grad must be 'reference' or 'exact', "
+                         f"got {bounded_grad!r}")
     if return_resume and checkpoint_dir is not None:
         raise ValueError("return_resume is incompatible with checkpoint_dir")
 
@@ -291,6 +301,8 @@ def mala(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, me
             draws = draws[:, 0, :]
             n_accept = n_accept[0]
             diagnostics = {k: v[0] for k, v in diagnostics.items()}
+        if thin > 1:   # accept_rate divides by n_keep*thin
+            diagnostics["thin"] = int(thin)
         return SamplerResult(draws=draws, n_accept_draws=n_accept,
                              diagnostics=diagnostics), final_state
 

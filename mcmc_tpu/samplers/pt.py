@@ -75,6 +75,11 @@ def make_ladder(s: PTSettings, dt):
     ``n_temps`` rungs."""
     if s.temper_vec is not None:
         user = jnp.asarray(s.temper_vec, dt)
+        if user.size and not bool(jnp.all(user > 1.0)):
+            raise ValueError(
+                "temper_vec entries must all be > 1 (temperatures, not "
+                "inverse temperatures); T=1 is appended automatically and "
+                "the coldest ladder slot must be the posterior chain")
         temps = jnp.sort(jnp.concatenate([user, jnp.ones((1,), dt)]))[::-1]
     else:
         K = int(s.n_temps)
@@ -88,36 +93,19 @@ def make_ladder(s: PTSettings, dt):
     return temps
 
 
-def _log_temps_from_rho(rho, dt):
-    """(K-1,) spacings -> (K,) log-temperatures, cold (log T = 0) last."""
-    spac = jnp.exp(rho)
-    return jnp.concatenate(
-        [jnp.cumsum(spac[::-1])[::-1], jnp.zeros((1,), dt)])
+def make_inner_move(box, s: PTSettings, dim, dt):
+    """Single-replica tempered inner move
+    ``(key, x, kv, beta, temper) -> (x, kv, accepted)``.
 
-
-def build_pt_kernel(box, s: PTSettings, dim, dt, n_adapt,
-                    axis_name=None):
-    """Returns ``(make_state0, step)`` for the PT transition kernel.
-
-    ``box`` is the (unconstrained-space) log kernel; ``n_adapt`` the number
-    of leading draws during which the ladder adapts (0 disables)."""
-    temps0 = make_ladder(s, dt)
-    K = int(temps0.shape[0])
-    adapt = bool(s.adapt_temps) and n_adapt > 0 and K > 1
-    swap_every = max(int(s.swap_every), 1)
+    The ONE implementation of the tempered HMC / RWMH replica step, shared
+    by the batched-ladder sampler below and the ladder-sharded variant
+    (:mod:`mcmc_tpu.parallel.pt_sharded`), so accept semantics cannot
+    diverge between the two."""
     inner = s.inner
     if inner not in ("hmc", "rwmh"):
         raise ValueError(f"inner must be 'hmc' or 'rwmh', got {inner!r}")
+    grad_box = jax.grad(box) if inner == "hmc" else None
     cov = common.make_spd(s.cov_mat, dim, dt) if inner == "rwmh" else None
-    grad_box = jax.grad(box)
-    pair_idx = jnp.arange(max(K - 1, 1))
-    idx_K = jnp.arange(K)
-
-    if K > 1:
-        lt0 = jnp.log(temps0)
-        rho0 = jnp.log(lt0[:-1] - lt0[1:])
-    else:
-        rho0 = jnp.zeros((0,), dt)
 
     def inner_hmc(key, x, kv, beta, temper):
         """One tempered HMC draw: U(z) = -beta*box(z), identity mass, step
@@ -145,7 +133,35 @@ def build_pt_kernel(box, s: PTSettings, dim, dt, n_adapt,
         acc = jnp.log(jax.random.uniform(k_u, dtype=dt)) < comp
         return jnp.where(acc, prop, x), jnp.where(acc, kv_safe, kv), acc
 
-    inner_step = inner_hmc if inner == "hmc" else inner_rwmh
+    return inner_hmc if inner == "hmc" else inner_rwmh
+
+
+def _log_temps_from_rho(rho, dt):
+    """(K-1,) spacings -> (K,) log-temperatures, cold (log T = 0) last."""
+    spac = jnp.exp(rho)
+    return jnp.concatenate(
+        [jnp.cumsum(spac[::-1])[::-1], jnp.zeros((1,), dt)])
+
+
+def build_pt_kernel(box, s: PTSettings, dim, dt, n_adapt,
+                    axis_name=None):
+    """Returns ``(make_state0, step)`` for the PT transition kernel.
+
+    ``box`` is the (unconstrained-space) log kernel; ``n_adapt`` the number
+    of leading draws during which the ladder adapts (0 disables)."""
+    temps0 = make_ladder(s, dt)
+    K = int(temps0.shape[0])
+    adapt = bool(s.adapt_temps) and n_adapt > 0 and K > 1
+    swap_every = max(int(s.swap_every), 1)
+    inner_step = make_inner_move(box, s, dim, dt)
+    pair_idx = jnp.arange(max(K - 1, 1))
+    idx_K = jnp.arange(K)
+
+    if K > 1:
+        lt0 = jnp.log(temps0)
+        rho0 = jnp.log(lt0[:-1] - lt0[1:])
+    else:
+        rho0 = jnp.zeros((0,), dt)
 
     def step(key, state: PTState):
         draw_ind = state.draw_ind
@@ -287,7 +303,8 @@ def pt(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
             draws=draws,
             n_accept_draws=n_accept,
             diagnostics={"temperatures": temps_final,
-                         "swap_accept_rate": swap_rate},
+                         "swap_accept_rate": swap_rate,
+                         **({"thin": int(thin)} if thin > 1 else {})},
         ), final
 
     result, final_state = assemble(key, state0, s.n_burnin_draws,

@@ -207,8 +207,9 @@ def rmhmc(initial_vals, log_kernel, metric_fn, settings=None, *, n_chains=None,
         if prob.squeeze:
             draws = draws[:, 0, :]
             n_accept = n_accept[0]
-        return SamplerResult(draws=draws,
-                             n_accept_draws=n_accept), final_state
+        diagnostics = {"thin": int(thin)} if thin > 1 else {}
+        return SamplerResult(draws=draws, n_accept_draws=n_accept,
+                             diagnostics=diagnostics), final_state
 
     result, final_state = assemble(key, state0, s.n_burnin_draws,
                                    s.n_keep_draws)

@@ -413,3 +413,48 @@ def test_chunked_streaming_moments(tmp_path):
                            track_moments=True)
     np.testing.assert_array_equal(np.asarray(totals2["moments"]["mean"]),
                                   np.asarray(m["mean"]))
+
+
+def test_save_restore_typed_prng_key(tmp_path):
+    """save() must serialize typed PRNG keys (raw key data); restore()
+    re-wraps them from the template leaf."""
+    tree = {"key": jax.random.key(42), "x": jnp.arange(3.0)}
+    path = tmp_path / "keyed.npz"
+    checkpoint.save(path, tree)
+    out = checkpoint.restore(path, like=tree)
+    np.testing.assert_array_equal(
+        jax.random.key_data(out["key"]), jax.random.key_data(tree["key"]))
+    # restored key is usable
+    jax.random.normal(out["key"], (2,))
+
+
+def test_resume_tolerates_chunk_size_and_extends_n_draws(tmp_path):
+    """A resumed run may change chunk_size (bit-identical results) and
+    extend n_draws (seamless continuation); it must NOT silently restart."""
+    key = jax.random.PRNGKey(3)
+    r1, s0 = _make_runner(tmp_path, "full")
+    _, straight, _ = r1.run(key, s0, n_draws=60, chunk_size=20)
+    straight = np.array(straight)
+
+    r2, s0b = _make_runner(tmp_path, "part")
+    r2.run(key, s0b, n_draws=60, chunk_size=20, max_chunks=1)  # 20 done
+    r3, s0c = _make_runner(tmp_path, "part")
+    _, resumed, _ = r3.run(key, s0c, n_draws=40, chunk_size=7)  # new chunking
+    np.testing.assert_array_equal(np.array(resumed), straight[:40])
+    r4, s0d = _make_runner(tmp_path, "part")
+    _, extended, _ = r4.run(key, s0d, n_draws=60, chunk_size=25)
+    np.testing.assert_array_equal(np.array(extended), straight)
+
+
+def test_resume_incompatible_burnin_warns(tmp_path):
+    """Changing n_burnin cannot resume: the restart must warn, not silently
+    discard the kept draws."""
+    import warnings
+    key = jax.random.PRNGKey(5)
+    r1, s0 = _make_runner(tmp_path, "w")
+    r1.run(key, s0, n_draws=30, n_burnin=10, chunk_size=10)
+    r2, s0b = _make_runner(tmp_path, "w")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        r2.run(key, s0b, n_draws=30, n_burnin=20, chunk_size=10)
+    assert any("restarting from scratch" in str(w.message) for w in rec)

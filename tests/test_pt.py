@@ -25,8 +25,11 @@ def test_make_ladder():
     np.testing.assert_allclose(np.asarray(make_ladder(s2, jnp.float32)),
                                [10.0, 3.0, 1.0], rtol=1e-6)
 
-    with pytest.raises(ValueError, match="descending"):
+    # entries <= 1 (inverse temperatures, or a duplicate T=1) are rejected
+    with pytest.raises(ValueError, match="must all be > 1"):
         make_ladder(mcmc_tpu.PTSettings(temper_vec=[1.0, 3.0]), jnp.float32)
+    with pytest.raises(ValueError, match="must all be > 1"):
+        make_ladder(mcmc_tpu.PTSettings(temper_vec=[0.25, 0.5]), jnp.float32)
 
 
 def test_rho_roundtrip():
