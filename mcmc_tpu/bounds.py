@@ -95,16 +95,22 @@ def inv_transform(z, codes, lower_bounds, upper_bounds):
     finite = jnp.isfinite(z)
     zs = jnp.where(finite, z, 0.0)  # safe operand for exp
 
-    # Branch-local finite stand-ins for the bounds: unselected branches see
-    # +/-inf bounds, and reverse-mode AD multiplies cotangents by these
-    # constants (inf * 0 = NaN), so they must be sanitized per branch.
+    # Branch-local finite stand-ins for the bounds AND for z: unselected
+    # branches see +/-inf bounds, and reverse-mode AD multiplies cotangents
+    # by these constants (inf * 0 = NaN), so they must be sanitized per
+    # branch. z itself must be sanitized per branch too: a code-2 lane with
+    # z = -100 overflows the code-3 branch's exp(-z) to inf, and the VJP of
+    # that unselected branch is 0 * inf = NaN, poisoning grad(box) even
+    # though the lane never selects branch 3.
     lb2 = jnp.where(codes == 2, lb, 0.0)
     ub3 = jnp.where(codes == 3, ub, 0.0)
     lb4 = jnp.where(codes == 4, lb, 0.0)
     ub4 = jnp.where(codes == 4, ub, 1.0)
+    zs2 = jnp.where(codes == 2, zs, 0.0)
+    zs3 = jnp.where(codes == 3, zs, 0.0)
 
-    x2 = jnp.where(finite, lb2 + eps + jnp.exp(zs), lb2 + eps)
-    x3 = jnp.where(finite, ub3 - eps - jnp.exp(-zs), ub3 - eps)
+    x2 = jnp.where(finite, lb2 + eps + jnp.exp(zs2), lb2 + eps)
+    x3 = jnp.where(finite, ub3 - eps - jnp.exp(-zs3), ub3 - eps)
 
     # (lb - eps) * sigmoid(-z) + (ub + eps) * sigmoid(z), clipped inside.
     sig = jax.nn.sigmoid(zs)
@@ -150,12 +156,15 @@ def inv_jacobian_diag(z, codes, lower_bounds, upper_bounds):
     lb = jnp.broadcast_to(jnp.asarray(lower_bounds, z.dtype), z.shape)
     ub = jnp.broadcast_to(jnp.asarray(upper_bounds, z.dtype), z.shape)
     width = jnp.where(codes == 4, ub - lb, 1.0)
+    # branch-local z stand-ins, same AD-safety rationale as inv_transform
+    z2 = jnp.where(codes == 2, z, 0.0)
+    z3 = jnp.where(codes == 3, z, 0.0)
+    z4 = jnp.where(codes == 4, z, 0.0)
     # (e + 1)^2 / e = e + 2 + 1/e  — overflow-safe enough for sampler use
-    e = jnp.exp(z)
-    j4 = (e + 2.0 + jnp.exp(-z)) / width
+    j4 = (jnp.exp(z4) + 2.0 + jnp.exp(-z4)) / width
     return jnp.select(
         [codes == 1, codes == 2, codes == 3, codes == 4],
-        [jnp.ones_like(z), jnp.exp(-z), jnp.exp(z), j4],
+        [jnp.ones_like(z), jnp.exp(-z2), jnp.exp(z3), j4],
     )
 
 

@@ -110,3 +110,32 @@ def test_aees_bounded():
     d = np.asarray(out.draws)
     assert (d >= 0.0).all() and (d <= 5.0).all()
     assert 0.5 < d.mean() < 3.5
+
+
+def test_mala_truncated_normal_exactness():
+    """Pins BOTH bounded-MALA conventions on the truncated normal
+    N(1,1) | x > 0 (true mean 1.2876, sd 0.7935):
+
+    - bounded_grad="exact" must be statistically exact (the corrected MH
+      ratio), within ~3 MC sigma;
+    - bounded_grad="reference" must reproduce the reference's asymmetry
+      quirk (mala.ipp:48-57), whose measured stationary bias is ~+0.11 —
+      the quirk is load-bearing for parity, so its bias is asserted too.
+    """
+    lk = lambda x: -0.5 * jnp.sum((x - 1.0) ** 2)
+    s = mcmc_tpu.AlgoSettings(vals_bound=True, lower_bounds=jnp.zeros(1))
+    s.mala_settings.n_burnin_draws = 2000
+    s.mala_settings.n_keep_draws = 15000
+    exact = mcmc_tpu.mala(jnp.ones(1) * 0.5, lk, s, n_chains=8,
+                          key=jax.random.PRNGKey(0), bounded_grad="exact")
+    d = np.asarray(exact.draws)
+    assert float(d.mean()) == pytest.approx(1.2876, abs=0.05)
+    assert float(d.std()) == pytest.approx(0.7935, abs=0.05)
+
+    ref = mcmc_tpu.mala(jnp.ones(1) * 0.5, lk, s, n_chains=8,
+                        key=jax.random.PRNGKey(0), bounded_grad="reference")
+    dref = np.asarray(ref.draws)
+    assert float(dref.mean()) > 1.34   # quirk bias present, ~1.40
+
+    with pytest.raises(ValueError, match="bounded_grad"):
+        mcmc_tpu.mala(jnp.ones(1) * 0.5, lk, s, bounded_grad="box")

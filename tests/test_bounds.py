@@ -91,6 +91,34 @@ def test_box_log_kernel_gradient_finite():
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_box_log_kernel_gradient_finite_extreme_z():
+    """Regression: a code-2 lane at very negative z (|z| > float32's
+    exp overflow threshold ~88) used to NaN grad(box) through the
+    UNSELECTED code-3 branch's exp(-z) (0 * inf in the select VJP).
+    Every code must give finite gradients across the full float32 range
+    that MALA/HMC/NUTS can visit."""
+    log_kernel = lambda x: -0.5 * jnp.sum(x**2)
+    box = bounds.make_box_log_kernel(log_kernel, True, CODES, LB, UB)
+    g = jax.grad(box)
+    for zv in (-120.0, -90.0, 90.0, 120.0):
+        z = jnp.full((4,), zv, jnp.float32)
+        gv = np.asarray(g(z))
+        # NaN = cross-branch contamination (the bug); inf can only be the
+        # genuine float32 overflow of an out-of-support lane's true math
+        # (e.g. code 3 at z=-120 has x = ub - e^120)
+        assert not np.any(np.isnan(gv)), f"NaN grad at z={zv}: {gv}"
+        jd = bounds.inv_jacobian_diag(z, CODES, LB, UB)
+        assert not np.any(np.isnan(np.asarray(jd)))
+    # the near-boundary approach direction of each bounded code — the
+    # region samplers actually visit — must be fully finite: code 2
+    # (lane 1) at z = -120 has x -> lb, code 3 (lane 2) at z = +120 has
+    # x -> ub, code 4 (lane 3) saturates at either end
+    for zv in (-120.0, 120.0):
+        z = jnp.array([0.0, -120.0, 120.0, zv], jnp.float32)
+        gv = np.asarray(g(z))
+        assert np.all(np.isfinite(gv)), (zv, gv)
+
+
 def test_bounds_roundtrip_property():
     """Randomized property test: for 40 random bound configurations and
     random interior points, transform/inv_transform round-trips and the

@@ -115,15 +115,20 @@ def test_fit_stretch_derivative_free():
 
 def test_fit_with_bounds():
     """fit(lower_bounds=...) applies the box-constraint stack: draws respect
-    the bound and match the truncated-normal mean E[X | X>0] for X~N(1,1)
-    = 1 + phi(-1)/(1 - Phi(-1)) ~= 1.2876."""
+    the bound and match the truncated-normal moments for X~N(1,1) | X>0:
+    mean = 1 + phi(-1)/(1 - Phi(-1)) ~= 1.2876, sd ~= 0.7935.
+
+    Tolerance is ~3 MC sigma: NUTS on the log-transformed half-line runs at
+    ~10% ESS efficiency (measured), so 12k draws give ESS ~1.2k and
+    MCSE(mean) ~= 0.023."""
     lk = lambda x: -0.5 * jnp.sum((x - 1.0) ** 2)
     out = mcmc_tpu.fit(jnp.ones(1) * 0.5, lk, n_chains=8, n_warmup=400,
-                       n_draws=600, key=jax.random.PRNGKey(2),
+                       n_draws=1500, key=jax.random.PRNGKey(2),
                        lower_bounds=jnp.zeros(1))
     d = np.asarray(out.draws)
     assert (d > 0).all()
-    assert float(d.mean()) == pytest.approx(1.2876, abs=0.03)
+    assert float(d.mean()) == pytest.approx(1.2876, abs=0.07)
+    assert float(d.std()) == pytest.approx(0.7935, abs=0.08)
 
 
 def test_horseshoe_regression_recovers_sparsity():
