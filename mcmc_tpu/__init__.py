@@ -50,6 +50,12 @@ from mcmc_tpu.samplers.pt import pt
 from mcmc_tpu.samplers.smc import smc
 from mcmc_tpu.samplers.stretch import stretch
 from mcmc_tpu.laplace import map_laplace, LaplaceResult
+from mcmc_tpu.model_compare import (
+    pointwise_log_lik,
+    waic,
+    psis_loo,
+    compare,
+)
 from mcmc_tpu import bounds
 from mcmc_tpu import stats
 from mcmc_tpu import diagnostics
@@ -227,4 +233,5 @@ __all__ = [
     "NUTSSettings", "ChEESSettings", "RMHMCSettings", "DESettings",
     "AEESSettings", "PTSettings", "SMCSettings", "StretchSettings",
     "SamplerResult", "bounds", "stats", "diagnostics", "models",
+    "pointwise_log_lik", "waic", "psis_loo", "compare",
 ]
