@@ -113,6 +113,11 @@ def gpd_fit(x):
     m_est = 30 + int(math.isqrt(n))
     jj = jnp.arange(1, m_est + 1, dtype=x.dtype)
     xstar = x[int(n / 4 + 0.5) - 1]  # first-quartile order statistic
+    # tied draws can make the lower tail exactly 0 (discrete likelihoods,
+    # f32 rounding); a zero quartile would put inf into the b grid and NaN
+    # the fit, so fall back to the smallest POSITIVE exceedance
+    pos_min = jnp.min(jnp.where(x > 0, x, x[-1]))
+    xstar = jnp.where(xstar > 0, xstar, pos_min)
     b = 1.0 / x[-1] + (1.0 - jnp.sqrt(m_est / (jj - 0.5))) / (_PRIOR_BS * xstar)
     # profile log-likelihood of theta=b: k(b) = mean log1p(-b x)
     k_b = jnp.mean(jnp.log1p(-b[:, None] * x[None, :]), axis=1)   # (m_est,)
@@ -154,18 +159,28 @@ def _psis_smooth_one(lw, M):
     tail_lw = lw_sorted[S - M:]
     cut = jnp.exp(cutoff_lw)
     x = jnp.exp(tail_lw) - cut            # exceedances, ascending
-    # degenerate tails (all-equal weights, zero exceedances) skip smoothing
-    valid = (x[-1] > 0) & (cutoff_lw > jnp.log(jnp.finfo(lw.dtype).tiny))
-    x_safe = jnp.where(valid, x, jnp.arange(1, M + 1, dtype=lw.dtype))
+    # Two degenerate tails, with OPPOSITE reliability semantics:
+    #  - flat: no spread above the cutoff (tied weights) — the importance
+    #    distribution is well behaved; report k = 0, nothing to smooth.
+    #  - concentrated: the (S-M-1)th ratio underflows vs the max, i.e.
+    #    essentially ALL importance mass sits in <= M draws (the LOO
+    #    estimate rides on a handful of draws) — maximally unreliable;
+    #    report k = +inf so every "k > 0.7" check fires. Never use a
+    #    low-k sentinel here: it would label the worst case as the best.
+    flat = x[-1] <= 0
+    concentrated = cutoff_lw <= jnp.log(jnp.finfo(lw.dtype).tiny)
+    fit_ok = ~flat & ~concentrated
+    x_safe = jnp.where(fit_ok, x, jnp.arange(1, M + 1, dtype=lw.dtype))
     k, sigma = gpd_fit(x_safe)
     p = (jnp.arange(M, dtype=lw.dtype) + 0.5) / M
     smoothed = jnp.log(cut + _gpd_quantiles(p, k, sigma))
     smoothed = jnp.minimum(smoothed, 0.0)  # truncate at the raw max ratio
-    ok = valid & jnp.isfinite(k)
+    ok = fit_ok & jnp.isfinite(k) & jnp.isfinite(sigma) & (sigma > 0)
     new_tail = jnp.where(ok, smoothed, tail_lw)
     out = lw.at[order[S - M:]].set(new_tail)
     out = out - logsumexp(out)             # self-normalize
-    k_out = jnp.where(valid, k, -jnp.inf)  # flat tail: harmless, report -inf
+    inf = jnp.asarray(jnp.inf, lw.dtype)
+    k_out = jnp.where(flat, 0.0, jnp.where(ok, k, inf))
     return out, k_out
 
 
@@ -175,6 +190,10 @@ def psis_loo(log_lik):
     Returns a dict with ``elpd``, ``p_eff``, ``se``, ``pointwise``, and
     ``pareto_k`` (per-observation GPD shape; k > 0.7 flags observations
     whose LOO estimate is unreliable — refit without them or use K-fold).
+    Degenerate tails report conservative shapes: exactly-tied tail weights
+    give ``pareto_k = 0`` (benign), while a tail so concentrated the fit
+    is impossible (importance mass in a handful of draws) gives
+    ``pareto_k = inf`` (always flagged).
     """
     ll = _flatten_ll(log_lik)
     S, n_obs = ll.shape

@@ -31,7 +31,8 @@ from jax import shard_map
 from mcmc_tpu.results import SamplerResult
 from mcmc_tpu.settings import AEESSettings
 from mcmc_tpu.samplers import common
-from mcmc_tpu.samplers.aees import make_mh_step, make_ee_jump
+from mcmc_tpu.samplers.aees import (
+    make_mh_step, make_ee_jump, make_temps, safe_initial_kv)
 from mcmc_tpu.samplers._resolve import resolve_settings, resolve_key
 
 __all__ = ["aees_sharded"]
@@ -58,14 +59,7 @@ def aees_sharded(initial_vals, log_kernel, settings=None, *, mesh: Mesh,
     dt = prob.dtype
     box = prob.box_log_kernel
 
-    user_temps = jnp.asarray(s.temper_vec, dt) if s.temper_vec is not None \
-        else jnp.zeros((0,), dt)
-    if user_temps.size and not bool(jnp.all(user_temps > 1.0)):
-        raise ValueError(
-            "temper_vec entries must all be > 1 (temperatures, not inverse "
-            "temperatures); T=1 is appended automatically and the T=1 chain "
-            "is the one whose draws are returned")
-    temps = jnp.sort(jnp.concatenate([user_temps, jnp.ones((1,), dt)]))[::-1]
+    temps = make_temps(s, dt)
     K = int(temps.shape[0])
     n_dev = mesh.shape[axis_name]
     if K != n_dev:
@@ -78,12 +72,7 @@ def aees_sharded(initial_vals, log_kernel, settings=None, *, mesh: Mesh,
     n_rings = int(s.n_rings)
 
     first = prob.first_draw[0]
-    val_init = box(first)
-    # a NaN initial kernel value would NaN every accept comparison and
-    # wedge the chain; force -inf so the first finite proposal accepts
-    # (same guard as pt.py; reference inherits whatever the user passes)
-    val_init = jnp.where(jnp.isfinite(val_init), val_init,
-                         -jnp.asarray(jnp.inf, dt))
+    val_init = safe_initial_kv(box(first), dt)
     idx_all = jnp.arange(n_total)
     ring_perm = [(i, i + 1) for i in range(K - 1)]
     capped = history_capacity is not None

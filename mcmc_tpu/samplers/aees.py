@@ -49,7 +49,14 @@ semantics):
   into ``draw_storage``; here the jump state is the one actually selected by
   the ring (absolute indices fall out of the masked argsort);
 - all chains start at the transformed initial value and history buffers are
-  initialized with its kernel value instead of uninitialized memory.
+  initialized with its kernel value instead of uninitialized memory;
+- **Deviation** (NaN accept ratio in the EE jump): src/aees.cpp:238 tests
+  ``z > exp(comp)`` — a NaN ``comp`` (kernel -inf at both temperatures)
+  compares false and so silently ACCEPTS the jump; the local MH step
+  (aees.ipp:57, ``z < exp``) rejects in the same situation. Here both moves
+  use the accept-convention comparison (NaN rejects), i.e. the EE jump
+  follows the reference's own local-move semantics rather than its
+  inconsistent jump branch.
 """
 
 from __future__ import annotations
@@ -75,6 +82,28 @@ class AEESState(NamedTuple):
     hist_kv: jax.Array    # (H, K) energy history/reservoir
     hist_draws: jax.Array  # (H, K, d) state history/reservoir
     draw_ind: jax.Array   # global draw counter (drives activation + windows)
+
+
+def make_temps(s: AEESSettings, dt):
+    """Temperature ladder: user temps (validated all > 1) + T = 1 appended,
+    sorted descending — the intended semantics of src/aees.cpp:60-72 (the
+    reference's copy loop has the one-past-end UB documented above). Shared
+    by :func:`aees` and :func:`mcmc_tpu.parallel.aees_sharded`."""
+    user_temps = jnp.asarray(s.temper_vec, dt) if s.temper_vec is not None \
+        else jnp.zeros((0,), dt)
+    if user_temps.size and not bool(jnp.all(user_temps > 1.0)):
+        raise ValueError(
+            "temper_vec entries must all be > 1 (temperatures, not inverse "
+            "temperatures); T=1 is appended automatically and the T=1 chain "
+            "is the one whose draws are returned")
+    return jnp.sort(jnp.concatenate([user_temps, jnp.ones((1,), dt)]))[::-1]
+
+
+def safe_initial_kv(val, dt):
+    """A NaN initial kernel value would NaN every accept comparison and
+    wedge the chain; force -inf so the first finite proposal accepts
+    (same guard as pt.py; reference inherits whatever the user passes)."""
+    return jnp.where(jnp.isfinite(val), val, -jnp.asarray(jnp.inf, dt))
 
 
 def make_mh_step(box, s: AEESSettings, dim, dt):
@@ -125,9 +154,10 @@ def make_ee_jump(box, n_rings, dt):
         val = box(x_cand)
         new_pair = jnp.array([val / hotter_temp, val / my_temp])
         comp = jnp.minimum(0.01, (new_pair[1] - kv2[1]) + (kv2[0] - new_pair[0]))
-        # accept-convention comparison so a NaN comp (e.g. -inf kernel
-        # values at both ends) REJECTS, matching mh_step and the
-        # reference's rejected-by-default non-finite semantics
+        # Deviation (see module docstring): accept-convention comparison so
+        # a NaN comp (kernel -inf at both ends) REJECTS, matching mh_step /
+        # aees.ipp:57; the reference's jump branch (src/aees.cpp:238 tests
+        # z > exp(comp)) would silently accept on NaN.
         acc = jax.random.uniform(k_acc, dtype=dt) < jnp.exp(comp)
         return (jnp.where(acc, x_cand, cur_x),
                 jnp.where(acc, val, cur_kv),
@@ -291,16 +321,7 @@ def aees(initial_vals, log_kernel, settings=None, *, key=None, n_runs=None,
     dt = prob.dtype
     box = prob.box_log_kernel
 
-    # ladder: user temps + T = 1, descending (intended semantics of
-    # src/aees.cpp:60-72)
-    user_temps = jnp.asarray(s.temper_vec, dt) if s.temper_vec is not None \
-        else jnp.zeros((0,), dt)
-    if user_temps.size and not bool(jnp.all(user_temps > 1.0)):
-        raise ValueError(
-            "temper_vec entries must all be > 1 (temperatures, not inverse "
-            "temperatures); T=1 is appended automatically and the T=1 chain "
-            "is the one whose draws are returned")
-    temps = jnp.sort(jnp.concatenate([user_temps, jnp.ones((1,), dt)]))[::-1]
+    temps = make_temps(s, dt)
     K = int(temps.shape[0])
     block = s.n_initial_draws + s.n_burnin_draws
 
@@ -308,12 +329,7 @@ def aees(initial_vals, log_kernel, settings=None, *, key=None, n_runs=None,
                                           history_capacity)
 
     first = prob.first_draw[0]
-    val_init = box(first)
-    # a NaN initial kernel value would NaN every accept comparison and
-    # wedge the chain; force -inf so the first finite proposal accepts
-    # (same guard as pt.py; reference inherits whatever the user passes)
-    val_init = jnp.where(jnp.isfinite(val_init), val_init,
-                         -jnp.asarray(jnp.inf, dt))
+    val_init = safe_initial_kv(box(first), dt)
     state0 = make_state0(first, val_init)
 
     n_burn = K * block

@@ -137,3 +137,32 @@ def test_psis_loo_flags_influential_point():
     k = np.asarray(out["pareto_k"])
     assert int(k.argmax()) == 7
     assert k[7] > np.delete(k, 7).max() + 0.1
+
+
+def test_psis_degenerate_tails():
+    """Degenerate-tail semantics (review regression):
+
+    - a tied block spanning the tail cutoff must NOT produce NaN k;
+    - a column whose importance mass sits in one dominating draw reports
+      pareto_k = +inf (maximally unreliable -> 'k > 0.7' always fires);
+    - an exactly-flat column reports pareto_k = 0 (benign).
+    """
+    rng = np.random.default_rng(0)
+    S = 1000
+    # col 0: 200 draws tied at the top, rest below -> exceedances contain 0s
+    tied = np.concatenate([rng.normal(-3.0, 0.1, S - 200), np.zeros(200)])
+    # col 1: one draw with ll so low its LOO ratio dominates everything
+    dominated = rng.normal(0.0, 0.1, S)
+    dominated[0] = -200.0
+    # col 2: exactly flat
+    flat = np.full(S, -1.0)
+    ll = jnp.asarray(np.stack([tied, dominated, flat], axis=1), jnp.float32)
+    out = mc.psis_loo(ll)
+    k = np.asarray(out["pareto_k"])
+    assert not np.any(np.isnan(k)), k
+    assert np.isfinite(k[0]), k
+    assert k[1] == np.inf, k
+    assert k[2] == 0.0, k
+    assert (k > 0.7)[1] and not (k > 0.7)[2]
+    pw = np.asarray(out["pointwise"])
+    assert np.isfinite(pw[0]) and np.isfinite(pw[2])
