@@ -14,7 +14,9 @@ from __future__ import annotations
 import json
 import os
 import pathlib
+import sys
 import tempfile
+import time
 
 import jax
 import jax.numpy as jnp
@@ -260,7 +262,8 @@ class ChunkedRunner:
         return keys, state
 
     def run(self, key, state0, n_draws, chunk_size=100, row_shape=None,
-            dtype=None, n_burnin=0, max_chunks=None, track_moments=False):
+            dtype=None, n_burnin=0, max_chunks=None, track_moments=False,
+            progress=False):
         """Returns ``(final_state, draws, info_totals)`` with draws memmapped
         from the sink and ``info_totals`` a dict of per-chain sums of every
         info entry over kept draws (``accepted`` being the acceptance count;
@@ -277,7 +280,13 @@ class ChunkedRunner:
         ``(count, mean, m2)`` — feed to
         :func:`mcmc_tpu.diagnostics.moments_finalize` /
         :func:`~mcmc_tpu.diagnostics.moments_rhat` for draw-free posterior
-        estimates and R-hat on runs too long to load back."""
+        estimates and R-hat on runs too long to load back.
+
+        ``progress=True`` prints one status line per durable chunk
+        (draws done / total, draws/s since start) to stderr; pass a
+        callable instead to receive ``{"done", "total", "draws_per_s",
+        "phase"}`` after each persisted chunk (host-side only — zero
+        effect on the compiled pipeline)."""
         if self.single_key:
             keys = key
         else:
@@ -343,6 +352,7 @@ class ChunkedRunner:
         keys, state = self._shard(keys, state)
         run_chunk = self._chunk_fn(chunk_size)
 
+        t_start, done_start = time.monotonic(), done
         mode_new = done == 0
         if mode_new and sink_path.exists():
             sink_path.unlink()
@@ -396,6 +406,19 @@ class ChunkedRunner:
                      "info_totals": {k: np.asarray(v).tolist()
                                      for k, v in totals.items()}}
                 ))
+                if progress:
+                    elapsed = time.monotonic() - t_start
+                    rate = (chunk["done"] - done_start) / max(elapsed, 1e-9)
+                    info = {"done": chunk["done"], "total": total,
+                            "draws_per_s": rate,
+                            "phase": "keep" if chunk["kept"] else "burnin"}
+                    if callable(progress):
+                        progress(info)
+                    else:
+                        print(f"[ChunkedRunner] {info['phase']} "
+                              f"{info['done']}/{total} draws "
+                              f"({rate:.1f} draws/s)",
+                              file=sys.stderr, flush=True)
 
             pending = None
             while done < total:

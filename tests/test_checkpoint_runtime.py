@@ -458,3 +458,18 @@ def test_resume_incompatible_burnin_warns(tmp_path):
         warnings.simplefilter("always")
         r2.run(key, s0b, n_draws=30, n_burnin=20, chunk_size=10)
     assert any("restarting from scratch" in str(w.message) for w in rec)
+
+
+def test_chunked_runner_progress_callback(tmp_path):
+    """progress= receives one dict per durable chunk with monotone done and
+    the right phase labels; a bool prints instead (not tested for text)."""
+    def step(keys, state):
+        return state + 1.0, {"accepted": jnp.ones(state.shape[0], bool)}
+    r = checkpoint.ChunkedRunner(step, collect_fn=lambda s: s,
+                                 directory=tmp_path / "p")
+    msgs = []
+    r.run(jax.random.PRNGKey(0), jnp.zeros((2, 1)), n_draws=20, n_burnin=10,
+          chunk_size=10, progress=msgs.append)
+    assert [m["done"] for m in msgs] == [10, 20, 30]
+    assert [m["phase"] for m in msgs] == ["burnin", "keep", "keep"]
+    assert all(m["total"] == 30 and m["draws_per_s"] > 0 for m in msgs)
