@@ -21,12 +21,15 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "chain_sharding", "shard_chain_axis"]
+__all__ = ["make_mesh", "make_grid_mesh", "chain_sharding",
+           "shard_chain_axis", "shard_data_axis"]
 
 CHAIN_AXIS = "chains"
+DATA_AXIS = "data"
 
 
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = CHAIN_AXIS) -> Mesh:
@@ -35,6 +38,26 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = CHAIN_AXIS) -> M
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis_name,))
+
+
+def make_grid_mesh(n_chain_devices: int, n_data_devices: int,
+                   axis_names=(CHAIN_AXIS, DATA_AXIS)) -> Mesh:
+    """2-D ``(chains, data)`` mesh for tall-data models: the chain batch
+    shards over the first axis (as with :func:`make_mesh`) and the
+    *dataset* shards over the second (:func:`shard_data_axis`), so a
+    single chain's likelihood reduction runs across ``n_data_devices``
+    chips with XLA-inserted all-reduces over ICI — within-draw
+    parallelism the reference's OpenMP-over-chains model has no analog
+    for (SURVEY.md §2d "SP/CP... absent"; this is its MCMC counterpart).
+    """
+    devs = jax.devices()
+    need = n_chain_devices * n_data_devices
+    if need > len(devs):
+        raise ValueError(
+            f"mesh {n_chain_devices}x{n_data_devices} needs {need} devices, "
+            f"have {len(devs)}")
+    grid = np.array(devs[:need]).reshape(n_chain_devices, n_data_devices)
+    return Mesh(grid, axis_names)
 
 
 def chain_sharding(mesh: Mesh, ndim: int, axis_name: str = CHAIN_AXIS) -> NamedSharding:
@@ -63,3 +86,53 @@ def shard_chain_axis(tree, mesh: Mesh, axis_name: str = CHAIN_AXIS):
     def place(x):
         return jax.device_put(x, chain_sharding(mesh, x.ndim, axis_name))
     return jax.tree_util.tree_map(place, tree)
+
+
+def _data_sharding(mesh: Mesh, ndim: int, axis_name: str) -> NamedSharding:
+    spec = P() if ndim == 0 else P(axis_name, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def shard_data_axis(tree, mesh: Mesh, axis_name: str = DATA_AXIS):
+    """Shard every leaf's leading (observation) axis over the mesh's data
+    axis — rank-0 leaves replicate.
+
+    NOTE: arrays a jitted function *closes over* are baked as constants and
+    lose this placement (JAX inlines them by value) — sampling with a
+    ``log_kernel`` that merely closes over the output of this function runs
+    un-partitioned. Use :func:`data_parallel_kernel`, which re-asserts the
+    sharding at trace time, for the sampler path; this function is the
+    placement primitive for eager work and explicit-argument jits.
+    """
+    def place(x):
+        x = jnp.asarray(x)
+        return jax.device_put(x, _data_sharding(mesh, x.ndim, axis_name))
+    return jax.tree_util.tree_map(place, tree)
+
+
+def data_parallel_kernel(log_kernel_fn, data, mesh: Mesh,
+                         axis_name: str = DATA_AXIS):
+    """Build a tall-data-parallel ``log_kernel(params)`` from
+    ``log_kernel_fn(params, data) -> scalar``.
+
+    ``data`` (any pytree; leading axis = observations) is placed with
+    :func:`shard_data_axis` and, crucially, re-annotated with
+    ``lax.with_sharding_constraint`` inside the traced function — closures
+    alone lose their sharding when jit bakes them into constants — so
+    GSPMD partitions the per-observation likelihood terms across the
+    mesh's data axis and inserts one all-reduce per log-density/gradient
+    evaluation. The scaling-book recipe (annotate shardings, let the
+    compiler place collectives): no psum calls in user code, and the same
+    kernel composes with chain sharding on a :func:`make_grid_mesh`
+    ``(chains, data)`` grid. Leading axes must divide by the data-axis
+    size (pad or trim the dataset first).
+    """
+    data = shard_data_axis(data, mesh, axis_name)
+
+    def wrapped(params):
+        d = jax.tree_util.tree_map(
+            lambda x: jax.lax.with_sharding_constraint(
+                x, _data_sharding(mesh, jnp.ndim(x), axis_name)), data)
+        return log_kernel_fn(params, d)
+
+    return wrapped
