@@ -36,6 +36,7 @@ from mcmc_tpu.settings import (
     PTSettings,
     SMCSettings,
     StretchSettings,
+    SGLDSettings,
 )
 from mcmc_tpu.results import SamplerResult
 from mcmc_tpu.samplers.rwmh import rwmh
@@ -49,6 +50,7 @@ from mcmc_tpu.samplers.aees import aees
 from mcmc_tpu.samplers.pt import pt
 from mcmc_tpu.samplers.smc import smc
 from mcmc_tpu.samplers.stretch import stretch
+from mcmc_tpu.samplers.sgld import sgld
 from mcmc_tpu.laplace import map_laplace, LaplaceResult
 from mcmc_tpu.model_compare import (
     pointwise_log_lik,
@@ -69,17 +71,19 @@ __version__ = "0.1.0"
 _SAMPLERS = {
     "rwmh": rwmh, "mala": mala, "hmc": hmc, "nuts": nuts, "chees": chees,
     "rmhmc": rmhmc, "de": de, "aees": aees, "pt": pt, "smc": smc,
-    "stretch": stretch,
+    "stretch": stretch, "sgld": sgld,
 }
 
 
 def sample(algorithm, initial_vals, log_kernel, settings=None, **kwargs):
     """One-call dispatcher over the samplers (the reference seven plus
-    the TPU-native ChEES-HMC extension).
+    the TPU-native extensions).
 
     ``sample("nuts", x0, log_kernel, settings, n_chains=..., ...)`` is
-    equivalent to calling the named entry point directly; RM-HMC requires a
-    ``metric_fn=`` keyword.
+    equivalent to calling the named entry point directly. RM-HMC requires
+    a ``metric_fn=`` keyword; SGLD interprets ``log_kernel`` as the
+    log-PRIOR and requires ``log_lik=`` and ``data=`` keywords (the
+    minibatched likelihood lives outside the single-callback convention).
     """
     try:
         fn = _SAMPLERS[algorithm]
@@ -92,6 +96,13 @@ def sample(algorithm, initial_vals, log_kernel, settings=None, **kwargs):
         if metric_fn is None:
             raise ValueError("rmhmc requires metric_fn=")
         return fn(initial_vals, log_kernel, metric_fn, settings, **kwargs)
+    if algorithm == "sgld":
+        log_lik = kwargs.pop("log_lik", None)
+        data = kwargs.pop("data", None)
+        if log_lik is None or data is None:
+            raise ValueError("sgld requires log_lik= and data= (log_kernel "
+                             "is the log-prior)")
+        return fn(initial_vals, log_kernel, log_lik, data, settings, **kwargs)
     return fn(initial_vals, log_kernel, settings, **kwargs)
 
 
@@ -228,10 +239,11 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
 
 __all__ = [
     "rwmh", "mala", "hmc", "nuts", "chees", "rmhmc", "de", "aees", "pt",
-    "smc", "stretch", "sample", "fit", "map_laplace", "LaplaceResult",
+    "smc", "stretch", "sgld", "sample", "fit", "map_laplace", "LaplaceResult",
     "AlgoSettings", "RWMHSettings", "MALASettings", "HMCSettings",
     "NUTSSettings", "ChEESSettings", "RMHMCSettings", "DESettings",
     "AEESSettings", "PTSettings", "SMCSettings", "StretchSettings",
+    "SGLDSettings",
     "SamplerResult", "bounds", "stats", "diagnostics", "models",
     "pointwise_log_lik", "waic", "psis_loo", "compare",
 ]

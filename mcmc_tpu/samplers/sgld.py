@@ -1,0 +1,182 @@
+"""Stochastic-gradient Langevin dynamics (Welling & Teh 2011).
+
+Beyond-reference sampler: the minibatch member of the gradient family,
+for tall datasets where even one full log-likelihood gradient per draw
+(MALA/HMC/NUTS) is too expensive. No reference analog — MCMCLib's samplers
+all consume a full-data ``log_kernel`` callback; SGLD is the
+accelerator-native answer to the same scaling axis its OpenMP threads
+cannot touch (SURVEY.md §2d "tall data").
+
+Update rule (one draw)::
+
+    g_t  = grad log_prior(x_t) + (N / B) * grad log_lik(x_t, minibatch_t)
+    x_+  = x_t + (h_t / 2) * M g_t + sqrt(h_t) * chol(M) xi,  xi ~ N(0, I)
+
+with ``h_t = step_size * (decay_b / (decay_b + t)) ** decay_gamma`` (the
+Welling-Teh polynomial schedule; ``decay_gamma = 0`` keeps it constant).
+There is NO Metropolis correction: with constant ``h`` the chain targets a
+perturbed posterior with O(h) bias (tested against the exact closed form
+of the unadjusted-Langevin Gaussian stationary variance), vanishing as
+``h -> 0`` or under a decaying schedule. Minibatches are drawn uniformly
+WITH replacement each draw, per chain (O(B) index generation; the gather
+batches on the accelerator).
+
+TPU-native design: the minibatch gather + gradient is one fused XLA
+program per draw, vmapped over chains (every chain draws its own
+minibatch, so cross-chain gradient noise is independent), scanned over
+draws; composes with ``mesh=`` chain sharding like every other sampler.
+
+Box constraints run through the same transform stack as the full-gradient
+samplers, with the likelihood-only scaling applied *after* the chain
+rule: the exact ``grad [log_prior(g(z)) + log|J(z)|]`` plus
+``(N/B) grad log_lik(g(z), batch)`` — both via ``jax.grad`` on the
+unconstrained coordinates.
+
+Failure semantics: a non-finite proposed position (exploding gradient,
+too-large step) is rejected in place of crashing — the chain stays put
+and the draw's ``accepted`` info is False, so ``accept_rate < 1`` is the
+numerical-health signal (there is no MH accept to report otherwise; a
+healthy run has ``accept_rate == 1``).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mcmc_tpu import bounds as bounds_mod
+from mcmc_tpu.results import SamplerResult
+from mcmc_tpu.settings import SGLDSettings
+from mcmc_tpu.samplers import common
+from mcmc_tpu.samplers._resolve import resolve_settings, resolve_key
+
+__all__ = ["sgld", "SGLDState", "build_sgld_kernel"]
+
+
+class SGLDState(NamedTuple):
+    position: jax.Array   # unconstrained coordinates
+    draw_ind: jax.Array   # drives the step-size schedule
+
+
+def build_sgld_kernel(prob: common.Problem, log_lik, data, n_data,
+                      precond: common.SPD, s: SGLDSettings):
+    """Returns ``(init, step)``; ``step`` is the pure single-chain
+    transition ``(key, state) -> (state, info)``."""
+    dt = prob.dtype
+    B = int(s.batch_size)
+    N = int(n_data)
+    scale = jnp.asarray(N / B, dt)
+    h0 = jnp.asarray(s.step_size, dt)
+    gamma = float(s.decay_gamma)
+    b = jnp.asarray(s.decay_b, dt)
+
+    if prob.vals_bound:
+        def prior_z(z):
+            x = bounds_mod.inv_transform(z, prob.codes, prob.lower_bounds,
+                                         prob.upper_bounds)
+            return prob.log_kernel(x) + bounds_mod.log_jacobian(
+                z, prob.codes, prob.lower_bounds, prob.upper_bounds)
+
+        def lik_z(z, batch):
+            x = bounds_mod.inv_transform(z, prob.codes, prob.lower_bounds,
+                                         prob.upper_bounds)
+            return log_lik(x, batch)
+    else:
+        prior_z = prob.log_kernel
+        lik_z = log_lik
+
+    grad_prior = jax.grad(prior_z)
+    grad_lik = jax.grad(lik_z)
+
+    def init(position):
+        return SGLDState(position=position,
+                         draw_ind=jnp.asarray(0, jnp.int32))
+
+    def step(key, state: SGLDState):
+        k_idx, k_noise = jax.random.split(key)
+        t = state.draw_ind.astype(dt)
+        h = h0 * (b / (b + t)) ** gamma if gamma else h0
+
+        idx = jax.random.randint(k_idx, (B,), 0, N)
+        batch = jax.tree_util.tree_map(lambda a: a[idx], data)
+        g = grad_prior(state.position) + scale * grad_lik(state.position,
+                                                          batch)
+        noise = jax.random.normal(k_noise, (prob.n_vals,), dt)
+        prop = state.position + 0.5 * h * precond.mv(g) \
+            + jnp.sqrt(h) * precond.sqrt_mv(noise)
+        ok = jnp.all(jnp.isfinite(prop))
+        new = jnp.where(ok, prop, state.position)
+        return (SGLDState(position=new, draw_ind=state.draw_ind + 1),
+                {"accepted": ok})
+
+    return init, step
+
+
+def sgld(initial_vals, log_prior, log_lik, data, settings=None, *,
+         n_chains=None, key=None, mesh=None, checkpoint_dir=None,
+         checkpoint_every=500, dtype=None, thin=1,
+         return_resume=False) -> SamplerResult:
+    """Run SGLD. ``log_prior(params) -> scalar`` and
+    ``log_lik(params, batch) -> scalar`` (the SUM of the minibatch's
+    log-likelihood terms) are pure JAX functions; ``data`` is any pytree
+    whose leaves share a leading observation axis — each draw gathers a
+    uniform-with-replacement minibatch of ``settings.batch_size`` rows,
+    per chain.
+
+    All the usual driver options apply (``n_chains``/``mesh``/
+    ``checkpoint_dir``/``thin``/``return_resume``); ``accept_rate`` is the
+    fraction of draws whose update stayed finite (1.0 = healthy; there is
+    no Metropolis accept). Box constraints via the umbrella settings'
+    ``vals_bound``/bounds, same transform stack as MALA/HMC/NUTS.
+    """
+    algo, s = resolve_settings(settings, "sgld_settings", SGLDSettings)
+    key = resolve_key(key, algo)
+    if return_resume and checkpoint_dir is not None:
+        raise ValueError("return_resume is incompatible with checkpoint_dir")
+    if not callable(log_lik):
+        raise TypeError("log_lik must be callable: log_lik(params, batch)")
+
+    leaves = jax.tree_util.tree_leaves(data)
+    if not leaves:
+        raise ValueError("data must contain at least one array")
+    n_data = leaves[0].shape[0]
+    for a in leaves[1:]:
+        if a.shape[0] != n_data:
+            raise ValueError(
+                f"all data leaves must share the leading observation axis; "
+                f"got {a.shape[0]} vs {n_data}")
+    if s.batch_size > n_data:
+        raise ValueError(f"batch_size {s.batch_size} exceeds the dataset "
+                         f"size {n_data}")
+
+    prob = common.setup_problem(initial_vals, log_prior, algo, n_chains,
+                                dtype)
+    precond = common.make_spd(s.precond_mat, prob.n_vals, prob.dtype)
+    init, step = build_sgld_kernel(prob, log_lik, data, n_data, precond, s)
+    state0 = jax.vmap(init)(prob.first_draw)
+
+    def assemble(key, state0, n_burnin, n_keep):
+        final_state, draws, infos = common.run_sampler_loop(
+            key, state0, step, n_burnin, n_keep,
+            collect_fn=lambda st: st.position, mesh=mesh,
+            checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+            thin=thin,
+        )
+        n_accept = common.tally_accepts(infos)
+        draws = common.finalize_draws(draws, prob)
+        diagnostics = {}
+        if prob.squeeze:
+            draws = draws[:, 0, :]
+            n_accept = n_accept[0]
+        if thin > 1:   # accept_rate divides by n_keep*thin
+            diagnostics["thin"] = int(thin)
+        return SamplerResult(draws=draws, n_accept_draws=n_accept,
+                             diagnostics=diagnostics), final_state
+
+    result, final_state = assemble(key, state0, s.n_burnin_draws,
+                                   s.n_keep_draws)
+    if return_resume:
+        common.attach_resume(result, assemble, final_state)
+    return result

@@ -21,7 +21,8 @@ from typing import Any, Optional
 __all__ = [
     "RWMHSettings", "MALASettings", "HMCSettings", "NUTSSettings",
     "ChEESSettings", "RMHMCSettings", "DESettings", "AEESSettings",
-    "PTSettings", "SMCSettings", "StretchSettings", "AlgoSettings",
+    "PTSettings", "SMCSettings", "StretchSettings", "SGLDSettings",
+    "AlgoSettings",
 ]
 
 ArrayLike = Any
@@ -189,6 +190,25 @@ class StretchSettings:
 
 
 @dataclass
+class SGLDSettings:
+    """Stochastic-gradient Langevin dynamics (Welling & Teh 2011; no
+    reference analog — the minibatch member of the gradient family, see
+    samplers/sgld.py). ``step_size`` is the initial ``h``;
+    ``decay_gamma > 0`` enables the polynomial schedule
+    ``h_t = step_size * (decay_b / (decay_b + t)) ** decay_gamma``;
+    ``batch_size`` rows are gathered per draw per chain (uniform with
+    replacement); ``precond_mat`` is a fixed diagonal/dense preconditioner
+    M (same convention as MALASettings.precond_mat)."""
+    step_size: float = 1e-4
+    batch_size: int = 256
+    n_burnin_draws: int = 1000
+    n_keep_draws: int = 1000
+    decay_gamma: float = 0.0
+    decay_b: float = 1.0
+    precond_mat: Optional[ArrayLike] = None
+
+
+@dataclass
 class AlgoSettings:
     """Umbrella settings (reference mcmc_structs.hpp:151-184).
 
@@ -213,6 +233,7 @@ class AlgoSettings:
     pt_settings: PTSettings = field(default_factory=PTSettings)
     smc_settings: SMCSettings = field(default_factory=SMCSettings)
     stretch_settings: StretchSettings = field(default_factory=StretchSettings)
+    sgld_settings: SGLDSettings = field(default_factory=SGLDSettings)
 
     def replace(self, **kw) -> "AlgoSettings":
         return dataclasses.replace(self, **kw)

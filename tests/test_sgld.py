@@ -1,0 +1,146 @@
+"""SGLD — validated against the EXACT unadjusted-Langevin closed form.
+
+For the standard normal target, full-batch SGLD is ULA:
+``x' = x (1 - h/2) + sqrt(h) xi``, an AR(1) whose stationary variance is
+exactly ``h / (1 - (1 - h/2)^2) = 1 / (1 - h/4)`` — so the O(h) bias is a
+*prediction* to verify, not a nuisance to tolerate.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mcmc_tpu
+
+
+def _zero_lik(_params, batch):
+    # touches the batch so the gather stays in the graph, contributes 0
+    return 0.0 * jnp.sum(batch)
+
+
+def test_full_batch_ula_matches_exact_stationary_variance():
+    """N(0,1) target, h = 0.5: stationary variance must be 1/(1 - h/4)
+    = 8/7 — the wrong answer by O(h) if the update rule mis-scales either
+    the drift or the noise."""
+    h = 0.5
+    s = mcmc_tpu.SGLDSettings(step_size=h, batch_size=4,
+                              n_burnin_draws=1000, n_keep_draws=4000)
+    out = mcmc_tpu.sgld(jnp.zeros(1), lambda x: -0.5 * jnp.sum(x**2),
+                        _zero_lik, jnp.zeros((4, 1)), s, n_chains=64,
+                        key=jax.random.PRNGKey(0))
+    d = np.asarray(out.draws)
+    assert float(out.accept_rate.mean()) == 1.0
+    expected = 1.0 / (1.0 - h / 4.0)
+    assert float(d.var()) == pytest.approx(expected, rel=0.03)
+    assert float(d.mean()) == pytest.approx(0.0, abs=0.02)
+
+
+def test_minibatch_conjugate_posterior():
+    """y ~ N(theta, 1), flat-ish prior: SGLD with B=64 of N=1024 recovers
+    the N(ybar, 1/N) posterior (small h => small bias; the minibatch
+    gradient noise is O(h^2) relative to the injected N(0, h) noise)."""
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(0.7 + rng.standard_normal(1024), jnp.float32)
+
+    log_prior = lambda th: -0.5 * jnp.sum(th**2) / 100.0
+    log_lik = lambda th, batch: -0.5 * jnp.sum((batch - th[0]) ** 2)
+
+    s = mcmc_tpu.SGLDSettings(step_size=1e-5, batch_size=64,
+                              n_burnin_draws=2000, n_keep_draws=15000)
+    out = mcmc_tpu.sgld(jnp.zeros(1), log_prior, log_lik, y, s, n_chains=16,
+                        key=jax.random.PRNGKey(1))
+    d = np.asarray(out.draws)
+    post_mean = float(y.mean()) * (1024 / (1024 + 0.01))
+    post_var = 1.0 / (1024 + 0.01)
+    assert float(d.mean()) == pytest.approx(post_mean, abs=4 * np.sqrt(post_var / 100))
+    assert float(d.var()) == pytest.approx(post_var, rel=0.25)
+
+
+def test_sgld_bounded_halfline():
+    """Box constraints run through the same transform stack: lower bound 0
+    on the N(1,1) prior target => truncated-normal mean 1.2876, every
+    draw positive. The unconstrained-space chain relaxes in ~1/h steps,
+    so the MC budget comes from the chain axis (256 vmapped chains —
+    cheap on the accelerator, the design point of this framework); ULA
+    bias at h = 4e-3 is below the MC tolerance (verified by h-refinement
+    at calibration time: h = 8e-3 and 2e-3 agree within 0.011)."""
+    s = mcmc_tpu.AlgoSettings(vals_bound=True, lower_bounds=jnp.zeros(1))
+    s.sgld_settings.step_size = 4e-3
+    s.sgld_settings.batch_size = 2
+    s.sgld_settings.n_burnin_draws = 2000
+    s.sgld_settings.n_keep_draws = 8000
+    out = mcmc_tpu.sgld(jnp.ones(1) * 0.5,
+                        lambda x: -0.5 * jnp.sum((x - 1.0) ** 2),
+                        _zero_lik, jnp.zeros((2, 1)), s, n_chains=256,
+                        key=jax.random.PRNGKey(2))
+    d = np.asarray(out.draws)
+    assert (d > 0).all()
+    assert float(d.mean()) == pytest.approx(1.2876, abs=0.035)
+
+
+def test_sgld_decay_schedule_and_resume():
+    """decay_gamma shrinks steps over time (late-chain increments smaller
+    than early ones); return_resume continues with draw_ind (and so the
+    schedule) carried forward."""
+    s = mcmc_tpu.SGLDSettings(step_size=0.25, batch_size=2,
+                              n_burnin_draws=0, n_keep_draws=400,
+                              decay_gamma=1.0, decay_b=10.0)
+    out = mcmc_tpu.sgld(jnp.zeros(1), lambda x: -0.5 * jnp.sum(x**2),
+                        _zero_lik, jnp.zeros((2, 1)), s,
+                        key=jax.random.PRNGKey(3), return_resume=True)
+    d = np.asarray(out.draws)[:, 0]
+    inc = np.abs(np.diff(d))
+    assert inc[:50].mean() > 3 * inc[-50:].mean()   # schedule bites
+    out2 = out.diagnostics["resume"](jax.random.PRNGKey(4), 100)
+    d2 = np.asarray(out2.draws)
+    assert d2.shape == (100, 1)
+    inc2 = np.abs(np.diff(d2[:, 0]))
+    assert inc2.mean() < inc[:50].mean()            # continued, not reset
+
+
+def test_sgld_determinism_and_validation():
+    lk = lambda x: -0.5 * jnp.sum(x**2)
+    data = jnp.zeros((8, 1))
+    s = mcmc_tpu.SGLDSettings(step_size=0.1, batch_size=4,
+                              n_burnin_draws=10, n_keep_draws=20)
+    a = mcmc_tpu.sgld(jnp.zeros(2), lk, _zero_lik, data, s,
+                      key=jax.random.PRNGKey(7))
+    b = mcmc_tpu.sgld(jnp.zeros(2), lk, _zero_lik, data, s,
+                      key=jax.random.PRNGKey(7))
+    np.testing.assert_array_equal(np.asarray(a.draws), np.asarray(b.draws))
+
+    with pytest.raises(ValueError, match="batch_size"):
+        mcmc_tpu.sgld(jnp.zeros(2), lk, _zero_lik, jnp.zeros((2, 1)),
+                      mcmc_tpu.SGLDSettings(batch_size=4))
+    with pytest.raises(ValueError, match="leading observation axis"):
+        mcmc_tpu.sgld(jnp.zeros(2), lk, _zero_lik,
+                      (jnp.zeros((8, 1)), jnp.zeros((6,))),
+                      mcmc_tpu.SGLDSettings(batch_size=2))
+    with pytest.raises(TypeError, match="log_lik"):
+        mcmc_tpu.sgld(jnp.zeros(2), lk, None, data, s)
+
+
+def test_sgld_nonfinite_guard():
+    """An exploding gradient must not crash or NaN the chain: the draw is
+    rejected in place and accept_rate drops below 1."""
+    # log-prior with a pole: gradient blows up near x = 0
+    lk = lambda x: jnp.sum(jnp.log(jnp.abs(x)))   # grad ~ 1/x
+    s = mcmc_tpu.SGLDSettings(step_size=1e30, batch_size=2,
+                              n_burnin_draws=0, n_keep_draws=50)
+    out = mcmc_tpu.sgld(jnp.ones(1) * 1e-30, lk, _zero_lik,
+                        jnp.zeros((2, 1)), s, key=jax.random.PRNGKey(9))
+    assert np.isfinite(np.asarray(out.draws)).all()
+    assert float(out.accept_rate) < 1.0
+
+
+def test_sgld_via_sample_dispatcher():
+    out = mcmc_tpu.sample(
+        "sgld", jnp.zeros(1), lambda x: -0.5 * jnp.sum(x**2),
+        mcmc_tpu.SGLDSettings(step_size=0.1, batch_size=2,
+                              n_burnin_draws=5, n_keep_draws=10),
+        log_lik=_zero_lik, data=jnp.zeros((4, 1)),
+        key=jax.random.PRNGKey(0))
+    assert out.draws.shape == (10, 1)
+    with pytest.raises(ValueError, match="sgld requires"):
+        mcmc_tpu.sample("sgld", jnp.zeros(1), lambda x: 0.0)
