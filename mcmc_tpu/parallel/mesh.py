@@ -26,7 +26,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "make_grid_mesh", "chain_sharding",
-           "shard_chain_axis", "shard_data_axis"]
+           "shard_chain_axis", "shard_data_axis", "data_parallel_kernel"]
 
 CHAIN_AXIS = "chains"
 DATA_AXIS = "data"
@@ -88,14 +88,11 @@ def shard_chain_axis(tree, mesh: Mesh, axis_name: str = CHAIN_AXIS):
     return jax.tree_util.tree_map(place, tree)
 
 
-def _data_sharding(mesh: Mesh, ndim: int, axis_name: str) -> NamedSharding:
-    spec = P() if ndim == 0 else P(axis_name, *([None] * (ndim - 1)))
-    return NamedSharding(mesh, spec)
-
-
 def shard_data_axis(tree, mesh: Mesh, axis_name: str = DATA_AXIS):
     """Shard every leaf's leading (observation) axis over the mesh's data
-    axis — rank-0 leaves replicate.
+    axis — rank-0 leaves replicate. Handles multi-process meshes the same
+    way :func:`shard_chain_axis` does (each process contributes its
+    addressable shards of the host-replicated value).
 
     NOTE: arrays a jitted function *closes over* are baked as constants and
     lose this placement (JAX inlines them by value) — sampling with a
@@ -104,9 +101,16 @@ def shard_data_axis(tree, mesh: Mesh, axis_name: str = DATA_AXIS):
     sharding at trace time, for the sampler path; this function is the
     placement primitive for eager work and explicit-argument jits.
     """
+    multiprocess = any(d.process_index != jax.process_index()
+                       for d in mesh.devices.flat)
+    if multiprocess:
+        from mcmc_tpu.parallel.distributed import global_chain_array
+        return jax.tree_util.tree_map(
+            lambda x: global_chain_array(x, mesh, axis_name), tree)
+
     def place(x):
         x = jnp.asarray(x)
-        return jax.device_put(x, _data_sharding(mesh, x.ndim, axis_name))
+        return jax.device_put(x, chain_sharding(mesh, x.ndim, axis_name))
     return jax.tree_util.tree_map(place, tree)
 
 
@@ -132,7 +136,7 @@ def data_parallel_kernel(log_kernel_fn, data, mesh: Mesh,
     def wrapped(params):
         d = jax.tree_util.tree_map(
             lambda x: jax.lax.with_sharding_constraint(
-                x, _data_sharding(mesh, jnp.ndim(x), axis_name)), data)
+                x, chain_sharding(mesh, jnp.ndim(x), axis_name)), data)
         return log_kernel_fn(params, d)
 
     return wrapped

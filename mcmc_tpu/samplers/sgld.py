@@ -72,22 +72,19 @@ def build_sgld_kernel(prob: common.Problem, log_lik, data, n_data,
     gamma = float(s.decay_gamma)
     b = jnp.asarray(s.decay_b, dt)
 
+    # prior + log-Jacobian on the unconstrained coordinates IS the box
+    # kernel setup_problem built (setup ran with log_prior as the kernel);
+    # only the likelihood needs the extra inv_transform wrap, scaled AFTER
+    # the chain rule
     if prob.vals_bound:
-        def prior_z(z):
-            x = bounds_mod.inv_transform(z, prob.codes, prob.lower_bounds,
-                                         prob.upper_bounds)
-            return prob.log_kernel(x) + bounds_mod.log_jacobian(
-                z, prob.codes, prob.lower_bounds, prob.upper_bounds)
-
         def lik_z(z, batch):
             x = bounds_mod.inv_transform(z, prob.codes, prob.lower_bounds,
                                          prob.upper_bounds)
             return log_lik(x, batch)
     else:
-        prior_z = prob.log_kernel
         lik_z = log_lik
 
-    grad_prior = jax.grad(prior_z)
+    grad_prior = jax.grad(prob.box_log_kernel)
     grad_lik = jax.grad(lik_z)
 
     def init(position):
@@ -138,9 +135,16 @@ def sgld(initial_vals, log_prior, log_lik, data, settings=None, *,
     if not callable(log_lik):
         raise TypeError("log_lik must be callable: log_lik(params, batch)")
 
+    data = jax.tree_util.tree_map(jnp.asarray, data)
     leaves = jax.tree_util.tree_leaves(data)
     if not leaves:
         raise ValueError("data must contain at least one array")
+    for a in leaves:
+        if a.ndim == 0:
+            raise ValueError(
+                "every data leaf needs a leading observation axis (rank-0 "
+                "leaf found); close the log_lik over scalar hyperparameters "
+                "instead of putting them in data")
     n_data = leaves[0].shape[0]
     for a in leaves[1:]:
         if a.shape[0] != n_data:

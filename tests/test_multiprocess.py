@@ -54,8 +54,27 @@ _WORKER = textwrap.dedent("""
     mean = float(jnp.mean(draws))
     var = float(jnp.var(draws))
     acc = float(jnp.mean(infos["accepted"]))
+
+    # tall-data path across the process boundary: a (chains, data) grid
+    # over the 8 global devices; shard_data_axis must take its
+    # multi-process branch (global_chain_array on the data axis)
+    from mcmc_tpu.parallel import make_grid_mesh, data_parallel_kernel
+    grid = make_grid_mesh(2, 4)
+    Xd = jnp.linspace(-1.0, 1.0, 64 * 3).reshape(64, 3)  # identical per proc
+    def lk_of_data(b, data):
+        return -0.5 * jnp.sum((data[0] @ b - 1.0) ** 2) / 64 \\
+            - 0.5 * jnp.sum(b**2)
+    lk_dp = data_parallel_kernel(lk_of_data, (Xd,), grid)
+    out_dp = mcmc_tpu.hmc(
+        jnp.zeros(3), lk_dp,
+        mcmc_tpu.HMCSettings(step_size=0.2, n_leap_steps=2,
+                             n_burnin_draws=5, n_keep_draws=5),
+        n_chains=4, key=jax.random.PRNGKey(1), mesh=grid)
+    dp_ok = bool(jnp.isfinite(out_dp.draws).all()) \\
+        and out_dp.draws.shape == (5, 4, 3)
+
     print(json.dumps({"pid": pid, "mean": mean, "var": var, "acc": acc,
-                      "shape": list(draws.shape)}), flush=True)
+                      "shape": list(draws.shape), "dp_ok": dp_ok}), flush=True)
 """) % str(ROOT)
 
 
@@ -90,3 +109,4 @@ def test_two_process_chain_sharded_hmc(tmp_path):
     assert abs(outs[0]["mean"] - 1.5) < 0.1, outs[0]
     assert abs(outs[0]["var"] - 1.0) < 0.3, outs[0]
     assert 0.3 < outs[0]["acc"] < 1.0
+    assert outs[0]["dp_ok"] and outs[1]["dp_ok"]
