@@ -57,13 +57,24 @@ __all__ = ["sgld", "SGLDState", "build_sgld_kernel"]
 
 class SGLDState(NamedTuple):
     position: jax.Array   # unconstrained coordinates
+    v: jax.Array          # RMSprop accumulator ((1,) when not adapting)
     draw_ind: jax.Array   # drives the step-size schedule
 
 
 def build_sgld_kernel(prob: common.Problem, log_lik, data, n_data,
-                      precond: common.SPD, s: SGLDSettings):
+                      precond: common.SPD, s: SGLDSettings,
+                      rmsprop=False):
     """Returns ``(init, step)``; ``step`` is the pure single-chain
-    transition ``(key, state) -> (state, info)``."""
+    transition ``(key, state) -> (state, info)``.
+
+    ``rmsprop=True`` enables pSGLD (Li, Chen, Carlson & Carin 2016): the
+    diagonal preconditioner ``G = 1 / (lambda + sqrt(V))`` with
+    ``V <- alpha V + (1 - alpha) gbar**2`` where ``gbar = g / N`` is the
+    per-datum average stochastic gradient; the update becomes
+    ``x += (h/2) G g + N(0, h G)``. The Gamma(theta) curvature term of
+    the paper's eq. (4) is omitted, as in the paper's own experiments and
+    standard implementations — it is O((1-alpha)) and vanishes as the
+    accumulator equilibrates."""
     dt = prob.dtype
     B = int(s.batch_size)
     N = int(n_data)
@@ -71,6 +82,8 @@ def build_sgld_kernel(prob: common.Problem, log_lik, data, n_data,
     h0 = jnp.asarray(s.step_size, dt)
     gamma = float(s.decay_gamma)
     b = jnp.asarray(s.decay_b, dt)
+    alpha = jnp.asarray(s.rmsprop_alpha, dt)
+    lam = jnp.asarray(s.rmsprop_lambda, dt)
 
     # prior + log-Jacobian on the unconstrained coordinates IS the box
     # kernel setup_problem built (setup ran with log_prior as the kernel);
@@ -88,7 +101,8 @@ def build_sgld_kernel(prob: common.Problem, log_lik, data, n_data,
     grad_lik = jax.grad(lik_z)
 
     def init(position):
-        return SGLDState(position=position,
+        v0 = jnp.zeros((prob.n_vals,), dt) if rmsprop else jnp.ones((1,), dt)
+        return SGLDState(position=position, v=v0,
                          draw_ind=jnp.asarray(0, jnp.int32))
 
     def step(key, state: SGLDState):
@@ -101,11 +115,23 @@ def build_sgld_kernel(prob: common.Problem, log_lik, data, n_data,
         g = grad_prior(state.position) + scale * grad_lik(state.position,
                                                           batch)
         noise = jax.random.normal(k_noise, (prob.n_vals,), dt)
-        prop = state.position + 0.5 * h * precond.mv(g) \
-            + jnp.sqrt(h) * precond.sqrt_mv(noise)
+        if rmsprop:
+            gbar = g / N
+            v = alpha * state.v + (1.0 - alpha) * gbar * gbar
+            G = 1.0 / (lam + jnp.sqrt(v))
+            prop = state.position + 0.5 * h * G * g \
+                + jnp.sqrt(h * G) * noise
+        else:
+            v = state.v
+            prop = state.position + 0.5 * h * precond.mv(g) \
+                + jnp.sqrt(h) * precond.sqrt_mv(noise)
         ok = jnp.all(jnp.isfinite(prop))
         new = jnp.where(ok, prop, state.position)
-        return (SGLDState(position=new, draw_ind=state.draw_ind + 1),
+        # a rejected draw must not poison the accumulator either (a NaN
+        # gradient would wedge V, and thus G, forever)
+        v = jnp.where(ok, v, state.v)
+        return (SGLDState(position=new, v=v,
+                          draw_ind=state.draw_ind + 1),
                 {"accepted": ok})
 
     return init, step
@@ -113,7 +139,7 @@ def build_sgld_kernel(prob: common.Problem, log_lik, data, n_data,
 
 def sgld(initial_vals, log_prior, log_lik, data, settings=None, *,
          n_chains=None, key=None, mesh=None, checkpoint_dir=None,
-         checkpoint_every=500, dtype=None, thin=1,
+         checkpoint_every=500, dtype=None, thin=1, adapt_precond=False,
          return_resume=False) -> SamplerResult:
     """Run SGLD. ``log_prior(params) -> scalar`` and
     ``log_lik(params, batch) -> scalar`` (the SUM of the minibatch's
@@ -121,6 +147,12 @@ def sgld(initial_vals, log_prior, log_lik, data, settings=None, *,
     whose leaves share a leading observation axis — each draw gathers a
     uniform-with-replacement minibatch of ``settings.batch_size`` rows,
     per chain.
+
+    ``adapt_precond=True`` (or ``"rmsprop"``) runs **pSGLD** (Li et al.
+    2016): a per-dimension RMSprop preconditioner
+    ``G = 1/(rmsprop_lambda + sqrt(V))`` learned online from the
+    per-datum average gradient, equilibrating step sizes across badly
+    scaled dimensions — incompatible with a fixed ``precond_mat``.
 
     All the usual driver options apply (``n_chains``/``mesh``/
     ``checkpoint_dir``/``thin``/``return_resume``); ``accept_rate`` is the
@@ -155,10 +187,19 @@ def sgld(initial_vals, log_prior, log_lik, data, settings=None, *,
         raise ValueError(f"batch_size {s.batch_size} exceeds the dataset "
                          f"size {n_data}")
 
+    rmsprop = {True: "rmsprop"}.get(adapt_precond, adapt_precond)
+    if rmsprop not in (False, "rmsprop"):
+        raise ValueError(f"adapt_precond must be False/True/'rmsprop', "
+                         f"got {adapt_precond!r}")
+    if rmsprop and s.precond_mat is not None:
+        raise ValueError("adapt_precond is incompatible with a user "
+                         "precond_mat — the preconditioner is learned")
+
     prob = common.setup_problem(initial_vals, log_prior, algo, n_chains,
                                 dtype)
     precond = common.make_spd(s.precond_mat, prob.n_vals, prob.dtype)
-    init, step = build_sgld_kernel(prob, log_lik, data, n_data, precond, s)
+    init, step = build_sgld_kernel(prob, log_lik, data, n_data, precond, s,
+                                   rmsprop=bool(rmsprop))
     state0 = jax.vmap(init)(prob.first_draw)
 
     def assemble(key, state0, n_burnin, n_keep):

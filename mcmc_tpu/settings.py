@@ -198,7 +198,10 @@ class SGLDSettings:
     ``h_t = step_size * (decay_b / (decay_b + t)) ** decay_gamma``;
     ``batch_size`` rows are gathered per draw per chain (uniform with
     replacement); ``precond_mat`` is a fixed diagonal/dense preconditioner
-    M (same convention as MALASettings.precond_mat)."""
+    M (same convention as MALASettings.precond_mat).
+    ``rmsprop_alpha``/``rmsprop_lambda`` parameterize the pSGLD
+    preconditioner when ``sgld(..., adapt_precond='rmsprop')`` (Li et al.
+    2016 defaults)."""
     step_size: float = 1e-4
     batch_size: int = 256
     n_burnin_draws: int = 1000
@@ -206,6 +209,8 @@ class SGLDSettings:
     decay_gamma: float = 0.0
     decay_b: float = 1.0
     precond_mat: Optional[ArrayLike] = None
+    rmsprop_alpha: float = 0.99
+    rmsprop_lambda: float = 1e-5
 
 
 @dataclass

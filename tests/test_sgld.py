@@ -144,3 +144,44 @@ def test_sgld_via_sample_dispatcher():
     assert out.draws.shape == (10, 1)
     with pytest.raises(ValueError, match="sgld requires"):
         mcmc_tpu.sample("sgld", jnp.zeros(1), lambda x: 0.0)
+
+
+def test_psgld_equilibrates_badly_scaled_model():
+    """pSGLD (adapt_precond='rmsprop'): the RMSprop preconditioner lets
+    burn-in traverse a coordinate whose gradient is 400x smaller. Model:
+    z_i ~ N(theta, diag(1, 400)), theta start at 0, true theta2 ~ 15 —
+    at a step size stable for dim 1, plain SGLD's dim-2 relaxation takes
+    ~800 steps/e-fold and cannot reach the mode in budget, while pSGLD's
+    learned G ~ 20 gets there."""
+    rng = np.random.default_rng(0)
+    N = 512
+    z = jnp.asarray(np.stack([0.5 + rng.standard_normal(N),
+                              15.0 + 20.0 * rng.standard_normal(N)], 1),
+                    jnp.float32)
+    zbar2 = float(z[:, 1].mean())
+    log_prior = lambda th: -0.5 * jnp.sum(th**2) / 1e4
+
+    def log_lik(th, batch):
+        return -0.5 * jnp.sum((batch[:, 0] - th[0]) ** 2) \
+            - 0.5 * jnp.sum((batch[:, 1] - th[1]) ** 2) / 400.0
+
+    s = mcmc_tpu.SGLDSettings(step_size=1e-3, batch_size=64,
+                              n_burnin_draws=600, n_keep_draws=1500)
+    means = {}
+    for ap in (False, "rmsprop"):
+        out = mcmc_tpu.sgld(jnp.zeros(2), log_prior, log_lik, z, s,
+                            n_chains=32, key=jax.random.PRNGKey(1),
+                            adapt_precond=ap)
+        means[ap] = np.asarray(out.draws).reshape(-1, 2).mean(0)
+    assert abs(means["rmsprop"][1] - zbar2) < 1.5, means
+    assert abs(means[False][1] - zbar2) > 4.0, means        # plain is stuck
+    assert abs(means["rmsprop"][0] - 0.5) < 0.2
+
+    with pytest.raises(ValueError, match="adapt_precond"):
+        mcmc_tpu.sgld(jnp.zeros(2), log_prior, log_lik, z, s,
+                      adapt_precond="adam")
+    with pytest.raises(ValueError, match="precond_mat"):
+        s2 = mcmc_tpu.SGLDSettings(batch_size=64,
+                                   precond_mat=jnp.ones(2))
+        mcmc_tpu.sgld(jnp.zeros(2), log_prior, log_lik, z, s2,
+                      adapt_precond=True)
