@@ -34,7 +34,9 @@ s = mcmc_tpu.SGLDSettings(
     decay_gamma=0.33, decay_b=1000.0,     # Welling-Teh polynomial decay
 )
 out = mcmc_tpu.sgld(jnp.zeros(D), log_prior, log_lik, (X, y), s,
-                    n_chains=32, key=jax.random.PRNGKey(1))
+                    n_chains=32, key=jax.random.PRNGKey(1),
+                    minibatch="shared")   # one gather/draw: the TPU-native mode
+                                          # (~250x per-chain gathers, docs/performance.md)
 
 err = jnp.abs(out.mean - beta_true).max()
 print("finite-update rate:", float(out.accept_rate.mean()))  # 1.0 = healthy

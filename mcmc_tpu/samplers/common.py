@@ -168,7 +168,7 @@ def tally_accepts(infos):
     return jnp.asarray(infos["totals"]["accepted"])
 
 
-def thin_step(step_fn, thin: int):
+def thin_step(step_fn, thin: int, batched: bool = False):
     """Wrap a single-chain kernel so each call advances ``thin`` transitions
     and reports one draw — the draw-history-scaling lever the reference
     lacks (SURVEY.md §5: stored draws grow with run length; thinning keeps
@@ -187,7 +187,13 @@ def thin_step(step_fn, thin: int):
         return step_fn
 
     def step(key, state):
-        keys = jax.random.split(key, thin)
+        if batched:
+            # key is the (n_chains,) per-chain key batch of a pre-batched
+            # kernel: split each chain's key into the window
+            keys = jnp.swapaxes(
+                jax.vmap(lambda k: jax.random.split(k, thin))(key), 0, 1)
+        else:
+            keys = jax.random.split(key, thin)
 
         def inner(st, k):
             st, info = step_fn(k, st)
@@ -206,7 +212,7 @@ def thin_step(step_fn, thin: int):
 
 def run_sampler_loop(key, state0, step_fn, n_burnin, n_keep, collect_fn,
                      mesh=None, checkpoint_dir=None, checkpoint_every=500,
-                     thin=1):
+                     thin=1, pre_batched=False):
     """Burn-in + keep scans of a vmapped transition kernel.
 
     ``state0`` is chain-batched on the leading axis; ``step_fn`` is the
@@ -232,11 +238,17 @@ def run_sampler_loop(key, state0, step_fn, n_burnin, n_keep, collect_fn,
     ``thin=k`` advances ``k`` transitions per draw (burn-in and keep phases
     alike, the emcee ``thin_by`` convention) while storing only ``n_keep``
     rows — see :func:`thin_step` for the info-aggregation contract.
+
+    ``pre_batched=True`` means ``step_fn`` already handles the chain batch
+    (``(keys (n_chains,), states) -> (states, infos)``) and must not be
+    vmapped here — used by kernels with cross-chain structure per draw,
+    e.g. SGLD's shared-minibatch mode.
     """
-    step_fn = thin_step(step_fn, thin)
+    step_fn = thin_step(step_fn, thin, batched=pre_batched)
     if checkpoint_dir is not None:
         from mcmc_tpu.checkpoint import ChunkedRunner
         runner = ChunkedRunner(
+            step_fn if pre_batched else
             jax.vmap(step_fn, axis_name=CHAIN_AXIS_NAME), collect_fn,
             checkpoint_dir, mesh=mesh,
         )
@@ -255,8 +267,11 @@ def run_sampler_loop(key, state0, step_fn, n_burnin, n_keep, collect_fn,
     n_chains = jax.tree_util.tree_leaves(state0)[0].shape[0]
     keys = jax.random.split(key, n_chains)
     # the named chain axis lets kernels pool cross-chain statistics with
-    # lax.pmean (lowers to a psum collective when the axis is mesh-sharded)
-    batched_step = jax.vmap(step_fn, axis_name=CHAIN_AXIS_NAME)
+    # lax.pmean (lowers to a psum collective when the axis is mesh-sharded).
+    # pre_batched kernels handle the chain axis themselves (e.g. SGLD's
+    # shared-minibatch mode gathers ONE batch per draw for all chains).
+    batched_step = step_fn if pre_batched else \
+        jax.vmap(step_fn, axis_name=CHAIN_AXIS_NAME)
 
     def run(state0, keys):
         def body(carry, _):

@@ -185,3 +185,41 @@ def test_psgld_equilibrates_badly_scaled_model():
                                    precond_mat=jnp.ones(2))
         mcmc_tpu.sgld(jnp.zeros(2), log_prior, log_lik, z, s2,
                       adapt_precond=True)
+
+
+def test_sgld_shared_minibatch_posterior_and_composition(tmp_path):
+    """minibatch='shared' (one gather per draw for all chains) targets the
+    same distribution: conjugate posterior recovered; composes with thin
+    and checkpoint_dir; bitwise deterministic for a fixed key."""
+    rng = np.random.default_rng(3)
+    y = jnp.asarray(0.7 + rng.standard_normal(1024), jnp.float32)
+    log_prior = lambda th: -0.5 * jnp.sum(th**2) / 100.0
+    log_lik = lambda th, batch: -0.5 * jnp.sum((batch - th[0]) ** 2)
+
+    s = mcmc_tpu.SGLDSettings(step_size=1e-5, batch_size=64,
+                              n_burnin_draws=2000, n_keep_draws=10000)
+    out = mcmc_tpu.sgld(jnp.zeros(1), log_prior, log_lik, y, s, n_chains=16,
+                        key=jax.random.PRNGKey(1), minibatch="shared")
+    d = np.asarray(out.draws)
+    post_mean = float(y.mean()) * (1024 / (1024 + 0.01))
+    post_var = 1.0 / (1024 + 0.01)
+    assert float(d.mean()) == pytest.approx(post_mean,
+                                            abs=5 * np.sqrt(post_var / 16))
+    assert float(d.var()) == pytest.approx(post_var, rel=0.3)
+
+    out2 = mcmc_tpu.sgld(jnp.zeros(1), log_prior, log_lik, y, s, n_chains=16,
+                         key=jax.random.PRNGKey(1), minibatch="shared")
+    np.testing.assert_array_equal(d, np.asarray(out2.draws))
+
+    s3 = mcmc_tpu.SGLDSettings(step_size=1e-5, batch_size=64,
+                               n_burnin_draws=20, n_keep_draws=30)
+    out3 = mcmc_tpu.sgld(jnp.zeros(1), log_prior, log_lik, y, s3,
+                         n_chains=4, key=jax.random.PRNGKey(2),
+                         minibatch="shared", thin=3,
+                         checkpoint_dir=tmp_path / "ck")
+    assert out3.draws.shape == (30, 4, 1)
+    assert float(out3.accept_rate.mean()) == 1.0  # thin-aware: /(30*3)
+
+    with pytest.raises(ValueError, match="minibatch"):
+        mcmc_tpu.sgld(jnp.zeros(1), log_prior, log_lik, y, s,
+                      minibatch="epoch")
