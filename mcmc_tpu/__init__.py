@@ -37,6 +37,7 @@ from mcmc_tpu.settings import (
     SMCSettings,
     StretchSettings,
     SGLDSettings,
+    SGHMCSettings,
 )
 from mcmc_tpu.results import SamplerResult
 from mcmc_tpu.samplers.rwmh import rwmh
@@ -50,7 +51,7 @@ from mcmc_tpu.samplers.aees import aees
 from mcmc_tpu.samplers.pt import pt
 from mcmc_tpu.samplers.smc import smc
 from mcmc_tpu.samplers.stretch import stretch
-from mcmc_tpu.samplers.sgld import sgld
+from mcmc_tpu.samplers.sgld import sgld, sghmc
 from mcmc_tpu.laplace import map_laplace, LaplaceResult
 from mcmc_tpu.model_compare import (
     pointwise_log_lik,
@@ -71,7 +72,7 @@ __version__ = "0.1.0"
 _SAMPLERS = {
     "rwmh": rwmh, "mala": mala, "hmc": hmc, "nuts": nuts, "chees": chees,
     "rmhmc": rmhmc, "de": de, "aees": aees, "pt": pt, "smc": smc,
-    "stretch": stretch, "sgld": sgld,
+    "stretch": stretch, "sgld": sgld, "sghmc": sghmc,
 }
 
 
@@ -96,12 +97,12 @@ def sample(algorithm, initial_vals, log_kernel, settings=None, **kwargs):
         if metric_fn is None:
             raise ValueError("rmhmc requires metric_fn=")
         return fn(initial_vals, log_kernel, metric_fn, settings, **kwargs)
-    if algorithm == "sgld":
+    if algorithm in ("sgld", "sghmc"):
         log_lik = kwargs.pop("log_lik", None)
         data = kwargs.pop("data", None)
         if log_lik is None or data is None:
-            raise ValueError("sgld requires log_lik= and data= (log_kernel "
-                             "is the log-prior)")
+            raise ValueError(f"{algorithm} requires log_lik= and data= "
+                             f"(log_kernel is the log-prior)")
         return fn(initial_vals, log_kernel, log_lik, data, settings, **kwargs)
     return fn(initial_vals, log_kernel, settings, **kwargs)
 
@@ -239,11 +240,11 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
 
 __all__ = [
     "rwmh", "mala", "hmc", "nuts", "chees", "rmhmc", "de", "aees", "pt",
-    "smc", "stretch", "sgld", "sample", "fit", "map_laplace", "LaplaceResult",
+    "smc", "stretch", "sgld", "sghmc", "sample", "fit", "map_laplace", "LaplaceResult",
     "AlgoSettings", "RWMHSettings", "MALASettings", "HMCSettings",
     "NUTSSettings", "ChEESSettings", "RMHMCSettings", "DESettings",
     "AEESSettings", "PTSettings", "SMCSettings", "StretchSettings",
-    "SGLDSettings",
+    "SGLDSettings", "SGHMCSettings",
     "SamplerResult", "bounds", "stats", "diagnostics", "models",
     "pointwise_log_lik", "waic", "psis_loo", "compare",
 ]

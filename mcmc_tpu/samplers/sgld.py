@@ -1,9 +1,10 @@
-"""Stochastic-gradient Langevin dynamics (Welling & Teh 2011).
+"""Stochastic-gradient MCMC: SGLD (Welling & Teh 2011) and SGHMC
+(Chen, Fox & Guestrin 2014).
 
-Beyond-reference sampler: the minibatch member of the gradient family,
+Beyond-reference samplers: the minibatch members of the gradient family,
 for tall datasets where even one full log-likelihood gradient per draw
 (MALA/HMC/NUTS) is too expensive. No reference analog — MCMCLib's samplers
-all consume a full-data ``log_kernel`` callback; SGLD is the
+all consume a full-data ``log_kernel`` callback; SG-MCMC is the
 accelerator-native answer to the same scaling axis its OpenMP threads
 cannot touch (SURVEY.md §2d "tall data").
 
@@ -48,11 +49,49 @@ import jax.numpy as jnp
 
 from mcmc_tpu import bounds as bounds_mod
 from mcmc_tpu.results import SamplerResult
-from mcmc_tpu.settings import SGLDSettings
+from mcmc_tpu.settings import SGLDSettings, SGHMCSettings
 from mcmc_tpu.samplers import common
 from mcmc_tpu.samplers._resolve import resolve_settings, resolve_key
 
-__all__ = ["sgld", "SGLDState", "build_sgld_kernel"]
+__all__ = ["sgld", "sghmc", "SGLDState", "SGHMCState",
+           "build_sgld_kernel", "build_sghmc_kernel"]
+
+
+def _validate_data(data, batch_size):
+    """Coerce + validate a minibatch data pytree; returns (data, n_data)."""
+    data = jax.tree_util.tree_map(jnp.asarray, data)
+    leaves = jax.tree_util.tree_leaves(data)
+    if not leaves:
+        raise ValueError("data must contain at least one array")
+    for a in leaves:
+        if a.ndim == 0:
+            raise ValueError(
+                "every data leaf needs a leading observation axis (rank-0 "
+                "leaf found); close the log_lik over scalar hyperparameters "
+                "instead of putting them in data")
+    n_data = leaves[0].shape[0]
+    for a in leaves[1:]:
+        if a.shape[0] != n_data:
+            raise ValueError(
+                f"all data leaves must share the leading observation axis; "
+                f"got {a.shape[0]} vs {n_data}")
+    if batch_size > n_data:
+        raise ValueError(f"batch_size {batch_size} exceeds the dataset "
+                         f"size {n_data}")
+    return data, n_data
+
+
+def _make_grad_parts(prob, log_lik):
+    """(grad of prior+Jacobian in z, grad of likelihood in z) — the
+    likelihood part is scaled by N/B AFTER the chain rule by callers."""
+    if prob.vals_bound:
+        def lik_z(z, batch):
+            x = bounds_mod.inv_transform(z, prob.codes, prob.lower_bounds,
+                                         prob.upper_bounds)
+            return log_lik(x, batch)
+    else:
+        lik_z = log_lik
+    return jax.grad(prob.box_log_kernel), jax.grad(lik_z)
 
 
 class SGLDState(NamedTuple):
@@ -85,20 +124,7 @@ def build_sgld_kernel(prob: common.Problem, log_lik, data, n_data,
     alpha = jnp.asarray(s.rmsprop_alpha, dt)
     lam = jnp.asarray(s.rmsprop_lambda, dt)
 
-    # prior + log-Jacobian on the unconstrained coordinates IS the box
-    # kernel setup_problem built (setup ran with log_prior as the kernel);
-    # only the likelihood needs the extra inv_transform wrap, scaled AFTER
-    # the chain rule
-    if prob.vals_bound:
-        def lik_z(z, batch):
-            x = bounds_mod.inv_transform(z, prob.codes, prob.lower_bounds,
-                                         prob.upper_bounds)
-            return log_lik(x, batch)
-    else:
-        lik_z = log_lik
-
-    grad_prior = jax.grad(prob.box_log_kernel)
-    grad_lik = jax.grad(lik_z)
+    grad_prior, grad_lik = _make_grad_parts(prob, log_lik)
 
     def init(position):
         v0 = jnp.zeros((prob.n_vals,), dt) if rmsprop else jnp.ones((1,), dt)
@@ -204,25 +230,7 @@ def sgld(initial_vals, log_prior, log_lik, data, settings=None, *,
     if not callable(log_lik):
         raise TypeError("log_lik must be callable: log_lik(params, batch)")
 
-    data = jax.tree_util.tree_map(jnp.asarray, data)
-    leaves = jax.tree_util.tree_leaves(data)
-    if not leaves:
-        raise ValueError("data must contain at least one array")
-    for a in leaves:
-        if a.ndim == 0:
-            raise ValueError(
-                "every data leaf needs a leading observation axis (rank-0 "
-                "leaf found); close the log_lik over scalar hyperparameters "
-                "instead of putting them in data")
-    n_data = leaves[0].shape[0]
-    for a in leaves[1:]:
-        if a.shape[0] != n_data:
-            raise ValueError(
-                f"all data leaves must share the leading observation axis; "
-                f"got {a.shape[0]} vs {n_data}")
-    if s.batch_size > n_data:
-        raise ValueError(f"batch_size {s.batch_size} exceeds the dataset "
-                         f"size {n_data}")
+    data, n_data = _validate_data(data, s.batch_size)
 
     rmsprop = {True: "rmsprop"}.get(adapt_precond, adapt_precond)
     if rmsprop not in (False, "rmsprop"):
@@ -241,6 +249,142 @@ def sgld(initial_vals, log_prior, log_lik, data, settings=None, *,
     precond = common.make_spd(s.precond_mat, prob.n_vals, prob.dtype)
     init, step, batched_step = build_sgld_kernel(
         prob, log_lik, data, n_data, precond, s, rmsprop=bool(rmsprop))
+    state0 = jax.vmap(init)(prob.first_draw)
+    shared = minibatch == "shared"
+    loop_step = batched_step if shared else step
+
+    def assemble(key, state0, n_burnin, n_keep):
+        final_state, draws, infos = common.run_sampler_loop(
+            key, state0, loop_step, n_burnin, n_keep,
+            collect_fn=lambda st: st.position, mesh=mesh,
+            checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
+            thin=thin, pre_batched=shared,
+        )
+        n_accept = common.tally_accepts(infos)
+        draws = common.finalize_draws(draws, prob)
+        diagnostics = {}
+        if prob.squeeze:
+            draws = draws[:, 0, :]
+            n_accept = n_accept[0]
+        if thin > 1:   # accept_rate divides by n_keep*thin
+            diagnostics["thin"] = int(thin)
+        return SamplerResult(draws=draws, n_accept_draws=n_accept,
+                             diagnostics=diagnostics), final_state
+
+    result, final_state = assemble(key, state0, s.n_burnin_draws,
+                                   s.n_keep_draws)
+    if return_resume:
+        common.attach_resume(result, assemble, final_state)
+    return result
+
+
+class SGHMCState(NamedTuple):
+    position: jax.Array   # unconstrained coordinates
+    momentum: jax.Array   # the SGD-with-momentum velocity v
+    draw_ind: jax.Array
+
+
+def build_sghmc_kernel(prob: common.Problem, log_lik, data, n_data,
+                       s: SGHMCSettings):
+    """Returns ``(init, step, batched_step)`` for SGHMC in the paper's
+    practical SGD-with-momentum parameterization (Chen, Fox & Guestrin
+    2014, eq. 15)::
+
+        v <- (1 - alpha) v + eta g + N(0, 2 (alpha - beta_hat) eta)
+        x <- x + v
+
+    where ``g`` is the stochastic posterior gradient (prior + (N/B)-scaled
+    minibatch likelihood) and ``eta = step_size``. The friction term
+    ``alpha`` absorbs the minibatch gradient noise; ``beta_hat`` optionally
+    subtracts an estimate of it (0 by default, as in the paper). Like
+    SGLD there is no Metropolis correction — the O(eta) discretization
+    bias is pinned in tests against the exact discrete-Lyapunov
+    stationary covariance of the linear (Gaussian) case."""
+    dt = prob.dtype
+    B = int(s.batch_size)
+    N = int(n_data)
+    scale = jnp.asarray(N / B, dt)
+    eta = jnp.asarray(s.step_size, dt)
+    alpha = jnp.asarray(s.friction_alpha, dt)
+    noise_sd = jnp.sqrt(jnp.maximum(
+        2.0 * (s.friction_alpha - s.beta_hat) * s.step_size, 0.0)
+    ).astype(dt)
+
+    grad_prior, grad_lik = _make_grad_parts(prob, log_lik)
+
+    def init(position):
+        return SGHMCState(position=position,
+                          momentum=jnp.zeros_like(position),
+                          draw_ind=jnp.asarray(0, jnp.int32))
+
+    def _update(k_noise, state: SGHMCState, batch):
+        g = grad_prior(state.position) + scale * grad_lik(state.position,
+                                                          batch)
+        xi = noise_sd * jax.random.normal(k_noise, (prob.n_vals,), dt)
+        v = (1.0 - alpha) * state.momentum + eta * g + xi
+        prop = state.position + v
+        ok = jnp.all(jnp.isfinite(prop)) & jnp.all(jnp.isfinite(v))
+        new_x = jnp.where(ok, prop, state.position)
+        # a rejected draw also zeroes the momentum: carrying a huge or
+        # non-finite v forward would re-explode the very next step
+        new_v = jnp.where(ok, v, jnp.zeros_like(v))
+        return (SGHMCState(position=new_x, momentum=new_v,
+                           draw_ind=state.draw_ind + 1),
+                {"accepted": ok})
+
+    def step(key, state: SGHMCState):
+        k_idx, k_noise = jax.random.split(key)
+        idx = jax.random.randint(k_idx, (B,), 0, N)
+        batch = jax.tree_util.tree_map(lambda a: a[idx], data)
+        return _update(k_noise, state, batch)
+
+    def batched_step(keys, states: SGHMCState):
+        """Shared-minibatch variant — same rationale and key routing as
+        SGLD's (one (B, ...) gather feeding an MXU matmul)."""
+        pairs = jax.vmap(lambda k: jax.random.split(k, 2))(keys)
+        idx = jax.random.randint(pairs[0, 0], (B,), 0, N)
+        batch = jax.tree_util.tree_map(lambda a: a[idx], data)
+
+        def one(k_noise, st):
+            return _update(k_noise, st, batch)
+
+        return jax.vmap(one, axis_name=common.CHAIN_AXIS_NAME)(
+            pairs[:, 1], states)
+
+    return init, step, batched_step
+
+
+def sghmc(initial_vals, log_prior, log_lik, data, settings=None, *,
+          n_chains=None, key=None, mesh=None, checkpoint_dir=None,
+          checkpoint_every=500, dtype=None, thin=1,
+          minibatch="per-chain", return_resume=False) -> SamplerResult:
+    """Run SGHMC (Chen, Fox & Guestrin 2014). Same calling convention,
+    data contract, ``minibatch`` strategies, driver options, bounds
+    support, and failure semantics as :func:`sgld`; the momentum carries
+    gradient memory across draws, which explores tall posteriors faster
+    than SGLD at an equal per-draw cost (one minibatch gradient)."""
+    algo, s = resolve_settings(settings, "sghmc_settings", SGHMCSettings)
+    key = resolve_key(key, algo)
+    if return_resume and checkpoint_dir is not None:
+        raise ValueError("return_resume is incompatible with checkpoint_dir")
+    if not callable(log_lik):
+        raise TypeError("log_lik must be callable: log_lik(params, batch)")
+    if not 0.0 < s.friction_alpha <= 1.0:
+        raise ValueError(f"friction_alpha must be in (0, 1], got "
+                         f"{s.friction_alpha}")
+    if s.beta_hat >= s.friction_alpha:
+        raise ValueError("beta_hat must be < friction_alpha (the injected "
+                         "noise variance 2(alpha - beta_hat)eta must stay "
+                         "positive)")
+    if minibatch not in ("per-chain", "shared"):
+        raise ValueError(f"minibatch must be 'per-chain' or 'shared', "
+                         f"got {minibatch!r}")
+
+    data, n_data = _validate_data(data, s.batch_size)
+    prob = common.setup_problem(initial_vals, log_prior, algo, n_chains,
+                                dtype)
+    init, step, batched_step = build_sghmc_kernel(prob, log_lik, data,
+                                                  n_data, s)
     state0 = jax.vmap(init)(prob.first_draw)
     shared = minibatch == "shared"
     loop_step = batched_step if shared else step

@@ -22,7 +22,7 @@ __all__ = [
     "RWMHSettings", "MALASettings", "HMCSettings", "NUTSSettings",
     "ChEESSettings", "RMHMCSettings", "DESettings", "AEESSettings",
     "PTSettings", "SMCSettings", "StretchSettings", "SGLDSettings",
-    "AlgoSettings",
+    "SGHMCSettings", "AlgoSettings",
 ]
 
 ArrayLike = Any
@@ -214,6 +214,24 @@ class SGLDSettings:
 
 
 @dataclass
+class SGHMCSettings:
+    """Stochastic-gradient HMC (Chen, Fox & Guestrin 2014; no reference
+    analog — see samplers/sgld.py). The paper's practical SGD-with-momentum
+    form: ``v <- (1 - friction_alpha) v + step_size * g + N(0,
+    2 (friction_alpha - beta_hat) step_size)``, ``x <- x + v``.
+    ``step_size`` is the paper's eta (learning rate, = discretization h^2);
+    ``friction_alpha`` the momentum decay per step; ``beta_hat`` an
+    optional estimate of the minibatch-gradient noise half-variance
+    (0 = ignore, the paper's default)."""
+    step_size: float = 1e-5
+    friction_alpha: float = 0.1
+    beta_hat: float = 0.0
+    batch_size: int = 256
+    n_burnin_draws: int = 1000
+    n_keep_draws: int = 1000
+
+
+@dataclass
 class AlgoSettings:
     """Umbrella settings (reference mcmc_structs.hpp:151-184).
 
@@ -239,6 +257,7 @@ class AlgoSettings:
     smc_settings: SMCSettings = field(default_factory=SMCSettings)
     stretch_settings: StretchSettings = field(default_factory=StretchSettings)
     sgld_settings: SGLDSettings = field(default_factory=SGLDSettings)
+    sghmc_settings: SGHMCSettings = field(default_factory=SGHMCSettings)
 
     def replace(self, **kw) -> "AlgoSettings":
         return dataclasses.replace(self, **kw)

