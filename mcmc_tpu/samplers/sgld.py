@@ -23,9 +23,13 @@ WITH replacement each draw, per chain (O(B) index generation; the gather
 batches on the accelerator).
 
 TPU-native design: the minibatch gather + gradient is one fused XLA
-program per draw, vmapped over chains (every chain draws its own
-minibatch, so cross-chain gradient noise is independent), scanned over
-draws; composes with ``mesh=`` chain sharding like every other sampler.
+program per draw, vmapped over chains, scanned over draws; composes with
+``mesh=`` chain sharding like every other sampler. In the default
+``minibatch="per-chain"`` mode every chain draws its own minibatch, so
+cross-chain gradient noise is independent; ``minibatch="shared"`` (the
+throughput mode) shares one minibatch — and hence gradient noise —
+across the chain batch, trading a little cross-chain diagnostic power
+for a ~250x faster gather (see :func:`sgld`).
 
 Box constraints run through the same transform stack as the full-gradient
 samplers, with the likelihood-only scaling applied *after* the chain
@@ -103,8 +107,10 @@ class SGLDState(NamedTuple):
 def build_sgld_kernel(prob: common.Problem, log_lik, data, n_data,
                       precond: common.SPD, s: SGLDSettings,
                       rmsprop=False):
-    """Returns ``(init, step)``; ``step`` is the pure single-chain
-    transition ``(key, state) -> (state, info)``.
+    """Returns ``(init, step, batched_step)``; ``step`` is the pure
+    single-chain transition ``(key, state) -> (state, info)`` and
+    ``batched_step`` the shared-minibatch chain-batch transition
+    ``(keys, states) -> (states, infos)``.
 
     ``rmsprop=True`` enables pSGLD (Li, Chen, Carlson & Carin 2016): the
     diagonal preconditioner ``G = 1 / (lambda + sqrt(V))`` with
@@ -150,10 +156,12 @@ def build_sgld_kernel(prob: common.Problem, log_lik, data, n_data,
             v = state.v
             prop = state.position + 0.5 * h * precond.mv(g) \
                 + jnp.sqrt(h) * precond.sqrt_mv(noise)
-        ok = jnp.all(jnp.isfinite(prop))
+        # the accumulator must pass the guard too: a finite-but-huge
+        # gradient squares to inf in V, which makes G = 0 — a silently
+        # FROZEN coordinate (no drift, no noise) on an otherwise finite
+        # draw; reject such draws so V (and the position) stay intact
+        ok = jnp.all(jnp.isfinite(prop)) & jnp.all(jnp.isfinite(v))
         new = jnp.where(ok, prop, state.position)
-        # a rejected draw must not poison the accumulator either (a NaN
-        # gradient would wedge V, and thus G, forever)
         v = jnp.where(ok, v, state.v)
         return (SGLDState(position=new, v=v,
                           draw_ind=state.draw_ind + 1),
@@ -247,10 +255,21 @@ def sgld(initial_vals, log_prior, log_lik, data, settings=None, *,
     prob = common.setup_problem(initial_vals, log_prior, algo, n_chains,
                                 dtype)
     precond = common.make_spd(s.precond_mat, prob.n_vals, prob.dtype)
-    init, step, batched_step = build_sgld_kernel(
+    kernels = build_sgld_kernel(
         prob, log_lik, data, n_data, precond, s, rmsprop=bool(rmsprop))
+    return _drive_sg_mcmc(kernels, prob, minibatch == "shared", key,
+                          s.n_burnin_draws, s.n_keep_draws, mesh,
+                          checkpoint_dir, checkpoint_every, thin,
+                          return_resume)
+
+
+def _drive_sg_mcmc(kernels, prob, shared, key, n_burnin, n_keep, mesh,
+                   checkpoint_dir, checkpoint_every, thin, return_resume):
+    """Shared SGLD/SGHMC driver tail: init the chain batch, run the loop
+    (pre-batched in shared-minibatch mode), assemble the result with the
+    squeeze/thin/accept conventions, attach the warm resume."""
+    init, step, batched_step = kernels
     state0 = jax.vmap(init)(prob.first_draw)
-    shared = minibatch == "shared"
     loop_step = batched_step if shared else step
 
     def assemble(key, state0, n_burnin, n_keep):
@@ -271,8 +290,7 @@ def sgld(initial_vals, log_prior, log_lik, data, settings=None, *,
         return SamplerResult(draws=draws, n_accept_draws=n_accept,
                              diagnostics=diagnostics), final_state
 
-    result, final_state = assemble(key, state0, s.n_burnin_draws,
-                                   s.n_keep_draws)
+    result, final_state = assemble(key, state0, n_burnin, n_keep)
     if return_resume:
         common.attach_resume(result, assemble, final_state)
     return result
@@ -372,9 +390,11 @@ def sghmc(initial_vals, log_prior, log_lik, data, settings=None, *,
     if not 0.0 < s.friction_alpha <= 1.0:
         raise ValueError(f"friction_alpha must be in (0, 1], got "
                          f"{s.friction_alpha}")
-    if s.beta_hat >= s.friction_alpha:
-        raise ValueError("beta_hat must be < friction_alpha (the injected "
-                         "noise variance 2(alpha - beta_hat)eta must stay "
+    if not 0.0 <= s.beta_hat < s.friction_alpha:
+        raise ValueError("beta_hat must satisfy 0 <= beta_hat < "
+                         "friction_alpha (it estimates a noise variance, "
+                         "so it cannot be negative, and the injected noise "
+                         "variance 2(alpha - beta_hat)eta must stay "
                          "positive)")
     if minibatch not in ("per-chain", "shared"):
         raise ValueError(f"minibatch must be 'per-chain' or 'shared', "
@@ -383,32 +403,8 @@ def sghmc(initial_vals, log_prior, log_lik, data, settings=None, *,
     data, n_data = _validate_data(data, s.batch_size)
     prob = common.setup_problem(initial_vals, log_prior, algo, n_chains,
                                 dtype)
-    init, step, batched_step = build_sghmc_kernel(prob, log_lik, data,
-                                                  n_data, s)
-    state0 = jax.vmap(init)(prob.first_draw)
-    shared = minibatch == "shared"
-    loop_step = batched_step if shared else step
-
-    def assemble(key, state0, n_burnin, n_keep):
-        final_state, draws, infos = common.run_sampler_loop(
-            key, state0, loop_step, n_burnin, n_keep,
-            collect_fn=lambda st: st.position, mesh=mesh,
-            checkpoint_dir=checkpoint_dir, checkpoint_every=checkpoint_every,
-            thin=thin, pre_batched=shared,
-        )
-        n_accept = common.tally_accepts(infos)
-        draws = common.finalize_draws(draws, prob)
-        diagnostics = {}
-        if prob.squeeze:
-            draws = draws[:, 0, :]
-            n_accept = n_accept[0]
-        if thin > 1:   # accept_rate divides by n_keep*thin
-            diagnostics["thin"] = int(thin)
-        return SamplerResult(draws=draws, n_accept_draws=n_accept,
-                             diagnostics=diagnostics), final_state
-
-    result, final_state = assemble(key, state0, s.n_burnin_draws,
-                                   s.n_keep_draws)
-    if return_resume:
-        common.attach_resume(result, assemble, final_state)
-    return result
+    kernels = build_sghmc_kernel(prob, log_lik, data, n_data, s)
+    return _drive_sg_mcmc(kernels, prob, minibatch == "shared", key,
+                          s.n_burnin_draws, s.n_keep_draws, mesh,
+                          checkpoint_dir, checkpoint_every, thin,
+                          return_resume)

@@ -187,6 +187,33 @@ def test_psgld_equilibrates_badly_scaled_model():
                       adapt_precond=True)
 
 
+def test_psgld_huge_gradient_rejected_not_frozen():
+    """Regression: a FINITE-but-huge gradient (one outlier data row)
+    squares to inf in the RMSprop accumulator V, making G = 0 — with the
+    position guard alone the draw looks fine (prop = x + 0 is finite),
+    V wedges at inf, and the coordinate silently freezes forever while
+    accept_rate reports 1.0. The guard must also check V: such draws are
+    rejected (accept_rate < 1) and the chain keeps moving afterwards."""
+    rng = np.random.default_rng(0)
+    y = np.asarray(rng.standard_normal(64), np.float32)
+    y[0] = 1e21   # finite in f32; (g/N)**2 overflows to inf
+    log_prior = lambda th: -0.5 * jnp.sum(th**2) / 100.0
+    log_lik = lambda th, batch: -0.5 * jnp.sum((batch - th[0]) ** 2)
+
+    s = mcmc_tpu.SGLDSettings(step_size=1e-4, batch_size=2,
+                              n_burnin_draws=0, n_keep_draws=300)
+    out = mcmc_tpu.sgld(jnp.zeros(1), log_prior, log_lik,
+                        jnp.asarray(y), s, key=jax.random.PRNGKey(5),
+                        adapt_precond="rmsprop")
+    d = np.asarray(out.draws)[:, 0]
+    assert np.isfinite(d).all()
+    assert float(out.accept_rate) < 1.0        # outlier batches rejected
+    # no freeze: the tail of the chain still moves on all but the rare
+    # rejected outlier draws (an inf-wedged V would pin the position
+    # exactly — zero drift AND zero noise — from the first hit onwards)
+    assert np.count_nonzero(np.diff(d[-50:])) >= 40
+
+
 def test_sgld_shared_minibatch_posterior_and_composition(tmp_path):
     """minibatch='shared' (one gather per draw for all chains) targets the
     same distribution: conjugate posterior recovered; composes with thin
