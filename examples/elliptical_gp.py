@@ -1,0 +1,53 @@
+"""Elliptical slice sampling of a latent Gaussian-process field under a
+Poisson count likelihood — the model class the reference cannot touch.
+
+A log-Gaussian Cox-style model on a 1-d grid: counts y_i ~ Poisson(exp(f_i))
+with f ~ GP(0, RBF). The 64-dimensional correlated prior would force RWMH
+to a tiny step size and HMC to a carefully tuned mass matrix; elliptical
+slice sampling has NOTHING to tune — the prior covariance itself steers
+every proposal along its own ellipse — and every draw moves.
+
+Prints the posterior latent mean against the true field and the average
+number of likelihood evaluations per draw (the only cost knob)."""
+
+from _common import setup
+
+jax = setup()
+import jax.numpy as jnp
+import numpy as np
+
+import mcmc_tpu
+
+# --- synthetic data: smooth rate field, Poisson counts -------------------
+n = 64
+xs = jnp.linspace(0.0, 4.0, n)
+K = jnp.exp(-0.5 * (xs[:, None] - xs[None, :]) ** 2 / 0.5**2) \
+    + 1e-6 * jnp.eye(n)
+
+key = jax.random.PRNGKey(0)
+k_f, k_y, k_run = jax.random.split(key, 3)
+f_true = jnp.linalg.cholesky(K) @ jax.random.normal(k_f, (n,))
+y = jax.random.poisson(k_y, jnp.exp(f_true)).astype(jnp.float32)
+
+
+def log_lik(f):
+    # Poisson log-likelihood with log link (constant terms dropped)
+    return jnp.sum(y * f - jnp.exp(f))
+
+
+settings = mcmc_tpu.EllipticalSettings(n_burnin_draws=1000,
+                                       n_keep_draws=3000)
+out = mcmc_tpu.elliptical_slice(jnp.zeros(n), log_lik, settings,
+                                prior_cov=K, n_chains=16, key=k_run)
+
+f_hat = np.asarray(out.draws).reshape(-1, n).mean(axis=0)
+rmse = float(np.sqrt(np.mean((f_hat - np.asarray(f_true)) ** 2)))
+print("latent-field RMSE vs truth:", round(rmse, 3),
+      " (prior sd ~1.0 -> big reduction)")
+print("accept rate (slice sampler, expect 1.0):",
+      round(float(out.accept_rate.mean()), 3))
+print("likelihood evals per draw:",
+      round(float(np.asarray(out.diagnostics["mean_shrink_steps"]).mean()),
+            2))
+print("f_hat[:6] :", f_hat[:6].round(2))
+print("f_true[:6]:", np.asarray(f_true)[:6].round(2))

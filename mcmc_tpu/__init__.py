@@ -38,6 +38,7 @@ from mcmc_tpu.settings import (
     StretchSettings,
     SGLDSettings,
     SGHMCSettings,
+    EllipticalSettings,
 )
 from mcmc_tpu.results import SamplerResult
 from mcmc_tpu.samplers.rwmh import rwmh
@@ -52,6 +53,7 @@ from mcmc_tpu.samplers.pt import pt
 from mcmc_tpu.samplers.smc import smc
 from mcmc_tpu.samplers.stretch import stretch
 from mcmc_tpu.samplers.sgld import sgld, sghmc
+from mcmc_tpu.samplers.ellipse import elliptical_slice
 from mcmc_tpu.laplace import map_laplace, LaplaceResult
 from mcmc_tpu.model_compare import (
     pointwise_log_lik,
@@ -59,6 +61,7 @@ from mcmc_tpu.model_compare import (
     psis_loo,
     compare,
 )
+from mcmc_tpu.pytree import ravel_model, unravel_draws, bounds_like
 from mcmc_tpu import bounds
 from mcmc_tpu import stats
 from mcmc_tpu import diagnostics
@@ -73,6 +76,7 @@ _SAMPLERS = {
     "rwmh": rwmh, "mala": mala, "hmc": hmc, "nuts": nuts, "chees": chees,
     "rmhmc": rmhmc, "de": de, "aees": aees, "pt": pt, "smc": smc,
     "stretch": stretch, "sgld": sgld, "sghmc": sghmc,
+    "elliptical": elliptical_slice,
 }
 
 
@@ -84,7 +88,9 @@ def sample(algorithm, initial_vals, log_kernel, settings=None, **kwargs):
     equivalent to calling the named entry point directly. RM-HMC requires
     a ``metric_fn=`` keyword; SGLD interprets ``log_kernel`` as the
     log-PRIOR and requires ``log_lik=`` and ``data=`` keywords (the
-    minibatched likelihood lives outside the single-callback convention).
+    minibatched likelihood lives outside the single-callback convention);
+    ``"elliptical"`` interprets ``log_kernel`` as the log-LIKELIHOOD only
+    (the Gaussian prior is passed via ``prior_mean=``/``prior_cov=``).
     """
     try:
         fn = _SAMPLERS[algorithm]
@@ -240,11 +246,13 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
 
 __all__ = [
     "rwmh", "mala", "hmc", "nuts", "chees", "rmhmc", "de", "aees", "pt",
-    "smc", "stretch", "sgld", "sghmc", "sample", "fit", "map_laplace", "LaplaceResult",
+    "smc", "stretch", "sgld", "sghmc", "elliptical_slice",
+    "sample", "fit", "map_laplace", "LaplaceResult",
     "AlgoSettings", "RWMHSettings", "MALASettings", "HMCSettings",
     "NUTSSettings", "ChEESSettings", "RMHMCSettings", "DESettings",
     "AEESSettings", "PTSettings", "SMCSettings", "StretchSettings",
-    "SGLDSettings", "SGHMCSettings",
+    "SGLDSettings", "SGHMCSettings", "EllipticalSettings",
     "SamplerResult", "bounds", "stats", "diagnostics", "models",
     "pointwise_log_lik", "waic", "psis_loo", "compare",
+    "ravel_model", "unravel_draws", "bounds_like",
 ]

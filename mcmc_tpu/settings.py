@@ -232,6 +232,21 @@ class SGHMCSettings:
 
 
 @dataclass
+class EllipticalSettings:
+    """Elliptical slice sampling (Murray, Adams & MacKay 2010; no reference
+    analog — the tuning-free latent-Gaussian sampler, see
+    samplers/ellipse.py). The Gaussian prior is passed to
+    ``elliptical_slice`` directly (``prior_mean=``/``prior_cov=``), not
+    here — it is model structure, not a tuning knob; there are no tuning
+    knobs. ``max_shrink_steps`` caps the bracket-shrinking loop
+    (termination is guaranteed in exact arithmetic; the cap is a safety
+    net — a capped draw stays in place and reports as not accepted)."""
+    n_burnin_draws: int = 1000
+    n_keep_draws: int = 1000
+    max_shrink_steps: int = 64
+
+
+@dataclass
 class AlgoSettings:
     """Umbrella settings (reference mcmc_structs.hpp:151-184).
 
@@ -258,6 +273,8 @@ class AlgoSettings:
     stretch_settings: StretchSettings = field(default_factory=StretchSettings)
     sgld_settings: SGLDSettings = field(default_factory=SGLDSettings)
     sghmc_settings: SGHMCSettings = field(default_factory=SGHMCSettings)
+    elliptical_settings: EllipticalSettings = field(
+        default_factory=EllipticalSettings)
 
     def replace(self, **kw) -> "AlgoSettings":
         return dataclasses.replace(self, **kw)
