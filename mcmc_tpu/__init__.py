@@ -39,6 +39,7 @@ from mcmc_tpu.settings import (
     SGLDSettings,
     SGHMCSettings,
     EllipticalSettings,
+    SliceSettings,
 )
 from mcmc_tpu.results import SamplerResult
 from mcmc_tpu.samplers.rwmh import rwmh
@@ -54,6 +55,7 @@ from mcmc_tpu.samplers.smc import smc
 from mcmc_tpu.samplers.stretch import stretch
 from mcmc_tpu.samplers.sgld import sgld, sghmc
 from mcmc_tpu.samplers.ellipse import elliptical_slice
+from mcmc_tpu.samplers.slice import slice_sampler
 from mcmc_tpu.laplace import map_laplace, LaplaceResult
 from mcmc_tpu.model_compare import (
     pointwise_log_lik,
@@ -77,6 +79,7 @@ _SAMPLERS = {
     "rmhmc": rmhmc, "de": de, "aees": aees, "pt": pt, "smc": smc,
     "stretch": stretch, "sgld": sgld, "sghmc": sghmc,
     "elliptical": elliptical_slice,
+    "slice": slice_sampler,
 }
 
 
@@ -246,12 +249,12 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
 
 __all__ = [
     "rwmh", "mala", "hmc", "nuts", "chees", "rmhmc", "de", "aees", "pt",
-    "smc", "stretch", "sgld", "sghmc", "elliptical_slice",
+    "smc", "stretch", "sgld", "sghmc", "elliptical_slice", "slice_sampler",
     "sample", "fit", "map_laplace", "LaplaceResult",
     "AlgoSettings", "RWMHSettings", "MALASettings", "HMCSettings",
     "NUTSSettings", "ChEESSettings", "RMHMCSettings", "DESettings",
     "AEESSettings", "PTSettings", "SMCSettings", "StretchSettings",
-    "SGLDSettings", "SGHMCSettings", "EllipticalSettings",
+    "SGLDSettings", "SGHMCSettings", "EllipticalSettings", "SliceSettings",
     "SamplerResult", "bounds", "stats", "diagnostics", "models",
     "pointwise_log_lik", "waic", "psis_loo", "compare",
     "ravel_model", "unravel_draws", "bounds_like",

@@ -232,6 +232,24 @@ class SGHMCSettings:
 
 
 @dataclass
+class SliceSettings:
+    """Univariate slice sampling within Gibbs (Neal 2003; no reference
+    analog — the self-tuning gradient-free chain sampler, see
+    samplers/slice.py). ``w`` is the initial bracket width (scalar or
+    per-dimension) — the only scale knob, and it self-corrects: a wrong
+    ``w`` costs a few extra kernel evaluations per coordinate, not
+    statistical efficiency. ``max_step_out`` bounds the stepping-out
+    expansion (Neal's m, the budget split randomly between the sides);
+    ``max_shrink_steps`` caps the shrinkage loop (a safety net — a capped
+    coordinate keeps its value and the draw reports as not accepted)."""
+    w: ArrayLike = 1.0
+    max_step_out: int = 8
+    max_shrink_steps: int = 32
+    n_burnin_draws: int = 1000
+    n_keep_draws: int = 1000
+
+
+@dataclass
 class EllipticalSettings:
     """Elliptical slice sampling (Murray, Adams & MacKay 2010; no reference
     analog — the tuning-free latent-Gaussian sampler, see
@@ -275,6 +293,7 @@ class AlgoSettings:
     sghmc_settings: SGHMCSettings = field(default_factory=SGHMCSettings)
     elliptical_settings: EllipticalSettings = field(
         default_factory=EllipticalSettings)
+    slice_settings: SliceSettings = field(default_factory=SliceSettings)
 
     def replace(self, **kw) -> "AlgoSettings":
         return dataclasses.replace(self, **kw)
