@@ -134,7 +134,10 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
     affine-invariant ensemble — the derivative-free choice when
     ``log_kernel`` is not differentiable (``n_chains`` maps to walkers,
     min ``max(2 * dim, 32)`` and even; no tuning parameters exist to warm
-    up, so ``n_warmup`` is plain burn-in). ``init="laplace"`` first finds
+    up, so ``n_warmup`` is plain burn-in). ``algorithm="slice"`` runs
+    slice-within-Gibbs — derivative-free with per-coordinate self-tuning
+    brackets; prefer it over ``"stretch"`` at small ``n_chains`` or when
+    walkers cannot span the dimension. ``init="laplace"`` first finds
     the posterior mode (:func:`mcmc_tpu.map_laplace`, batched-Adam MAP) and
     starts every chain from an overdispersed draw of the Laplace Gaussian
     instead of ``initial_vals`` directly. ``lower_bounds``/``upper_bounds``
@@ -197,6 +200,14 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
         out = nuts(initial_vals, log_kernel, s, n_chains=n_chains, key=k_run,
                    mesh=mesh, pooled_adaptation=True, return_resume=extend,
                    adapt_mass_matrix="dense" if dense_mass else "diag")
+    elif algorithm == "slice":
+        if init == "laplace":
+            initial_vals = _laplace_init(n_chains)
+        sls = SliceSettings(n_burnin_draws=n_warmup, n_keep_draws=n_draws)
+        sls = _algo({"slice_settings": sls})
+        out = slice_sampler(initial_vals, log_kernel, sls,
+                            n_chains=n_chains, key=k_run, mesh=mesh,
+                            return_resume=extend)
     elif algorithm == "stretch":
         import numpy as _np
         dim = int(_np.asarray(initial_vals).shape[-1])
@@ -217,8 +228,8 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
                       return_resume=extend)
     else:
         raise ValueError(
-            f"fit algorithm must be 'nuts', 'chees', or 'stretch', "
-            f"got {algorithm!r}")
+            f"fit algorithm must be 'nuts', 'chees', 'stretch', or "
+            f"'slice', got {algorithm!r}")
     if extend:
         resume = out.diagnostics.pop("resume")
         segs, accepts, rounds = [out.draws], [out.n_accept_draws], 1

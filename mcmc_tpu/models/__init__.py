@@ -21,6 +21,9 @@ from mcmc_tpu.models.targets import (
     poisson_regression_model,
     student_t_regression_model,
     horseshoe_regression_model,
+    rbf_kernel,
+    latent_gp_poisson_model,
+    gp_regression_exact_posterior,
 )
 
 __all__ = [
@@ -37,4 +40,7 @@ __all__ = [
     "poisson_regression_model",
     "student_t_regression_model",
     "horseshoe_regression_model",
+    "rbf_kernel",
+    "latent_gp_poisson_model",
+    "gp_regression_exact_posterior",
 ]

@@ -250,3 +250,46 @@ def horseshoe_regression_model(X, y, sigma=1.0, tau_scale=1.0):
 
     log_kernel.dim = 2 * p + 1
     return log_kernel
+
+
+def rbf_kernel(xs, length_scale=1.0, amplitude=1.0, jitter=1e-6):
+    """Squared-exponential (RBF) Gram matrix over inputs ``xs`` of shape
+    ``(n,)`` or ``(n, p)``, with ``jitter`` on the diagonal for Cholesky
+    stability. The prior covariance for the latent-GP models below (no
+    reference analog — MCMCLib has no model library at all; its targets
+    live in example programs)."""
+    xs = jnp.asarray(xs)
+    if xs.ndim == 1:
+        xs = xs[:, None]
+    d2 = jnp.sum((xs[:, None, :] - xs[None, :, :]) ** 2, axis=-1)
+    n = xs.shape[0]
+    return amplitude**2 * jnp.exp(-0.5 * d2 / length_scale**2) \
+        + jitter * jnp.eye(n, dtype=xs.dtype)
+
+
+def latent_gp_poisson_model(xs, counts, length_scale=1.0, amplitude=1.0,
+                            jitter=1e-6):
+    """Log-Gaussian Cox-style latent GP with Poisson counts:
+    ``f ~ GP(0, RBF)``, ``counts_i ~ Poisson(exp(f_i))``. Returns
+    ``(log_lik, prior_cov)`` shaped for :func:`mcmc_tpu.elliptical_slice`
+    (which handles the GP prior exactly through the ellipse)."""
+    counts = jnp.asarray(counts)
+    K = rbf_kernel(xs, length_scale, amplitude, jitter)
+
+    def log_lik(f):
+        return jnp.sum(counts * f - jnp.exp(f))
+
+    return log_lik, K
+
+
+def gp_regression_exact_posterior(K, y, noise_var):
+    """Closed-form latent posterior of GP regression with Gaussian noise:
+    ``mean = K (K + noise_var I)^-1 y``,
+    ``cov = K - K (K + noise_var I)^-1 K`` — the validation anchor for
+    the latent-GP samplers."""
+    K = jnp.asarray(K)
+    y = jnp.asarray(y)
+    n = K.shape[0]
+    A = K + noise_var * jnp.eye(n, dtype=K.dtype)
+    sol = jnp.linalg.solve(A, K)
+    return K @ jnp.linalg.solve(A, y), K - K @ sol

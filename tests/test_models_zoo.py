@@ -159,3 +159,46 @@ def test_horseshoe_regression_recovers_sparsity():
     # noise coefficients shrunk hard
     noise = np.delete(post_mean, [0, 3])
     assert (np.abs(noise) < 0.35).all(), post_mean
+
+
+def test_gp_regression_exact_posterior_anchors_elliptical():
+    """The GP helpers close the loop: elliptical slice draws of the latent
+    field must match models.gp_regression_exact_posterior's closed-form
+    mean AND pointwise variance."""
+    xs = jnp.linspace(0.0, 3.0, 12)
+    K = models.rbf_kernel(xs, length_scale=0.7)
+    assert K.shape == (12, 12)
+    # PSD + unit diagonal (amplitude 1, tiny jitter)
+    evals = np.linalg.eigvalsh(np.asarray(K))
+    assert evals.min() > 0
+    assert np.allclose(np.diag(np.asarray(K)), 1.0 + 1e-6)
+
+    y = jnp.sin(2.0 * xs)
+    noise = 0.05
+    m_exact, P_exact = models.gp_regression_exact_posterior(K, y, noise)
+
+    log_lik = lambda f: -0.5 * jnp.sum((y - f) ** 2) / noise
+    s = mcmc_tpu.EllipticalSettings(n_burnin_draws=400, n_keep_draws=2500)
+    out = mcmc_tpu.elliptical_slice(jnp.zeros(12), log_lik, s, prior_cov=K,
+                                    n_chains=16, key=jax.random.PRNGKey(6))
+    d = np.asarray(out.draws).reshape(-1, 12)
+    assert np.abs(d.mean(0) - np.asarray(m_exact)).max() < 0.03
+    assert np.allclose(d.var(0), np.diag(np.asarray(P_exact)), atol=0.01)
+
+
+def test_latent_gp_poisson_model_samples():
+    """Poisson-count latent GP: the sampled field's rate reproduces the
+    observed counts at high-count locations."""
+    xs = jnp.linspace(0.0, 2.0, 16)
+    rate_true = jnp.exp(jnp.sin(3.0 * xs) + 1.0)
+    counts = jax.random.poisson(jax.random.PRNGKey(7), rate_true)
+    log_lik, K = models.latent_gp_poisson_model(xs, counts,
+                                                length_scale=0.5)
+    s = mcmc_tpu.EllipticalSettings(n_burnin_draws=500, n_keep_draws=2000)
+    out = mcmc_tpu.elliptical_slice(jnp.zeros(16), log_lik, s, prior_cov=K,
+                                    n_chains=8, key=jax.random.PRNGKey(8))
+    f_hat = np.asarray(out.draws).reshape(-1, 16).mean(0)
+    # posterior rate correlates strongly with the truth
+    c = np.corrcoef(np.exp(f_hat), np.asarray(rate_true))[0, 1]
+    assert c > 0.9
+    assert float(out.accept_rate.mean()) == 1.0

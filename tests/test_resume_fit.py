@@ -102,3 +102,23 @@ def test_fit_until_max_rounds_cap():
     assert int(out.diagnostics["n_rounds"]) == 2
     assert not out.diagnostics["converged"]
     assert out.draws.shape[0] == 200
+
+
+def test_fit_slice_with_bounds_and_convergence_gate():
+    """fit(algorithm='slice'): derivative-free per-coordinate self-tuning
+    path — converges on the truncated normal with box bounds and attaches
+    the summary."""
+    lk = lambda x: -0.5 * jnp.sum((x - 1.0) ** 2)
+    out = mcmc_tpu.fit(jnp.ones(1) * 0.5, lk, algorithm="slice",
+                       n_chains=8, n_warmup=200, n_draws=300,
+                       key=jax.random.PRNGKey(5),
+                       lower_bounds=jnp.zeros(1),
+                       rhat_target=1.01, max_rounds=4)
+    assert out.diagnostics["converged"]
+    d = np.asarray(out.draws)
+    assert (d > 0).all()
+    assert float(d.mean()) == pytest.approx(1.2876, abs=0.05)
+    assert "summary" in out.diagnostics
+
+    with pytest.raises(ValueError, match="fit algorithm"):
+        mcmc_tpu.fit(jnp.zeros(1), lk, algorithm="gibbs")
