@@ -47,6 +47,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from mcmc_tpu import adaptation
 from mcmc_tpu.results import SamplerResult
 from mcmc_tpu.settings import SliceSettings
 from mcmc_tpu.samplers import common
@@ -54,34 +55,57 @@ from mcmc_tpu.samplers._resolve import resolve_settings, resolve_key
 
 __all__ = ["slice_sampler", "SliceState", "build_slice_kernel"]
 
+# E[slice width] for N(0, sd^2) is 2 sd E[sqrt(-2 ln U)] ~ 2.5 sd, so the
+# adapted bracket w_i = 2.5 sd_i spans a typical slice in one placement
+_W_PER_SD = 2.5
+
 
 class SliceState(NamedTuple):
     position: jax.Array   # (n_vals,) unconstrained coordinates
     log_prob: jax.Array   # box log-kernel at position (-inf if non-finite)
+    wv: adaptation.WindowedVariance   # width adaptation ((1,) when off)
+    draw_ind: jax.Array
 
 
 def build_slice_kernel(box_log_kernel, n_vals: int, dtype, w,
-                       max_step_out: int, max_shrink: int):
+                       max_step_out: int, max_shrink: int,
+                       precond_cfg=None):
     """Returns ``(init, step)``; ``step`` is the pure single-chain
     transition ``(key, state) -> (state, info)`` — one full coordinate
     sweep. Info: ``accepted`` (every coordinate found its slice point
-    before the cap) and ``n_evals`` (log-kernel evaluations spent)."""
+    before the cap) and ``n_evals`` (log-kernel evaluations spent).
+
+    ``precond_cfg`` (a :func:`mcmc_tpu.adaptation.make_precond_cfg`
+    bundle) enables windowed width adaptation: per-dimension brackets
+    ``w_i = 2.5 sd_i`` from Welford posterior-variance estimates adopted
+    at Stan-style window ends during burn-in — the slice analog of
+    RWMH/MALA proposal-covariance adaptation (an extension; the base
+    algorithm is Neal 2003)."""
     w = jnp.broadcast_to(jnp.asarray(w, dtype), (n_vals,))
     max_step_out = int(max_step_out)
     max_shrink = int(max_shrink)
+    adapting = precond_cfg is not None
 
     def _lp(x):
         v = box_log_kernel(x)
         return jnp.where(jnp.isfinite(v), v, -jnp.inf)
 
     def init(position):
-        return SliceState(position=position, log_prob=_lp(position))
+        if adapting:
+            wv = adaptation.wv_init(n_vals, dtype)
+            # seed the adopted variance so the pre-first-window width is
+            # exactly the user's w (2.5 sqrt(var) == w)
+            wv = wv._replace(var=(w / _W_PER_SD) ** 2)
+        else:
+            wv = adaptation.wv_init(1, dtype)
+        return SliceState(position=position, log_prob=_lp(position),
+                          wv=wv, draw_ind=jnp.asarray(0, jnp.int32))
 
     def coord_update(carry, inputs):
-        x, lp, all_ok, n_evals = carry
+        x, lp, all_ok, n_evals, width = carry
         i, key = inputs
         k_y, k_place, k_alloc, k_shrink = jax.random.split(key, 4)
-        wi = w[i]
+        wi = width[i]
         xi = x[i]
         log_y = lp + jnp.log(jax.random.uniform(k_y, dtype=dtype))
 
@@ -136,17 +160,28 @@ def build_slice_kernel(box_log_kernel, n_vals: int, dtype, w,
         # the expansion's lp_at probes count cond evaluations too (one
         # extra per side for the final failed test when budget remains)
         n_evals = n_evals + e_l + e_r + it + 1
-        return (x, lp_new, jnp.logical_and(all_ok, done), n_evals), None
+        return (x, lp_new, jnp.logical_and(all_ok, done), n_evals,
+                width), None
 
     def step(key, state: SliceState):
         keys = jax.random.split(key, n_vals)
         idx = jnp.arange(n_vals)
-        (x, lp, all_ok, n_evals), _ = lax.scan(
+        width = _W_PER_SD * jnp.sqrt(state.wv.var) if adapting else w
+        (x, lp, all_ok, n_evals, _w), _ = lax.scan(
             coord_update,
             (state.position, state.log_prob, jnp.asarray(True),
-             jnp.asarray(0, jnp.int32)),
+             jnp.asarray(0, jnp.int32), width),
             (idx, keys))
-        return (SliceState(position=x, log_prob=lp),
+        wv = state.wv
+        if adapting:
+            cfg = precond_cfg
+            j = jnp.minimum(state.draw_ind, cfg["collect"].shape[0] - 1)
+            in_warmup = state.draw_ind < cfg["n_adapt"]
+            wv = adaptation.wv_update(
+                wv, x, in_warmup & cfg["collect"][j],
+                in_warmup & cfg["window_end"][j], cfg["axis_name"])
+        return (SliceState(position=x, log_prob=lp, wv=wv,
+                           draw_ind=state.draw_ind + 1),
                 {"accepted": all_ok, "n_evals": n_evals})
 
     return init, step
@@ -155,6 +190,7 @@ def build_slice_kernel(box_log_kernel, n_vals: int, dtype, w,
 def slice_sampler(initial_vals, log_kernel, settings=None, *, n_chains=None,
                   key=None, mesh=None, checkpoint_dir=None,
                   checkpoint_every=500, dtype=None, thin=1,
+                  adapt_w=False, pooled_adaptation=False,
                   return_resume=False) -> SamplerResult:
     """Run univariate slice sampling within Gibbs (Neal 2003).
 
@@ -169,6 +205,13 @@ def slice_sampler(initial_vals, log_kernel, settings=None, *, n_chains=None,
     every draw; below 1.0 the ``max_shrink_steps`` cap bound — widen
     ``w`` or raise the cap). ``diagnostics["mean_kernel_evals"]`` reports
     log-kernel evaluations per draw (≈ d × bracket factor).
+
+    ``adapt_w=True`` learns per-dimension widths ``w_i = 2.5 sd_i`` from
+    windowed Welford posterior-variance estimates during burn-in (the
+    slice analog of RWMH proposal-covariance adaptation; pooled across
+    chains with ``pooled_adaptation=True``) — it cuts the kernel-eval
+    cost on badly scaled targets, never the statistical efficiency.
+    ``diagnostics["adapted_w"]`` reports the final widths.
 
     All the usual driver options apply (``n_chains``/``mesh``/
     ``checkpoint_dir``/``thin``/``return_resume``), and box constraints
@@ -190,9 +233,13 @@ def slice_sampler(initial_vals, log_kernel, settings=None, *, n_chains=None,
     if not bool(jnp.all(w > 0)):
         raise ValueError("w (initial bracket width) must be positive")
 
+    precond_cfg = None
+    if adapt_w:
+        precond_cfg = adaptation.make_precond_cfg(
+            s.n_burnin_draws, pooled_adaptation, common.CHAIN_AXIS_NAME)
     init, step = build_slice_kernel(prob.box_log_kernel, prob.n_vals,
                                     prob.dtype, w, s.max_step_out,
-                                    s.max_shrink_steps)
+                                    s.max_shrink_steps, precond_cfg)
     state0 = jax.vmap(init)(prob.first_draw)
 
     def assemble(key, state0, n_burnin, n_keep):
@@ -212,6 +259,9 @@ def slice_sampler(initial_vals, log_kernel, settings=None, *, n_chains=None,
             diagnostics["mean_kernel_evals"] = \
                 jnp.asarray(infos["totals"]["n_evals"],
                             prob.dtype) / n_keep
+        if adapt_w:
+            diagnostics["adapted_w"] = \
+                _W_PER_SD * jnp.sqrt(final_state.wv.var)
         if prob.squeeze:
             draws = draws[:, 0, :]
             n_accept = n_accept[0]

@@ -122,3 +122,30 @@ def test_impossible_target_caps_out():
     d = np.asarray(out.draws)
     assert np.isfinite(d).all()
     assert float(out.accept_rate) == 0.0
+
+
+def test_adapt_w_cuts_evals_on_ill_scaled_target():
+    """adapt_w learns per-dimension widths from burn-in: on diag(1, 400)
+    the fixed w=1 bracket pays ~log2(50) stepping-out evals on the wide
+    coordinate every draw; the adapted w_i ~ 2.5 sd_i removes them at
+    unchanged posterior moments."""
+    lk = lambda x: -0.5 * (x[0] ** 2 + x[1] ** 2 / 400.0)
+    s = mcmc_tpu.SliceSettings(w=1.0, max_step_out=64,
+                               n_burnin_draws=400, n_keep_draws=1500)
+    runs = {}
+    for aw in (False, True):
+        out = mcmc_tpu.slice_sampler(jnp.zeros(2), lk, s, n_chains=16,
+                                     key=jax.random.PRNGKey(12),
+                                     adapt_w=aw, pooled_adaptation=aw)
+        d = np.asarray(out.draws).reshape(-1, 2)
+        assert float(out.accept_rate.mean()) == 1.0, aw
+        assert float(d[:, 1].var()) == pytest.approx(400.0, rel=0.15), aw
+        assert float(d[:, 0].var()) == pytest.approx(1.0, rel=0.15), aw
+        runs[aw] = out
+    ev_fixed = float(np.asarray(
+        runs[False].diagnostics["mean_kernel_evals"]).mean())
+    ev_adapt = float(np.asarray(
+        runs[True].diagnostics["mean_kernel_evals"]).mean())
+    assert ev_adapt < 0.6 * ev_fixed, (ev_fixed, ev_adapt)
+    w_hat = np.asarray(runs[True].diagnostics["adapted_w"]).mean(axis=0)
+    assert w_hat[1] / w_hat[0] == pytest.approx(20.0, rel=0.35)
