@@ -174,6 +174,29 @@ def run_all(quick=False, out_path=None):
                                  n_keep_draws=6000 // scale),
         key=jax.random.PRNGKey(13)))
 
+    # 5e. elliptical slice (beyond-reference) on a 64-d latent GP — the
+    # correlated-Gaussian-prior class nothing in the reference can touch;
+    # zero tuning parameters
+    xs_gp = jnp.linspace(0.0, 4.0, 64)
+    K_gp = models.rbf_kernel(xs_gp, length_scale=0.5)
+    y_gp = jnp.sin(2.0 * xs_gp)
+    # (a strong likelihood makes the ellipse take small steps — the known
+    # cost profile of ESS under data-dominated posteriors — so this config
+    # pairs moderate noise 0.25 with a longer window for the R-hat gate)
+    record("elliptical_latent_gp_64d", lambda: mcmc_tpu.elliptical_slice(
+        jnp.zeros(64), lambda f: -0.5 * jnp.sum((y_gp - f) ** 2) / 0.25,
+        mcmc_tpu.EllipticalSettings(n_burnin_draws=3000 // scale,
+                                    n_keep_draws=12000 // scale),
+        prior_cov=K_gp, n_chains=64, key=jax.random.PRNGKey(14)))
+
+    # 5f. slice-within-Gibbs (beyond-reference) on the 2-d mean/scale
+    # posterior — self-tuning brackets, no acceptance target
+    record("slice_gaussian_2d", lambda: mcmc_tpu.slice_sampler(
+        jnp.array([2.0, 2.0]), lk_ms,
+        mcmc_tpu.SliceSettings(n_burnin_draws=1000 // scale,
+                               n_keep_draws=4000 // scale),
+        n_chains=256, key=jax.random.PRNGKey(15)))
+
     record("rmhmc_fisher", lambda: mcmc_tpu.rmhmc(
         jnp.array([2.5, 2.5]), lk_ms, models.normal_fisher_metric(1000),
         mcmc_tpu.RMHMCSettings(n_burnin_draws=1500 // scale,
@@ -181,9 +204,12 @@ def run_all(quick=False, out_path=None):
                                step_size=0.15, n_leap_steps=3),
         n_chains=64, key=jax.random.PRNGKey(9)))
 
+    rhats = [r["max_split_rhat"] for r in results if "max_split_rhat" in r]
     summary = {"suite": "baseline_configs", "n_configs": len(results),
-               "worst_split_rhat": max(r["max_split_rhat"] for r in results
-                                       if "max_split_rhat" in r),
+               # NaN sorts as +inf so a diverged/frozen config surfaces as
+               # worst_split_rhat: NaN instead of being silently dropped by max()
+               "worst_split_rhat": max(
+                   rhats, key=lambda v: float("inf") if v != v else v),
                "platform": jax.devices()[0].platform}
     print(json.dumps(summary))
     if out_path is not None:

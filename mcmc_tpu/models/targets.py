@@ -252,23 +252,28 @@ def horseshoe_regression_model(X, y, sigma=1.0, tau_scale=1.0):
     return log_kernel
 
 
-def rbf_kernel(xs, length_scale=1.0, amplitude=1.0, jitter=1e-6):
+def rbf_kernel(xs, length_scale=1.0, amplitude=1.0, jitter=1e-4):
     """Squared-exponential (RBF) Gram matrix over inputs ``xs`` of shape
-    ``(n,)`` or ``(n, p)``, with ``jitter`` on the diagonal for Cholesky
-    stability. The prior covariance for the latent-GP models below (no
-    reference analog — MCMCLib has no model library at all; its targets
-    live in example programs)."""
+    ``(n,)`` or ``(n, p)``, with ``jitter * amplitude**2`` on the diagonal
+    for Cholesky stability. The prior covariance for the latent-GP models
+    below (no reference analog — MCMCLib has no model library at all; its
+    targets live in example programs).
+
+    The default jitter is sized for float32: a smooth-kernel Gram matrix
+    over tens of points has eigenvalues below f32 resolution, and the TPU
+    Cholesky returns NaN where CPU LAPACK may limp through — 1e-6 was
+    measured indefinite (min eig -3.5e-6) at n=64, length_scale=0.5."""
     xs = jnp.asarray(xs)
     if xs.ndim == 1:
         xs = xs[:, None]
     d2 = jnp.sum((xs[:, None, :] - xs[None, :, :]) ** 2, axis=-1)
     n = xs.shape[0]
-    return amplitude**2 * jnp.exp(-0.5 * d2 / length_scale**2) \
-        + jitter * jnp.eye(n, dtype=xs.dtype)
+    return amplitude**2 * (jnp.exp(-0.5 * d2 / length_scale**2)
+                           + jitter * jnp.eye(n, dtype=xs.dtype))
 
 
 def latent_gp_poisson_model(xs, counts, length_scale=1.0, amplitude=1.0,
-                            jitter=1e-6):
+                            jitter=1e-4):
     """Log-Gaussian Cox-style latent GP with Poisson counts:
     ``f ~ GP(0, RBF)``, ``counts_i ~ Poisson(exp(f_i))``. Returns
     ``(log_lik, prior_cov)`` shaped for :func:`mcmc_tpu.elliptical_slice`

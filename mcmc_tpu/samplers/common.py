@@ -74,6 +74,14 @@ def make_spd(mat, n_vals: int, dtype) -> SPD:
     if m.shape != (n_vals, n_vals):
         raise ValueError(f"matrix has shape {m.shape}, expected ({n_vals},{n_vals})")
     chol = jnp.linalg.cholesky(m)
+    # fail loud at setup: a not-quite-SPD matrix (e.g. an RBF Gram matrix
+    # whose smallest eigenvalue is below f32 resolution) NaNs the Cholesky
+    # on TPU, which would silently freeze every proposal downstream
+    if not bool(jnp.all(jnp.isfinite(chol))):
+        raise ValueError(
+            "matrix is not positive definite at this precision (Cholesky "
+            "produced non-finite entries); add diagonal jitter (e.g. "
+            "1e-4 * amplitude**2 for f32 kernel matrices) or use float64")
     inv = jnp.linalg.inv(m)
     return SPD(
         "full",

@@ -168,10 +168,10 @@ def test_gp_regression_exact_posterior_anchors_elliptical():
     xs = jnp.linspace(0.0, 3.0, 12)
     K = models.rbf_kernel(xs, length_scale=0.7)
     assert K.shape == (12, 12)
-    # PSD + unit diagonal (amplitude 1, tiny jitter)
+    # PSD + unit diagonal (amplitude 1, f32-sized default jitter)
     evals = np.linalg.eigvalsh(np.asarray(K))
     assert evals.min() > 0
-    assert np.allclose(np.diag(np.asarray(K)), 1.0 + 1e-6)
+    assert np.allclose(np.diag(np.asarray(K)), 1.0 + 1e-4)
 
     y = jnp.sin(2.0 * xs)
     noise = 0.05
