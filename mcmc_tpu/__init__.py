@@ -32,6 +32,7 @@ from mcmc_tpu.settings import (
     ChEESSettings,
     RMHMCSettings,
     DESettings,
+    DEMCZSettings,
     AEESSettings,
     PTSettings,
     SMCSettings,
@@ -49,6 +50,7 @@ from mcmc_tpu.samplers.nuts import nuts
 from mcmc_tpu.samplers.chees import chees
 from mcmc_tpu.samplers.rmhmc import rmhmc
 from mcmc_tpu.samplers.de import de
+from mcmc_tpu.samplers.demcz import demcz
 from mcmc_tpu.samplers.aees import aees
 from mcmc_tpu.samplers.pt import pt
 from mcmc_tpu.samplers.smc import smc
@@ -64,6 +66,7 @@ from mcmc_tpu.model_compare import (
     compare,
 )
 from mcmc_tpu.pytree import ravel_model, unravel_draws, bounds_like
+from mcmc_tpu.metrics import softabs_metric
 from mcmc_tpu import bounds
 from mcmc_tpu import stats
 from mcmc_tpu import diagnostics
@@ -76,7 +79,8 @@ __version__ = "0.1.0"
 
 _SAMPLERS = {
     "rwmh": rwmh, "mala": mala, "hmc": hmc, "nuts": nuts, "chees": chees,
-    "rmhmc": rmhmc, "de": de, "aees": aees, "pt": pt, "smc": smc,
+    "rmhmc": rmhmc, "de": de, "demcz": demcz, "aees": aees, "pt": pt,
+    "smc": smc,
     "stretch": stretch, "sgld": sgld, "sghmc": sghmc,
     "elliptical": elliptical_slice,
     "slice": slice_sampler,
@@ -137,7 +141,10 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
     up, so ``n_warmup`` is plain burn-in). ``algorithm="slice"`` runs
     slice-within-Gibbs — derivative-free with per-coordinate self-tuning
     brackets; prefer it over ``"stretch"`` at small ``n_chains`` or when
-    walkers cannot span the dimension. ``init="laplace"`` first finds
+    walkers cannot span the dimension. ``algorithm="demcz"`` runs DE-MC(Z)
+    — derivative-free with a tiny population (``n_chains`` maps to
+    ``n_pop``, min 4): archive-based difference proposals span the space
+    even when the walkers cannot. ``init="laplace"`` first finds
     the posterior mode (:func:`mcmc_tpu.map_laplace`, batched-Adam MAP) and
     starts every chain from an overdispersed draw of the Laplace Gaussian
     instead of ``initial_vals`` directly. ``lower_bounds``/``upper_bounds``
@@ -226,10 +233,27 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
         ss = _algo({"stretch_settings": ss})
         out = stretch(initial_vals, log_kernel, ss, key=k_run, mesh=mesh,
                       return_resume=extend)
+    elif algorithm == "demcz":
+        if mesh is not None:
+            raise ValueError(
+                "fit(algorithm='demcz') does not take mesh: the population "
+                "is deliberately tiny (scale by replicating runs instead)")
+        zs = DEMCZSettings(n_pop=max(int(n_chains), 4),
+                           n_burnin_draws=n_warmup, n_keep_draws=n_draws)
+        if init == "laplace":
+            # center the initial box on the MAP with curvature-matched
+            # half-width (clipped to hard bounds by the sampler)
+            initial_vals = lap.mode
+            sd = jnp.sqrt(jnp.diagonal(lap.cov))
+            zs.initial_lb = lap.mode - 2.0 * sd
+            zs.initial_ub = lap.mode + 2.0 * sd
+        zs = _algo({"demcz_settings": zs})
+        out = demcz(initial_vals, log_kernel, zs, key=k_run,
+                    return_resume=extend)
     else:
         raise ValueError(
-            f"fit algorithm must be 'nuts', 'chees', 'stretch', or "
-            f"'slice', got {algorithm!r}")
+            f"fit algorithm must be 'nuts', 'chees', 'stretch', 'slice', "
+            f"or 'demcz', got {algorithm!r}")
     if extend:
         resume = out.diagnostics.pop("resume")
         segs, accepts, rounds = [out.draws], [out.n_accept_draws], 1
@@ -259,14 +283,16 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
     return out
 
 __all__ = [
-    "rwmh", "mala", "hmc", "nuts", "chees", "rmhmc", "de", "aees", "pt",
-    "smc", "stretch", "sgld", "sghmc", "elliptical_slice", "slice_sampler",
+    "rwmh", "mala", "hmc", "nuts", "chees", "rmhmc", "de", "demcz", "aees",
+    "pt", "smc", "stretch", "sgld", "sghmc", "elliptical_slice",
+    "slice_sampler",
     "sample", "fit", "map_laplace", "LaplaceResult",
     "AlgoSettings", "RWMHSettings", "MALASettings", "HMCSettings",
     "NUTSSettings", "ChEESSettings", "RMHMCSettings", "DESettings",
-    "AEESSettings", "PTSettings", "SMCSettings", "StretchSettings",
+    "DEMCZSettings", "AEESSettings", "PTSettings", "SMCSettings",
+    "StretchSettings",
     "SGLDSettings", "SGHMCSettings", "EllipticalSettings", "SliceSettings",
     "SamplerResult", "bounds", "stats", "diagnostics", "models",
     "pointwise_log_lik", "waic", "psis_loo", "compare",
-    "ravel_model", "unravel_draws", "bounds_like",
+    "ravel_model", "unravel_draws", "bounds_like", "softabs_metric",
 ]

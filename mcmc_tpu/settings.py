@@ -22,7 +22,7 @@ __all__ = [
     "RWMHSettings", "MALASettings", "HMCSettings", "NUTSSettings",
     "ChEESSettings", "RMHMCSettings", "DESettings", "AEESSettings",
     "PTSettings", "SMCSettings", "StretchSettings", "SGLDSettings",
-    "SGHMCSettings", "AlgoSettings",
+    "SGHMCSettings", "DEMCZSettings", "AlgoSettings",
 ]
 
 ArrayLike = Any
@@ -114,6 +114,38 @@ class DESettings:
     par_b: float = 1e-4
     par_gamma: float = 1.0
     par_gamma_jump: float = 2.0
+    initial_lb: Optional[ArrayLike] = None  # None -> initial_vals - 0.5
+    initial_ub: Optional[ArrayLike] = None  # None -> initial_vals + 0.5
+
+
+@dataclass
+class DEMCZSettings:
+    """DE-MC(Z) — archive-based differential evolution with snooker moves
+    (ter Braak & Vrugt 2008; no reference analog — the small-population
+    member of the gradient-free family beside DESettings, see
+    samplers/demcz.py).
+
+    ``n_pop`` may be far below the dimension (>= 4): proposals difference
+    *archive* states, not current walkers.  ``snooker_prob`` is the
+    per-walker probability of the snooker (line) move; the rest use the
+    parallel-direction move with the DE-optimal ``2.38 / sqrt(2 d)`` (and
+    ``par_gamma_jump`` every 10th generation when ``jumps``, as in
+    DESettings).  The population is appended to the archive every
+    ``archive_stride`` generations.  ``archive_size=None`` sizes the buffer
+    to hold every append exactly (the paper's growing archive); an explicit
+    value makes it a ring overwriting the oldest entries (bounded memory).
+    ``n_initial_archive=None`` -> ``max(n_pop, 10 * n_vals)`` uniform draws
+    from the initial box (the archive must span the space)."""
+    n_pop: int = 8
+    n_burnin_draws: int = 1000
+    n_keep_draws: int = 1000
+    snooker_prob: float = 0.1
+    jumps: bool = True
+    par_gamma_jump: float = 1.0
+    par_b: float = 1e-4
+    archive_stride: int = 10
+    archive_size: Optional[int] = None
+    n_initial_archive: Optional[int] = None
     initial_lb: Optional[ArrayLike] = None  # None -> initial_vals - 0.5
     initial_ub: Optional[ArrayLike] = None  # None -> initial_vals + 0.5
 
@@ -285,6 +317,7 @@ class AlgoSettings:
     chees_settings: ChEESSettings = field(default_factory=ChEESSettings)
     rmhmc_settings: RMHMCSettings = field(default_factory=RMHMCSettings)
     de_settings: DESettings = field(default_factory=DESettings)
+    demcz_settings: DEMCZSettings = field(default_factory=DEMCZSettings)
     aees_settings: AEESSettings = field(default_factory=AEESSettings)
     pt_settings: PTSettings = field(default_factory=PTSettings)
     smc_settings: SMCSettings = field(default_factory=SMCSettings)
