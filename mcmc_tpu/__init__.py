@@ -68,6 +68,7 @@ from mcmc_tpu.model_compare import (
 from mcmc_tpu.pytree import ravel_model, unravel_draws, bounds_like
 from mcmc_tpu.metrics import softabs_metric
 from mcmc_tpu.predictive import generated_quantities, posterior_predictive
+from mcmc_tpu.sbc import sbc
 from mcmc_tpu import bounds
 from mcmc_tpu import stats
 from mcmc_tpu import diagnostics
@@ -296,5 +297,5 @@ __all__ = [
     "SamplerResult", "bounds", "stats", "diagnostics", "models",
     "pointwise_log_lik", "waic", "psis_loo", "compare",
     "ravel_model", "unravel_draws", "bounds_like", "softabs_metric",
-    "generated_quantities", "posterior_predictive",
+    "generated_quantities", "posterior_predictive", "sbc",
 ]
