@@ -108,7 +108,8 @@ def build_de_sweep(box_log_kernel, cfg: DESettings, n_vals: int):
 
 
 def de(initial_vals, log_kernel, settings=None, *, key=None, mesh=None,
-       checkpoint_dir=None, checkpoint_every=500, dtype=None) -> SamplerResult:
+       checkpoint_dir=None, checkpoint_every=500, dtype=None,
+       thin=1) -> SamplerResult:
     """Run DE-MCMC. Returns draws of shape ``(n_keep, n_pop, n_vals)`` — the
     reference's ``Cube_t draws_out(n_pop, n_vals, n_keep)`` with the
     generation axis leading.
@@ -116,7 +117,12 @@ def de(initial_vals, log_kernel, settings=None, *, key=None, mesh=None,
     With ``mesh``, the population is sharded across devices and each
     generation all-gathers the previous generation once over ICI
     (``mcmc_tpu.parallel.de_sharded``) — the multi-chip form of the
-    reference's OpenMP walker loop (src/de.cpp:161-207)."""
+    reference's OpenMP walker loop (src/de.cpp:161-207).
+
+    ``thin=k`` advances ``k`` generations per stored draw (burn-in and
+    keep alike, the chain samplers' convention); ``n_accept_draws`` counts
+    accepted moves over all ``n_keep * k`` kept-phase generations, and the
+    every-10th-generation jump cadence counts generations, not rows."""
     algo, s = resolve_settings(settings, "de_settings", DESettings)
     key = resolve_key(key, algo)
 
@@ -151,6 +157,7 @@ def de(initial_vals, log_kernel, settings=None, *, key=None, mesh=None,
             from mcmc_tpu.parallel.de_sharded import build_sharded_de_sweep
             step = build_sharded_de_sweep(prob.box_log_kernel, s, n_vals, mesh)
             single = False
+        step = common.thin_step(step, thin, batched=not single)
         runner = ChunkedRunner(step, collect_fn=lambda st: st.X,
                                directory=checkpoint_dir, mesh=mesh,
                                single_key=single)
@@ -160,14 +167,17 @@ def de(initial_vals, log_kernel, settings=None, *, key=None, mesh=None,
         )
         draws = common.finalize_draws(jnp.asarray(draws), prob)
         per_walker = jnp.asarray(totals["accepted"])
+        diag = {"accept_rate_per_walker":
+                per_walker / (s.n_keep_draws * int(thin))}
+        if int(thin) > 1:
+            diag["thin"] = int(thin)
         return SamplerResult(
-            draws=draws, n_accept_draws=per_walker.sum(),
-            diagnostics={"accept_rate_per_walker":
-                         per_walker / s.n_keep_draws},
+            draws=draws, n_accept_draws=per_walker.sum(), diagnostics=diag,
         )
 
     if mesh is None:
         sweep = build_de_sweep(prob.box_log_kernel, s, n_vals)
+        sweep = common.thin_step(sweep, thin)
 
         def body(carry, _):
             state, k = carry
@@ -188,6 +198,7 @@ def de(initial_vals, log_kernel, settings=None, *, key=None, mesh=None,
         from mcmc_tpu.parallel.mesh import shard_chain_axis
 
         sweep = build_sharded_de_sweep(prob.box_log_kernel, s, n_vals, mesh)
+        sweep = common.thin_step(sweep, thin, batched=True)
         walker_keys = jax.random.split(key, s.n_pop)
         state0 = DEState(
             X=shard_chain_axis(state0.X, mesh),
@@ -217,7 +228,9 @@ def de(initial_vals, log_kernel, settings=None, *, key=None, mesh=None,
 
     n_accept = accepted.sum()
     draws = common.finalize_draws(draws, prob)
-    return SamplerResult(
-        draws=draws, n_accept_draws=n_accept,
-        diagnostics={"accept_rate_per_walker": accepted.mean(axis=0)},
-    )
+    diag = {"accept_rate_per_walker":
+            accepted.astype(jnp.float32).mean(axis=0) / int(thin)}
+    if int(thin) > 1:
+        diag["thin"] = int(thin)
+    return SamplerResult(draws=draws, n_accept_draws=n_accept,
+                         diagnostics=diag)

@@ -160,7 +160,7 @@ def build_demcz_sweep(box_log_kernel, cfg: DEMCZSettings, n_vals: int,
 
 def demcz(initial_vals, log_kernel, settings=None, *, key=None,
           checkpoint_dir=None, checkpoint_every=500, dtype=None,
-          return_resume=False) -> SamplerResult:
+          thin=1, return_resume=False) -> SamplerResult:
     """Run DE-MC(Z) — archive-based differential evolution with snooker
     moves (ter Braak & Vrugt 2008).  The small-population member of the
     gradient-free family: ``n_pop`` can be far below the dimension because
@@ -182,9 +182,11 @@ def demcz(initial_vals, log_kernel, settings=None, *, key=None,
     local, so the multi-device axis is independent replicated *runs*
     (``vmap``/sharding over seeds), not a sharded population.
 
-    ``return_resume=True`` attaches ``diagnostics["resume"](key, n_keep)``
-    — a warm continuation carrying the archive (incompatible with
-    ``checkpoint_dir``)."""
+    ``thin=k`` advances ``k`` generations per stored draw (the chain
+    samplers' convention; the jump cadence and archive stride count
+    generations, not rows).  ``return_resume=True`` attaches
+    ``diagnostics["resume"](key, n_keep)`` — a warm continuation carrying
+    the archive (incompatible with ``checkpoint_dir``)."""
     algo, s = resolve_settings(settings, "demcz_settings", DEMCZSettings)
     key = resolve_key(key, algo)
     if return_resume and checkpoint_dir is not None:
@@ -249,6 +251,7 @@ def demcz(initial_vals, log_kernel, settings=None, *, key=None,
                         gen_ind=jnp.asarray(0, jnp.int32))
 
     sweep = build_demcz_sweep(prob.box_log_kernel, s, n_vals, capacity)
+    sweep = common.thin_step(sweep, thin)
 
     if checkpoint_dir is not None:
         from mcmc_tpu.checkpoint import ChunkedRunner
@@ -259,10 +262,12 @@ def demcz(initial_vals, log_kernel, settings=None, *, key=None,
             chunk_size=checkpoint_every)
         draws = common.finalize_draws(jnp.asarray(draws), prob)
         per_walker = jnp.asarray(totals["accepted"])
-        return SamplerResult(
-            draws=draws, n_accept_draws=per_walker.sum(),
-            diagnostics={"accept_rate_per_walker":
-                         per_walker / s.n_keep_draws})
+        diag = {"accept_rate_per_walker":
+                per_walker / (s.n_keep_draws * int(thin))}
+        if int(thin) > 1:
+            diag["thin"] = int(thin)
+        return SamplerResult(draws=draws, n_accept_draws=per_walker.sum(),
+                             diagnostics=diag)
 
     def body(carry, _):
         state, k = carry
@@ -286,10 +291,12 @@ def demcz(initial_vals, log_kernel, settings=None, *, key=None,
         final_state, (draws, accepted) = run_jit(state0, key, n_burnin,
                                                  n_keep)
         draws = common.finalize_draws(draws, prob)
-        return SamplerResult(
-            draws=draws, n_accept_draws=accepted.sum(),
-            diagnostics={"accept_rate_per_walker": accepted.mean(axis=0)},
-        ), final_state
+        diag = {"accept_rate_per_walker":
+                accepted.astype(jnp.float32).mean(axis=0) / int(thin)}
+        if int(thin) > 1:
+            diag["thin"] = int(thin)
+        return SamplerResult(draws=draws, n_accept_draws=accepted.sum(),
+                             diagnostics=diag), final_state
 
     result, final_state = assemble(key, state0, s.n_burnin_draws,
                                    s.n_keep_draws)

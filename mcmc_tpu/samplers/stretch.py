@@ -113,9 +113,11 @@ def build_stretch_sweep(box_log_kernel, cfg: StretchSettings, n_vals: int):
 
 def stretch(initial_vals, log_kernel, settings=None, *, key=None, mesh=None,
             checkpoint_dir=None, checkpoint_every=500,
-            dtype=None, return_resume=False) -> SamplerResult:
+            dtype=None, thin=1, return_resume=False) -> SamplerResult:
     """Run the affine-invariant ensemble (stretch-move) sampler.
 
+    ``thin=k`` advances ``k`` full ensemble sweeps per stored draw (the
+    emcee ``thin_by`` convention, matching the chain samplers).
     ``return_resume=True`` attaches ``diagnostics["resume"](key, n_keep)``
     — a warm continuation from the final ensemble (incompatible with
     ``checkpoint_dir``).
@@ -172,6 +174,7 @@ def stretch(initial_vals, log_kernel, settings=None, *, key=None, mesh=None,
         state0 = StretchState(X=shard_chain_axis(state0.X, mesh),
                               kernel_vals=shard_chain_axis(state0.kernel_vals,
                                                            mesh))
+    sweep = common.thin_step(sweep, thin)
 
     if checkpoint_dir is not None:
         from mcmc_tpu.checkpoint import ChunkedRunner
@@ -184,11 +187,12 @@ def stretch(initial_vals, log_kernel, settings=None, *, key=None, mesh=None,
         )
         draws = common.finalize_draws(jnp.asarray(draws), prob)
         per_walker = jnp.asarray(totals["accepted"])
-        return SamplerResult(
-            draws=draws, n_accept_draws=per_walker.sum(),
-            diagnostics={"accept_rate_per_walker":
-                         per_walker / s.n_keep_draws},
-        )
+        diag = {"accept_rate_per_walker":
+                per_walker / (s.n_keep_draws * int(thin))}
+        if int(thin) > 1:
+            diag["thin"] = int(thin)
+        return SamplerResult(draws=draws, n_accept_draws=per_walker.sum(),
+                             diagnostics=diag)
 
     def body(carry, _):
         state, k = carry
@@ -212,10 +216,12 @@ def stretch(initial_vals, log_kernel, settings=None, *, key=None, mesh=None,
         final_state, (draws, accepted) = run_jit(state0, key, n_burnin,
                                                  n_keep)
         draws = common.finalize_draws(draws, prob)
-        return SamplerResult(
-            draws=draws, n_accept_draws=accepted.sum(),
-            diagnostics={"accept_rate_per_walker": accepted.mean(axis=0)},
-        ), final_state
+        diag = {"accept_rate_per_walker":
+                accepted.astype(jnp.float32).mean(axis=0) / int(thin)}
+        if int(thin) > 1:
+            diag["thin"] = int(thin)
+        return SamplerResult(draws=draws, n_accept_draws=accepted.sum(),
+                             diagnostics=diag), final_state
 
     result, final_state = assemble(key, state0, s.n_burnin_draws,
                                    s.n_keep_draws)

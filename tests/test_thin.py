@@ -97,3 +97,55 @@ def test_thin_validation():
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "thin" in str(e)
+
+
+def test_stretch_thin_reduces_autocorrelation():
+    lk = _lk()
+    s = mcmc_tpu.StretchSettings(n_walkers=16, n_burnin_draws=300,
+                                 n_keep_draws=600)
+    out1 = mcmc_tpu.stretch(jnp.array([1.0]), lk, s,
+                            key=jax.random.PRNGKey(6))
+    out4 = mcmc_tpu.stretch(jnp.array([1.0]), lk, s,
+                            key=jax.random.PRNGKey(6), thin=4)
+    assert out4.draws.shape == out1.draws.shape
+    assert abs(float(out4.mean[0]) - 2.0) < 0.15
+    ess1 = float(diagnostics.ess(out1.draws).min())
+    ess4 = float(diagnostics.ess(out4.draws).min())
+    assert ess4 > 1.5 * ess1
+    # per-walker rate stays a probability under thin; the scalar
+    # accept_rate keeps the population convention (total / transitions:
+    # divide by n_walkers to get a probability, as the de example does)
+    acc = out4.diagnostics["accept_rate_per_walker"]
+    assert 0.0 < float(acc.mean()) <= 1.0
+    assert float(out4.accept_rate) / 16 <= 1.0
+    n1 = int(jnp.sum(out1.n_accept_draws))
+    n4 = int(jnp.sum(out4.n_accept_draws))
+    assert 2 * n1 < n4 < 7 * n1
+
+
+def test_de_thin_smoke_and_checkpoint(tmp_path):
+    lk = _lk()
+    s = mcmc_tpu.DESettings(n_pop=32, n_burnin_draws=200, n_keep_draws=200)
+    out = mcmc_tpu.de(jnp.array([1.0]), lk, s, key=jax.random.PRNGKey(7),
+                      thin=3)
+    assert out.draws.shape == (200, 32, 1)
+    assert abs(float(out.draws.mean()) - 2.0) < 0.2
+    acc = out.diagnostics["accept_rate_per_walker"]
+    assert 0.0 < float(acc.mean()) <= 1.0
+    ck = mcmc_tpu.de(jnp.array([1.0]), lk, s, key=jax.random.PRNGKey(7),
+                     thin=3, checkpoint_dir=str(tmp_path),
+                     checkpoint_every=100)
+    np.testing.assert_array_equal(np.asarray(ck.draws),
+                                  np.asarray(out.draws))
+
+
+def test_demcz_thin_smoke():
+    lk = _lk()
+    out = mcmc_tpu.demcz(
+        jnp.array([1.0]), lk,
+        mcmc_tpu.DEMCZSettings(n_pop=8, n_burnin_draws=200,
+                               n_keep_draws=400),
+        key=jax.random.PRNGKey(8), thin=3)
+    assert out.draws.shape == (400, 8, 1)
+    assert abs(float(out.draws.mean()) - 2.0) < 0.15
+    assert out.diagnostics["thin"] == 3
