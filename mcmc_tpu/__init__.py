@@ -244,11 +244,11 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
                            n_burnin_draws=n_warmup, n_keep_draws=n_draws)
         if init == "laplace":
             # center the initial box on the MAP with curvature-matched
-            # half-width (clipped to hard bounds by the sampler)
+            # half-width; init_box builds it in unconstrained space (where
+            # lap.cov lives) and maps back, so bounded parameters get a
+            # correctly scaled constrained-space box
             initial_vals = lap.mode
-            sd = jnp.sqrt(jnp.diagonal(lap.cov))
-            zs.initial_lb = lap.mode - 2.0 * sd
-            zs.initial_ub = lap.mode + 2.0 * sd
+            zs.initial_lb, zs.initial_ub = lap.init_box(2.0)
         zs = _algo({"demcz_settings": zs})
         out = demcz(initial_vals, log_kernel, zs, key=k_run,
                     return_resume=extend)

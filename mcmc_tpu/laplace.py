@@ -87,6 +87,22 @@ class LaplaceResult:
             lambda v: bounds_mod.inv_transform(v, self._codes, self._lb, self._ub)
         )(z)
 
+    def init_box(self, scale: float = 2.0):
+        """Curvature-matched initial box ``(lb, ub)`` in *constrained*
+        space: ``mode_z ± scale * sd`` built in unconstrained coordinates
+        (where ``cov`` lives) and mapped back — feed to the population
+        samplers' ``initial_lb``/``initial_ub``. Building the box in
+        constrained space from the unconstrained sd would mix spaces and
+        collapse (or explode) the box for bounded parameters."""
+        sd = jnp.sqrt(jnp.diagonal(self.cov))
+        lo_z = self.mode_z - scale * sd
+        hi_z = self.mode_z + scale * sd
+        if not self._vals_bound:
+            return lo_z, hi_z
+        inv = lambda v: bounds_mod.inv_transform(v, self._codes, self._lb,
+                                                 self._ub)
+        return inv(lo_z), inv(hi_z)
+
 
 def map_laplace(initial_vals, log_kernel, settings=None, *, n_steps=500,
                 learning_rate=0.05, n_restarts=4, restart_scale=1.0,

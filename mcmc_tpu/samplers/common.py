@@ -218,6 +218,56 @@ def thin_step(step_fn, thin: int, batched: bool = False):
     return step
 
 
+def make_population_runner(sweep):
+    """Jitted driver for the single-key population samplers (de, demcz,
+    stretch): ``sweep(key, state) -> (state, info)`` over the whole
+    population at once. Scans ``n_burnin`` discarded sweeps then ``n_keep``
+    kept ones, collecting ``(state.X, info["accepted"])`` per kept sweep;
+    the per-sweep key is split off a running key exactly as the checkpoint
+    runner's single-key convention does, so the two paths stay
+    bit-identical. Returns ``run(state0, key, n_burnin, n_keep) ->
+    (final_state, (draws, accepted))`` with static lengths."""
+
+    def body(carry, _):
+        state, k = carry
+        k, sub = jax.random.split(k)
+        state, info = sweep(sub, state)
+        return (state, k), (state.X, info["accepted"])
+
+    def run(state0, key, n_burnin, n_keep):
+        carry = (state0, key)
+        if n_burnin > 0:
+            def body_burn(carry, _):
+                carry, _out = body(carry, None)
+                return carry, None
+            carry, _ = lax.scan(body_burn, carry, None, length=n_burnin)
+        carry, out = lax.scan(body, carry, None, length=n_keep)
+        return carry[0], out
+
+    return jax.jit(run, static_argnums=(2, 3))
+
+
+def population_accept_diag(accepted, thin: int):
+    """Population acceptance diagnostics from per-sweep stacked ``accepted``
+    (bool, or int32 window counts under ``thin``): a per-walker probability
+    plus the ``thin`` record the ``accept_rate`` property divides by."""
+    diag = {"accept_rate_per_walker":
+            accepted.astype(jnp.float32).mean(axis=0) / int(thin)}
+    if int(thin) > 1:
+        diag["thin"] = int(thin)
+    return diag
+
+
+def population_accept_diag_totals(per_walker, n_keep: int, thin: int):
+    """Same contract as :func:`population_accept_diag`, from the checkpoint
+    runner's per-walker transition-count totals."""
+    diag = {"accept_rate_per_walker":
+            jnp.asarray(per_walker) / (int(n_keep) * int(thin))}
+    if int(thin) > 1:
+        diag["thin"] = int(thin)
+    return diag
+
+
 def run_sampler_loop(key, state0, step_fn, n_burnin, n_keep, collect_fn,
                      mesh=None, checkpoint_dir=None, checkpoint_every=500,
                      thin=1, pre_batched=False):

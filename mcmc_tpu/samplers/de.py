@@ -167,32 +167,16 @@ def de(initial_vals, log_kernel, settings=None, *, key=None, mesh=None,
         )
         draws = common.finalize_draws(jnp.asarray(draws), prob)
         per_walker = jnp.asarray(totals["accepted"])
-        diag = {"accept_rate_per_walker":
-                per_walker / (s.n_keep_draws * int(thin))}
-        if int(thin) > 1:
-            diag["thin"] = int(thin)
         return SamplerResult(
-            draws=draws, n_accept_draws=per_walker.sum(), diagnostics=diag,
-        )
+            draws=draws, n_accept_draws=per_walker.sum(),
+            diagnostics=common.population_accept_diag_totals(
+                per_walker, s.n_keep_draws, thin))
 
     if mesh is None:
         sweep = build_de_sweep(prob.box_log_kernel, s, n_vals)
         sweep = common.thin_step(sweep, thin)
-
-        def body(carry, _):
-            state, k = carry
-            k, sub = jax.random.split(k)
-            state, info = sweep(sub, state)
-            return (state, k), (state.X, info["accepted"])
-
-        carry = (state0, key)
-        if s.n_burnin_draws > 0:
-            def body_burn(carry, _):
-                carry, _out = body(carry, None)
-                return carry, None
-            carry, _ = lax.scan(body_burn, carry, None, length=s.n_burnin_draws)
-
-        _, (draws, accepted) = lax.scan(body, carry, None, length=s.n_keep_draws)
+        _, (draws, accepted) = common.make_population_runner(sweep)(
+            state0, key, s.n_burnin_draws, s.n_keep_draws)
     else:
         from mcmc_tpu.parallel.de_sharded import build_sharded_de_sweep
         from mcmc_tpu.parallel.mesh import shard_chain_axis
@@ -228,9 +212,6 @@ def de(initial_vals, log_kernel, settings=None, *, key=None, mesh=None,
 
     n_accept = accepted.sum()
     draws = common.finalize_draws(draws, prob)
-    diag = {"accept_rate_per_walker":
-            accepted.astype(jnp.float32).mean(axis=0) / int(thin)}
-    if int(thin) > 1:
-        diag["thin"] = int(thin)
-    return SamplerResult(draws=draws, n_accept_draws=n_accept,
-                         diagnostics=diag)
+    return SamplerResult(
+        draws=draws, n_accept_draws=n_accept,
+        diagnostics=common.population_accept_diag(accepted, thin))

@@ -50,7 +50,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from mcmc_tpu import bounds as bounds_mod
 from mcmc_tpu.results import SamplerResult
@@ -139,6 +138,11 @@ def build_demcz_sweep(box_log_kernel, cfg: DEMCZSettings, n_vals: int,
         log_acc = prop_vals - state.kernel_vals + log_jac
         accepted = jnp.log(jax.random.uniform(k_acc, (n_pop,), dtype)) \
             < jnp.minimum(0.0, log_acc)
+        # a snooker whose anchor z equals x_i degenerates to the identity
+        # proposal (always MH-accepted); count it as a rejection so
+        # acceptance statistics report actual movement — state-wise the
+        # two are indistinguishable
+        accepted = accepted & ~(snooker & (ee <= jnp.finfo(dtype).tiny))
 
         X_new = jnp.where(accepted[:, None], prop, state.X)
         kv_new = jnp.where(accepted, prop_vals, state.kernel_vals)
@@ -186,7 +190,11 @@ def demcz(initial_vals, log_kernel, settings=None, *, key=None,
     samplers' convention; the jump cadence and archive stride count
     generations, not rows).  ``return_resume=True`` attaches
     ``diagnostics["resume"](key, n_keep)`` — a warm continuation carrying
-    the archive (incompatible with ``checkpoint_dir``)."""
+    the archive (incompatible with ``checkpoint_dir``); the default
+    archive capacity is sized for *this* run's generations, so a
+    continuation that appends past it rolls over to ring semantics
+    (oldest entries overwritten) — set ``archive_size`` to budget for
+    continuations explicitly."""
     algo, s = resolve_settings(settings, "demcz_settings", DEMCZSettings)
     key = resolve_key(key, algo)
     if return_resume and checkpoint_dir is not None:
@@ -215,18 +223,21 @@ def demcz(initial_vals, log_kernel, settings=None, *, key=None,
     if n_init < max(n_pop, 4):
         raise ValueError(
             f"n_initial_archive must be >= max(n_pop, 4), got {n_init}")
-    n_total = int(s.n_burnin_draws) + int(s.n_keep_draws)
+    # total GENERATIONS this run executes (thin advances thin generations
+    # per stored draw — the archive stride counts generations)
+    n_gens = (int(s.n_burnin_draws) + int(s.n_keep_draws)) * int(thin)
     if s.archive_size is not None:
         capacity = int(s.archive_size)
         if capacity < n_init:
             raise ValueError(
                 f"archive_size={capacity} < n_initial_archive={n_init}")
     else:
-        # paper-exact growing archive: capacity holds every appended
-        # generation (known at trace time), so nothing is ever overwritten
-        capacity = n_init + n_pop * (n_total // int(s.archive_stride))
+        # paper-exact growing archive: capacity holds every append of THIS
+        # run (known at trace time), so nothing is overwritten; a warm
+        # continuation (return_resume) that runs past this sizing rolls
+        # over to ring semantics, overwriting the oldest entries
+        capacity = n_init + n_pop * (n_gens // int(s.archive_stride))
 
-    x0 = prob.first_draw[0]   # unconstrained center (transformed if bounded)
     x0_c = jnp.asarray(initial_vals, dt)   # constrained center for the box
     init_lb = jnp.asarray(s.initial_lb, dt) if s.initial_lb is not None \
         else x0_c - 0.5
@@ -262,41 +273,21 @@ def demcz(initial_vals, log_kernel, settings=None, *, key=None,
             chunk_size=checkpoint_every)
         draws = common.finalize_draws(jnp.asarray(draws), prob)
         per_walker = jnp.asarray(totals["accepted"])
-        diag = {"accept_rate_per_walker":
-                per_walker / (s.n_keep_draws * int(thin))}
-        if int(thin) > 1:
-            diag["thin"] = int(thin)
-        return SamplerResult(draws=draws, n_accept_draws=per_walker.sum(),
-                             diagnostics=diag)
+        return SamplerResult(
+            draws=draws, n_accept_draws=per_walker.sum(),
+            diagnostics=common.population_accept_diag_totals(
+                per_walker, s.n_keep_draws, thin))
 
-    def body(carry, _):
-        state, k = carry
-        k, sub = jax.random.split(k)
-        state, info = sweep(sub, state)
-        return (state, k), (state.X, info["accepted"])
-
-    def run(state0, key, n_burnin, n_keep):
-        carry = (state0, key)
-        if n_burnin > 0:
-            def body_burn(carry, _):
-                carry, _out = body(carry, None)
-                return carry, None
-            carry, _ = lax.scan(body_burn, carry, None, length=n_burnin)
-        carry, out = lax.scan(body, carry, None, length=n_keep)
-        return carry[0], out
-
-    run_jit = jax.jit(run, static_argnums=(2, 3))
+    run_jit = common.make_population_runner(sweep)
 
     def assemble(key, state0, n_burnin, n_keep):
         final_state, (draws, accepted) = run_jit(state0, key, n_burnin,
                                                  n_keep)
         draws = common.finalize_draws(draws, prob)
-        diag = {"accept_rate_per_walker":
-                accepted.astype(jnp.float32).mean(axis=0) / int(thin)}
-        if int(thin) > 1:
-            diag["thin"] = int(thin)
-        return SamplerResult(draws=draws, n_accept_draws=accepted.sum(),
-                             diagnostics=diag), final_state
+        return SamplerResult(
+            draws=draws, n_accept_draws=accepted.sum(),
+            diagnostics=common.population_accept_diag(accepted, thin),
+        ), final_state
 
     result, final_state = assemble(key, state0, s.n_burnin_draws,
                                    s.n_keep_draws)

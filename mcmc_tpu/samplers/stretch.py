@@ -41,7 +41,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from mcmc_tpu.results import SamplerResult
 from mcmc_tpu.settings import StretchSettings
@@ -187,41 +186,21 @@ def stretch(initial_vals, log_kernel, settings=None, *, key=None, mesh=None,
         )
         draws = common.finalize_draws(jnp.asarray(draws), prob)
         per_walker = jnp.asarray(totals["accepted"])
-        diag = {"accept_rate_per_walker":
-                per_walker / (s.n_keep_draws * int(thin))}
-        if int(thin) > 1:
-            diag["thin"] = int(thin)
-        return SamplerResult(draws=draws, n_accept_draws=per_walker.sum(),
-                             diagnostics=diag)
+        return SamplerResult(
+            draws=draws, n_accept_draws=per_walker.sum(),
+            diagnostics=common.population_accept_diag_totals(
+                per_walker, s.n_keep_draws, thin))
 
-    def body(carry, _):
-        state, k = carry
-        k, sub = jax.random.split(k)
-        state, info = sweep(sub, state)
-        return (state, k), (state.X, info["accepted"])
-
-    def run(state0, key, n_burnin, n_keep):
-        carry = (state0, key)
-        if n_burnin > 0:
-            def body_burn(carry, _):
-                carry, _out = body(carry, None)
-                return carry, None
-            carry, _ = lax.scan(body_burn, carry, None, length=n_burnin)
-        carry, out = lax.scan(body, carry, None, length=n_keep)
-        return carry[0], out
-
-    run_jit = jax.jit(run, static_argnums=(2, 3))
+    run_jit = common.make_population_runner(sweep)
 
     def assemble(key, state0, n_burnin, n_keep):
         final_state, (draws, accepted) = run_jit(state0, key, n_burnin,
                                                  n_keep)
         draws = common.finalize_draws(draws, prob)
-        diag = {"accept_rate_per_walker":
-                accepted.astype(jnp.float32).mean(axis=0) / int(thin)}
-        if int(thin) > 1:
-            diag["thin"] = int(thin)
-        return SamplerResult(draws=draws, n_accept_draws=accepted.sum(),
-                             diagnostics=diag), final_state
+        return SamplerResult(
+            draws=draws, n_accept_draws=accepted.sum(),
+            diagnostics=common.population_accept_diag(accepted, thin),
+        ), final_state
 
     result, final_state = assemble(key, state0, s.n_burnin_draws,
                                    s.n_keep_draws)

@@ -205,6 +205,30 @@ def test_fit_demcz():
                      algorithm="demcz", mesh="dummy")
 
 
+def test_fit_demcz_laplace_bounded_box():
+    """Regression: the Laplace initial box must be built in unconstrained
+    space and mapped back — building it in constrained space from the
+    unconstrained sd collapses the box for scale-like parameters (a
+    sigma ~ 50 posterior got a box spanning ~0.1% of its mass)."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (200,)) * 50.0
+    lk = lambda p: jnp.sum(-jnp.log(p[0]) - 0.5 * (x / p[0]) ** 2)
+    out = mcmc_tpu.fit(jnp.array([10.0]), lk, algorithm="demcz",
+                       n_chains=8, n_warmup=500, n_draws=1000,
+                       key=jax.random.PRNGKey(1), init="laplace",
+                       lower_bounds=jnp.array([0.0]))
+    m = float(np.asarray(out.draws).mean())
+    assert 44 < m < 56, m
+    # and the box itself is a sane constrained-space interval
+    lap = mcmc_tpu.map_laplace(
+        jnp.array([10.0]), lk,
+        mcmc_tpu.AlgoSettings(vals_bound=True,
+                              lower_bounds=jnp.array([0.0]),
+                              upper_bounds=jnp.array([jnp.inf])),
+        key=jax.random.PRNGKey(2))
+    lo, hi = lap.init_box(2.0)
+    assert 0 < float(lo[0]) < float(lap.mode[0]) < float(hi[0])
+
+
 def test_validation_errors():
     lk = lambda v: -0.5 * jnp.sum(v * v)
     with pytest.raises(ValueError, match="n_pop"):
