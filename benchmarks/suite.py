@@ -198,7 +198,9 @@ def run_all(quick=False, out_path=None):
         n_chains=256, key=jax.random.PRNGKey(15)))
 
     # 5g. DE-MC(Z) (beyond-reference) — 6 walkers on a 10-d correlated
-    # Gaussian: the small-population regime plain DE cannot reach
+    # Gaussian: the small-population regime plain DE cannot reach; 4
+    # independent replicas (own archives) make the R-hat honest — within a
+    # run the walkers are coupled through the shared archive
     rho_z = 0.8
     cov_z = rho_z * jnp.ones((10, 10)) + (1 - rho_z) * jnp.eye(10)
     P_z = jnp.linalg.inv(cov_z)
@@ -206,7 +208,7 @@ def run_all(quick=False, out_path=None):
         jnp.zeros(10), lambda x: -0.5 * x @ P_z @ x,
         mcmc_tpu.DEMCZSettings(n_pop=6, n_burnin_draws=3000 // scale,
                                n_keep_draws=8000 // scale),
-        key=jax.random.PRNGKey(16)))
+        n_runs=4, key=jax.random.PRNGKey(16)))
 
     record("rmhmc_fisher", lambda: mcmc_tpu.rmhmc(
         jnp.array([2.5, 2.5]), lk_ms, models.normal_fisher_metric(1000),

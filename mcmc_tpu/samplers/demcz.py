@@ -162,8 +162,8 @@ def build_demcz_sweep(box_log_kernel, cfg: DEMCZSettings, n_vals: int,
     return sweep
 
 
-def demcz(initial_vals, log_kernel, settings=None, *, key=None,
-          checkpoint_dir=None, checkpoint_every=500, dtype=None,
+def demcz(initial_vals, log_kernel, settings=None, *, key=None, n_runs=None,
+          mesh=None, checkpoint_dir=None, checkpoint_every=500, dtype=None,
           thin=1, return_resume=False) -> SamplerResult:
     """Run DE-MC(Z) — archive-based differential evolution with snooker
     moves (ter Braak & Vrugt 2008).  The small-population member of the
@@ -181,10 +181,15 @@ def demcz(initial_vals, log_kernel, settings=None, *, key=None,
     reference mixed-space init quirk (this sampler has no reference to be
     quirk-compatible with).
 
-    Returns draws of shape ``(n_keep, n_pop, n_vals)``.  No ``mesh``
-    parameter: the population is deliberately tiny and archive reads are
-    local, so the multi-device axis is independent replicated *runs*
-    (``vmap``/sharding over seeds), not a sharded population.
+    Returns draws of shape ``(n_keep, n_pop, n_vals)``.  The population is
+    deliberately tiny and archive reads are local, so the scale-out axis is
+    **independent replicated runs**, not a sharded population: ``n_runs``
+    vmaps that many replicas, each with its own initial archive (draws come
+    back as ``(n_keep, n_runs * n_pop, n_vals)`` — walkers of different
+    runs share no archive, so cross-run R-hat is honest, unlike the
+    within-run walkers, which are coupled through the shared archive), and
+    ``mesh`` shards the replica axis over devices (embarrassingly parallel,
+    no collectives; requires ``n_runs``).
 
     ``thin=k`` advances ``k`` generations per stored draw (the chain
     samplers' convention; the jump cadence and archive stride count
@@ -199,6 +204,13 @@ def demcz(initial_vals, log_kernel, settings=None, *, key=None,
     key = resolve_key(key, algo)
     if return_resume and checkpoint_dir is not None:
         raise ValueError("return_resume is incompatible with checkpoint_dir")
+    if mesh is not None and n_runs is None:
+        raise ValueError(
+            "mesh shards the replica axis — pass n_runs (the population "
+            "itself is deliberately tiny and is not sharded)")
+    if n_runs is not None and int(n_runs) < 1:
+        raise ValueError(f"n_runs must be >= 1, got {n_runs}")
+    n_runs = None if n_runs is None else int(n_runs)
 
     prob = common.setup_problem(initial_vals, log_kernel, algo, None, dtype)
     if not prob.squeeze:
@@ -247,42 +259,78 @@ def demcz(initial_vals, log_kernel, settings=None, *, key=None,
         prob.vals_bound, prob.codes, prob.lower_bounds, prob.upper_bounds,
         init_lb, init_ub)
 
+    def init_state(k):
+        U = jax.random.uniform(k, (n_init, n_vals), dt)
+        Z_init = init_lb + (init_ub - init_lb) * U
+        if prob.vals_bound:
+            Z_init = jax.vmap(lambda v: bounds_mod.transform(
+                v, prob.codes, prob.lower_bounds, prob.upper_bounds))(Z_init)
+        Z0 = jnp.zeros((capacity, n_vals), dt).at[:n_init].set(Z_init)
+        X0 = Z_init[-n_pop:]
+        kv0 = jax.vmap(prob.box_log_kernel)(X0)
+        kv0 = jnp.where(jnp.isfinite(kv0), kv0, -jnp.inf)
+        return DEMCZState(X=X0, kernel_vals=kv0, Z=Z0,
+                          m_total=jnp.asarray(n_init, jnp.int32),
+                          gen_ind=jnp.asarray(0, jnp.int32))
+
     key, k_init = jax.random.split(key)
-    U = jax.random.uniform(k_init, (n_init, n_vals), dt)
-    Z_init = init_lb + (init_ub - init_lb) * U
-    if prob.vals_bound:
-        Z_init = jax.vmap(lambda v: bounds_mod.transform(
-            v, prob.codes, prob.lower_bounds, prob.upper_bounds))(Z_init)
-    Z0 = jnp.zeros((capacity, n_vals), dt).at[:n_init].set(Z_init)
-    X0 = Z_init[-n_pop:]
-    kv0 = jax.vmap(prob.box_log_kernel)(X0)
-    kv0 = jnp.where(jnp.isfinite(kv0), kv0, -jnp.inf)
-    state0 = DEMCZState(X=X0, kernel_vals=kv0, Z=Z0,
-                        m_total=jnp.asarray(n_init, jnp.int32),
-                        gen_ind=jnp.asarray(0, jnp.int32))
+    if n_runs is None:
+        state0 = init_state(k_init)
+    else:
+        # independent replicas: each run gets its own initial archive
+        state0 = jax.vmap(init_state)(jax.random.split(k_init, n_runs))
+        if mesh is not None:
+            from mcmc_tpu.parallel.mesh import shard_chain_axis
+            state0 = shard_chain_axis(state0, mesh)
 
     sweep = build_demcz_sweep(prob.box_log_kernel, s, n_vals, capacity)
     sweep = common.thin_step(sweep, thin)
 
     if checkpoint_dir is not None:
         from mcmc_tpu.checkpoint import ChunkedRunner
-        runner = ChunkedRunner(sweep, collect_fn=lambda st: st.X,
-                               directory=checkpoint_dir, single_key=True)
+        if n_runs is None:
+            runner = ChunkedRunner(sweep, collect_fn=lambda st: st.X,
+                                   directory=checkpoint_dir, single_key=True)
+        else:
+            # replica-batched state; the runner derives one key per run
+            runner = ChunkedRunner(jax.vmap(sweep),
+                                   collect_fn=lambda st: st.X,
+                                   directory=checkpoint_dir, mesh=mesh)
         _, draws, totals = runner.run(
             key, state0, n_draws=s.n_keep_draws, n_burnin=s.n_burnin_draws,
             chunk_size=checkpoint_every)
-        draws = common.finalize_draws(jnp.asarray(draws), prob)
+        draws = jnp.asarray(draws)
         per_walker = jnp.asarray(totals["accepted"])
+        if n_runs is not None:
+            draws = draws.reshape(draws.shape[0], n_runs * n_pop, n_vals)
+            per_walker = per_walker.reshape(n_runs * n_pop)
+        draws = common.finalize_draws(draws, prob)
         return SamplerResult(
             draws=draws, n_accept_draws=per_walker.sum(),
             diagnostics=common.population_accept_diag_totals(
                 per_walker, s.n_keep_draws, thin))
 
     run_jit = common.make_population_runner(sweep)
+    if n_runs is not None:
+        vrun = jax.vmap(run_jit, in_axes=(0, 0, None, None))
 
     def assemble(key, state0, n_burnin, n_keep):
-        final_state, (draws, accepted) = run_jit(state0, key, n_burnin,
-                                                 n_keep)
+        if n_runs is None:
+            final_state, (draws, accepted) = run_jit(state0, key, n_burnin,
+                                                     n_keep)
+        else:
+            run_keys = jax.random.split(key, n_runs)
+            if mesh is not None:
+                from mcmc_tpu.parallel.mesh import shard_chain_axis
+                run_keys = shard_chain_axis(run_keys, mesh)
+            final_state, (draws, accepted) = vrun(state0, run_keys,
+                                                  n_burnin, n_keep)
+            # (n_runs, n_keep, n_pop, .) -> (n_keep, n_runs * n_pop, .):
+            # walkers of different runs are fully independent chains
+            draws = jnp.moveaxis(draws, 0, 1).reshape(
+                n_keep, n_runs * n_pop, n_vals)
+            accepted = jnp.moveaxis(accepted, 0, 1).reshape(
+                n_keep, n_runs * n_pop)
         draws = common.finalize_draws(draws, prob)
         return SamplerResult(
             draws=draws, n_accept_draws=accepted.sum(),

@@ -187,6 +187,52 @@ def test_sample_dispatcher():
     assert out.draws.shape == (400, 8, 2)
 
 
+def test_n_runs_independent_replicas():
+    """n_runs replicas each carry their own archive; pooled draws come back
+    as (n_keep, n_runs * n_pop, d) and cross-run R-hat (honest — no shared
+    archive across runs) converges."""
+    out = mcmc_tpu.demcz(
+        jnp.zeros(2), lambda v: -0.5 * jnp.sum(v * v),
+        mcmc_tpu.DEMCZSettings(n_pop=8, n_burnin_draws=1500,
+                               n_keep_draws=3000),
+        n_runs=4, key=jax.random.PRNGKey(20))
+    assert out.draws.shape == (3000, 32, 2)
+    pooled = np.asarray(out.draws).reshape(-1, 2)
+    assert np.abs(pooled.mean(0)).max() < 0.1
+    assert np.allclose(pooled.var(0), 1.0, atol=0.1)
+    assert float(diagnostics.split_rhat(out.draws).max()) < 1.05
+
+
+def test_n_runs_mesh_sharded():
+    from mcmc_tpu.parallel import make_mesh
+    x = 2.0 + jax.random.normal(jax.random.PRNGKey(1), (100,))
+    lk = models.gaussian_mean_model(x)
+    out = mcmc_tpu.demcz(jnp.array([1.0]), lk,
+                         mcmc_tpu.DEMCZSettings(n_pop=6,
+                                                n_burnin_draws=500,
+                                                n_keep_draws=1000),
+                         n_runs=8, mesh=make_mesh(8),
+                         key=jax.random.PRNGKey(21))
+    assert out.draws.shape == (1000, 48, 1)
+    assert abs(float(out.mean[0]) - 2.0) < 0.1
+    with pytest.raises(ValueError, match="replica"):
+        mcmc_tpu.demcz(jnp.zeros(2), lambda v: -0.5 * jnp.sum(v * v),
+                       mesh=make_mesh(8))
+
+
+def test_n_runs_checkpointed(tmp_path):
+    x = 2.0 + jax.random.normal(jax.random.PRNGKey(1), (50,))
+    lk = models.gaussian_mean_model(x)
+    out = mcmc_tpu.demcz(
+        jnp.array([1.0]), lk,
+        mcmc_tpu.DEMCZSettings(n_pop=6, n_burnin_draws=100,
+                               n_keep_draws=300),
+        n_runs=4, key=jax.random.PRNGKey(22),
+        checkpoint_dir=str(tmp_path), checkpoint_every=100)
+    assert out.draws.shape == (300, 24, 1)
+    assert abs(float(out.mean[0]) - 2.0) < 0.5
+
+
 def test_fit_demcz():
     """fit(algorithm='demcz'): derivative-free one-call path with the
     convergence gate and Laplace-box initialization."""
