@@ -19,10 +19,17 @@ Prints one JSON line: {"devices": [...], "samples_per_sec": [...],
 "efficiency": [...]}.
 
 ``--multiprocess N`` (CPU) self-spawns N-process runs for process counts
-1..N (4 virtual devices per process, Gloo collectives across the process
-boundary — the DCN path's software stand-in) and reports the weak-scaling
-efficiency across *processes*, the quantity the >= 85% multi-host target
-is about.
+1..N (``--devices-per-process`` virtual devices each, Gloo collectives
+across the process boundary — the DCN path's software stand-in) and reports
+the weak-scaling efficiency across *processes*, the quantity the >= 85%
+multi-host target is about. Size processes x devices to the PHYSICAL core
+count (e.g. 2 x 2 on a 4-core host): oversubscribed cores measure host
+contention, not the communication path.
+
+``--workload de`` switches the multiprocess sweep to the sharded DE-MCMC
+population sweep — one ``all_gather`` per generation CROSSING the process
+boundary (the collective-bearing path; the default chain-parallel HMC
+workload is collective-free).
 """
 
 import argparse
@@ -38,7 +45,20 @@ def _worker():
     """Multi-process worker: join the distributed runtime, run the
     chain-sharded workload on the global mesh, print samples/s (proc 0)."""
     import os
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    dpp = int(os.environ.get("MCMC_SCALING_DPP", "4"))
+    os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={dpp}"
+    # Pin each process to its own disjoint core set (process i owns cores
+    # [i*dpp, (i+1)*dpp)): XLA:CPU sizes its intra-op thread pool to ALL
+    # host cores regardless of the virtual device count, so without
+    # affinity two co-located processes contend on every core and the
+    # measurement reflects the host, not the communication path. Pinning is
+    # exactly the multi-host semantics being stood in for — each "host"
+    # owns its cores. Applied before jax initializes its thread pools.
+    _pid_ = int(os.environ["MCMC_SCALING_PID"])
+    _cores = os.sched_getaffinity(0)
+    want = set(range(_pid_ * dpp, (_pid_ + 1) * dpp))
+    if want <= _cores:
+        os.sched_setaffinity(0, want)
     import jax
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
@@ -49,6 +69,7 @@ def _worker():
     pid = int(os.environ["MCMC_SCALING_PID"])
     chains_per_dev = int(os.environ.get("MCMC_SCALING_CPD", "64"))
     seconds = float(os.environ.get("MCMC_SCALING_SECONDS", "4"))
+    workload = os.environ.get("MCMC_SCALING_WORKLOAD", "hmc")
 
     from mcmc_tpu.parallel import global_mesh, shard_chain_axis
     from mcmc_tpu.samplers import common
@@ -57,6 +78,10 @@ def _worker():
     if nproc > 1:
         jax.distributed.initialize(coordinator_address=f"localhost:{port}",
                                    num_processes=nproc, process_id=pid)
+
+    if workload == "de":
+        _worker_de(chains_per_dev, seconds, nproc, pid)
+        return
 
     D, N, L = 25, 200, 4
     X, y, _ = models.make_logistic_regression_data(jax.random.PRNGKey(0), N, D)
@@ -106,12 +131,90 @@ def _worker():
           flush=True)
 
 
-def _multiprocess_sweep(max_procs, chains_per_dev, seconds):
+def _worker_de(walkers_per_dev, seconds, nproc, pid):
+    """Collective-bearing multiprocess workload: the sharded DE population
+    sweep — ONE ``all_gather`` of the previous generation per sweep, crossing
+    the Gloo process boundary (the path the chain-parallel HMC workload never
+    exercises). Unlike the collective-free workload, the all_gather is a
+    barrier: every process completes the same sweep count, so the iteration
+    budget is FIXED (a time-based loop would deadlock the lagging process in
+    the collective when the leader stops calling)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from mcmc_tpu.parallel import global_mesh, shard_chain_axis
+    from mcmc_tpu.parallel.de_sharded import build_sharded_de_sweep
+    from mcmc_tpu.samplers.de import DEState
+    from mcmc_tpu import models
+    from mcmc_tpu.settings import DESettings
+
+    # the flagship 100-d logistic regression at tall-data size: enough
+    # per-generation compute (~20 ms/device) that the ~3 ms cross-process
+    # Gloo all_gather latency amortizes — the quantity weak scaling is
+    # about (a population too small to occupy one device has nothing to
+    # scale; on real DCN the collective is sub-ms for this 400 KB payload)
+    D, N = 100, 8000
+    X, y, _ = models.make_logistic_regression_data(jax.random.PRNGKey(0), N, D)
+    lk = models.logistic_regression_model(X, y)
+
+    mesh = global_mesh()
+    n_pop = walkers_per_dev * jax.device_count()
+    cfg = DESettings(n_pop=n_pop, n_keep_draws=1)
+    sweep = build_sharded_de_sweep(lk, cfg, D, mesh)
+
+    X0 = 0.05 * jax.random.normal(jax.random.PRNGKey(1), (n_pop, D))
+    kv0 = jax.vmap(lk)(X0)
+    state = DEState(X=shard_chain_axis(X0, mesh),
+                    kernel_vals=shard_chain_axis(kv0, mesh),
+                    gen_ind=jnp.asarray(0, jnp.int32))
+    keys = shard_chain_axis(jax.random.split(jax.random.PRNGKey(2), n_pop),
+                            mesh)
+
+    STEPS = 20
+
+    @jax.jit
+    def run(keys, state):
+        def body(c, _):
+            st, ks = c
+            pair = jax.vmap(lambda k: jax.random.split(k, 2))(ks)
+            st, _info = sweep(pair[:, 1], st)
+            return (st, pair[:, 0]), None
+        (st, ks), _ = lax.scan(body, (state, keys), None, length=STEPS)
+        return ks, st
+
+    keys, state = run(keys, state)           # compile
+    jax.block_until_ready(state.X)
+    # fixed call budget so every process-count row runs the same per-walker
+    # work; sync per call — XLA:CPU's in-process collective rendezvous
+    # deadlocks when many executions pipeline (device A races into call
+    # N+1's all_gather while device B still runs call N), so the collective
+    # workload cannot use the async back-to-back dispatch the collective-
+    # free one does (the 20-sweep scan inside each call still amortizes
+    # dispatch)
+    n_calls = max(4, int(seconds * 25))
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        keys, state = run(keys, state)
+        jax.block_until_ready(state.X)
+    el = time.perf_counter() - t0
+    print(json.dumps({"nproc": nproc, "pid": pid,
+                      "devices": jax.device_count(),
+                      "n_iters": n_calls, "elapsed": round(el, 4),
+                      "local_chains": n_pop // nproc, "steps": STEPS,
+                      "collective": "all_gather/sweep"}),
+          flush=True)
+
+
+def _multiprocess_sweep(max_procs, chains_per_dev, seconds,
+                        devices_per_process=4, workload="hmc"):
     """Spawn worker sets for 1..max_procs processes; report efficiency."""
     import os
     import socket
     import subprocess
 
+    ncores = os.cpu_count() or 1
+    oversubscribed = max_procs * devices_per_process > ncores
     results = []
     for nproc in range(1, max_procs + 1):
         s = socket.socket(); s.bind(("localhost", 0))
@@ -121,6 +224,8 @@ def _multiprocess_sweep(max_procs, chains_per_dev, seconds):
                     "MCMC_SCALING_PORT": str(port),
                     "MCMC_SCALING_NPROC": str(nproc),
                     "MCMC_SCALING_CPD": str(chains_per_dev),
+                    "MCMC_SCALING_DPP": str(devices_per_process),
+                    "MCMC_SCALING_WORKLOAD": workload,
                     "MCMC_SCALING_SECONDS": str(seconds)}
         procs = []
         try:
@@ -152,13 +257,22 @@ def _multiprocess_sweep(max_procs, chains_per_dev, seconds):
         results.append({"nproc": nproc, "samples_per_sec": round(sps, 1)})
 
     base = results[0]["samples_per_sec"]
+    wl_desc = {"hmc": "chain-sharded HMC (collective-free)",
+               "de": "sharded DE population sweep (one all_gather per "
+                     "generation crossing the process boundary)"}[workload]
+    note = ("single-machine CPU validation of the cross-process software "
+            "path (Gloo = the DCN stand-in); run on >= 2 real hosts for "
+            "the BASELINE hardware number")
+    if oversubscribed:
+        note += (f" — WARNING: {max_procs} x {devices_per_process} devices "
+                 f"oversubscribe the {ncores} physical cores, efficiency "
+                 f"reflects host contention")
     print(json.dumps({
-        "workload": "chain-sharded HMC, weak scaling over PROCESSES "
-                    "(4 virtual CPU devices each; Gloo cross-process)",
-        "note": "single-machine CPU validation: processes share physical "
-                "cores, so efficiency here reflects host contention, not "
-                "the DCN path — run on >= 2 real hosts for the BASELINE "
-                "number",
+        "workload": f"{wl_desc}, weak scaling over PROCESSES "
+                    f"({devices_per_process} virtual CPU devices each; "
+                    f"Gloo cross-process)",
+        "note": note,
+        "physical_cores": ncores,
         "chains_per_device": chains_per_dev,
         "processes": [r["nproc"] for r in results],
         "samples_per_sec": [r["samples_per_sec"] for r in results],
@@ -178,13 +292,24 @@ def main():
     ap.add_argument("--multiprocess", type=int, default=0, metavar="N",
                     help="self-spawn 1..N CPU processes and report "
                          "cross-process weak-scaling efficiency")
+    ap.add_argument("--devices-per-process", type=int, default=4,
+                    help="virtual CPU devices per process in --multiprocess "
+                         "(size N x this to the physical core count)")
+    ap.add_argument("--workload", choices=["hmc", "de"], default="hmc",
+                    help="--multiprocess workload: hmc = collective-free "
+                         "chain-parallel; de = all_gather per generation "
+                         "across the process boundary")
     ap.add_argument("--chains-per-device", type=int, default=4096)
     ap.add_argument("--seconds", type=float, default=5.0)
     args = ap.parse_args()
 
     if args.multiprocess:
+        # the collective-free HMC worker saturates a core at 64 chains; the
+        # DE worker needs a larger population for the collective to amortize
+        cap = 64 if args.workload == "hmc" else 512
         _multiprocess_sweep(args.multiprocess,
-                            min(args.chains_per_device, 64), args.seconds)
+                            min(args.chains_per_device, cap), args.seconds,
+                            args.devices_per_process, args.workload)
         return
 
     import os

@@ -126,6 +126,12 @@ def pt_sharded(initial_vals, log_kernel, settings=None, *, mesh: Mesh,
 
     key, swap_key = jax.random.split(key)
     dev_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(jnp.arange(K))
+    # place the per-rung keys as a mesh-sharded (global) array: on a
+    # multi-process mesh shard_map inputs must be global jax.Arrays (every
+    # process computes the identical host value and contributes its
+    # addressable shards); on a single process this is a plain device_put
+    from mcmc_tpu.parallel.mesh import shard_chain_axis
+    dev_keys = shard_chain_axis(dev_keys, mesh, axis_name)
     sharded = shard_map(
         ladder_run, mesh=mesh,
         in_specs=(P(axis_name),),
