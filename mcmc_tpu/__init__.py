@@ -122,11 +122,40 @@ def sample(algorithm, initial_vals, log_kernel, settings=None, **kwargs):
     return fn(initial_vals, log_kernel, settings, **kwargs)
 
 
+def _fit_ravel(initial_vals, log_kernel, lower_bounds, upper_bounds):
+    """Pytree front-end for :func:`fit`: structured initial values (a dict,
+    or anything :func:`jnp.asarray` rejects) auto-ravel through
+    :func:`ravel_model`; bounds given as pytree prefixes (or scalars) map
+    through :func:`bounds_like`. Returns
+    ``(x0, log_kernel, lb, ub, unravel)`` with ``unravel=None`` for plain
+    flat input."""
+    if callable(initial_vals) and not hasattr(initial_vals, "__array__"):
+        # the classic (log_kernel, initial_vals) swap — fall through to the
+        # flat path so setup_problem raises its actionable "argument order"
+        # TypeError instead of a deep ravel_pytree dtype error
+        return initial_vals, log_kernel, lower_bounds, upper_bounds, None
+    is_tree = isinstance(initial_vals, dict)
+    if not is_tree:
+        try:
+            jnp.asarray(initial_vals)
+        except (TypeError, ValueError):
+            is_tree = True
+    if not is_tree:
+        return initial_vals, log_kernel, lower_bounds, upper_bounds, None
+    x0, lk, unravel = ravel_model(initial_vals, log_kernel)
+    if lower_bounds is not None:
+        lower_bounds = bounds_like(initial_vals, lower_bounds, -jnp.inf)
+    if upper_bounds is not None:
+        upper_bounds = bounds_like(initial_vals, upper_bounds, jnp.inf)
+    return x0, lk, lower_bounds, upper_bounds, unravel
+
+
 def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
         key=None, mesh=None, algorithm="nuts", dense_mass=False,
-        target_accept=None, max_tree_depth=10, init=None,
+        target_accept=None, max_tree_depth=10, n_leap_steps=16, init=None,
         lower_bounds=None, upper_bounds=None,
-        rhat_target=None, min_ess=None, max_rounds=8):
+        rhat_target=None, min_ess=None, max_rounds=8,
+        checkpoint_dir=None, thin=1):
     """One-call posterior fit with full automatic warmup.
 
     ``algorithm="nuts"`` (default) runs NUTS with pooled dual-averaging
@@ -134,24 +163,38 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
     full-covariance with ``dense_mass=True``); ``algorithm="chees"`` runs
     ChEES-HMC with diagonal mass — the recommended choice for large chain
     batches on TPU (~9x NUTS min-ESS/s on the flagship benchmark).
-    ``target_accept`` defaults per algorithm (0.8 NUTS / 0.651 ChEES);
-    ``dense_mass`` selects full-covariance mass for either algorithm;
-    ``max_tree_depth`` is NUTS-only. ``algorithm="stretch"`` runs the
-    affine-invariant ensemble — the derivative-free choice when
-    ``log_kernel`` is not differentiable (``n_chains`` maps to walkers,
-    min ``max(2 * dim, 32)`` and even; no tuning parameters exist to warm
-    up, so ``n_warmup`` is plain burn-in). ``algorithm="slice"`` runs
-    slice-within-Gibbs — derivative-free with per-coordinate self-tuning
-    brackets; prefer it over ``"stretch"`` at small ``n_chains`` or when
-    walkers cannot span the dimension. ``algorithm="demcz"`` runs DE-MC(Z)
-    — derivative-free with a tiny population (``n_chains`` maps to
-    ``n_pop``, min 4): archive-based difference proposals span the space
-    even when the walkers cannot. ``init="laplace"`` first finds
-    the posterior mode (:func:`mcmc_tpu.map_laplace`, batched-Adam MAP) and
-    starts every chain from an overdispersed draw of the Laplace Gaussian
-    instead of ``initial_vals`` directly. ``lower_bounds``/``upper_bounds``
-    (either or both, per-dimension, inf = unbounded) apply the same box-
-    constraint transform stack as the sampler entry points.
+    ``target_accept`` defaults per algorithm (0.8 NUTS / 0.651 ChEES /
+    0.8 HMC / 0.574 MALA); ``dense_mass`` selects full-covariance mass
+    (NUTS/ChEES/HMC) or a dense learned preconditioner (MALA, unbounded
+    only); ``max_tree_depth`` is NUTS-only. ``algorithm="hmc"`` runs
+    fixed-trajectory HMC (``n_leap_steps`` leapfrogs, default 16) with
+    adapted step size and mass — the predictable-cost gradient sampler;
+    ``algorithm="mala"`` runs MALA with adapted step size and learned
+    preconditioner — the one-gradient-per-draw choice for cheap targets.
+    ``algorithm="stretch"`` runs the affine-invariant ensemble — the
+    derivative-free choice when ``log_kernel`` is not differentiable
+    (``n_chains`` maps to walkers, min ``max(2 * dim, 32)`` and even; no
+    tuning parameters exist to warm up, so ``n_warmup`` is plain burn-in).
+    ``algorithm="slice"`` runs slice-within-Gibbs — derivative-free with
+    per-coordinate self-tuning brackets; prefer it over ``"stretch"`` at
+    small ``n_chains`` or when walkers cannot span the dimension.
+    ``algorithm="demcz"`` runs DE-MC(Z) — derivative-free with a tiny
+    population (``n_chains`` maps to ``n_pop``, min 4): archive-based
+    difference proposals span the space even when the walkers cannot.
+    ``init="laplace"`` first finds the posterior mode
+    (:func:`mcmc_tpu.map_laplace`, batched-Adam MAP) and starts every
+    chain from an overdispersed draw of the Laplace Gaussian instead of
+    ``initial_vals`` directly. ``lower_bounds``/``upper_bounds`` (either
+    or both, per-dimension, inf = unbounded) apply the same box-constraint
+    transform stack as the sampler entry points.
+
+    **Pytree models**: ``initial_vals`` may be a parameter pytree (e.g.
+    ``{"mu": jnp.zeros(3), "sigma": 1.0}``) with ``log_kernel`` taking the
+    same structure — fit ravels it onto the flat API automatically
+    (:func:`ravel_model`); bounds may then be pytree prefixes or scalars
+    (:func:`bounds_like`). ``diagnostics["unravel"]`` holds the
+    flat->tree function; ``unravel_draws(out.draws,
+    out.diagnostics["unravel"])`` restores structure.
 
     Run-until-converged: setting ``rhat_target`` (e.g. 1.01, checked
     against the max rank-normalized split R-hat) and/or ``min_ess``
@@ -160,14 +203,24 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
     trajectory state carried — until the gates pass or ``max_rounds``
     segments have run. ``diagnostics["n_rounds"]`` and
     ``diagnostics["converged"]`` record the outcome; per-draw trace
-    diagnostics reflect the final segment only. All algorithms
-    attach
-    ``diagnostics.summary`` (mean, sd, MCSE, quantiles, HDI, split/rank
-    R-hat, bulk/tail ESS). The "it just works" entry point the reference's
+    diagnostics reflect the final segment only.
+
+    ``checkpoint_dir`` streams kept draws to the native draw sink and
+    checkpoints sampler state so a killed fit resumes bit-identically
+    (:mod:`mcmc_tpu.checkpoint`); it composes with the convergence gates —
+    each extension round re-enters the same directory with a larger draw
+    total, which the chunked runner treats as a seamless continuation of
+    the same stream (only the new draws execute). ``thin=k`` advances
+    ``k`` transitions per stored draw. All algorithms attach
+    ``diagnostics["summary"]`` (mean, sd, MCSE, quantiles, HDI, split/rank
+    R-hat, bulk/tail ESS) — computed from the draw-sink memmap in
+    checkpointed runs. The "it just works" entry point the reference's
     fixed-settings API cannot offer.
     """
     if init not in (None, "laplace"):
         raise ValueError(f"fit init must be None or 'laplace', got {init!r}")
+    initial_vals, log_kernel, lower_bounds, upper_bounds, unravel = \
+        _fit_ravel(initial_vals, log_kernel, lower_bounds, upper_bounds)
     extend = rhat_target is not None or min_ess is not None
     if (extend or init == "laplace") and key is None:
         key = jax.random.PRNGKey(0)
@@ -187,85 +240,142 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
     k_run = None
     if key is not None:
         key, k_run = jax.random.split(key)
-    if algorithm == "chees":
-        if init == "laplace":
-            initial_vals = _laplace_init(n_chains)
-        cs = ChEESSettings(n_burnin_draws=n_warmup, n_keep_draws=n_draws)
-        if target_accept is not None:
-            cs.target_accept_rate = target_accept
-        cs = _algo({"chees_settings": cs})
-        out = chees(initial_vals, log_kernel, cs, n_chains=n_chains, key=k_run,
-                    mesh=mesh, return_resume=extend,
-                    adapt_mass_matrix="dense" if dense_mass else "diag")
-    elif algorithm == "nuts":
-        if init == "laplace":
-            initial_vals = _laplace_init(n_chains)
-        s = NUTSSettings(
-            n_burnin_draws=n_warmup, n_keep_draws=n_draws, n_adapt_draws=n_warmup,
-            target_accept_rate=0.8 if target_accept is None else target_accept,
-            max_tree_depth=max_tree_depth,
-        )
-        s = _algo({"nuts_settings": s})
-        out = nuts(initial_vals, log_kernel, s, n_chains=n_chains, key=k_run,
-                   mesh=mesh, pooled_adaptation=True, return_resume=extend,
-                   adapt_mass_matrix="dense" if dense_mass else "diag")
-    elif algorithm == "slice":
-        if init == "laplace":
-            initial_vals = _laplace_init(n_chains)
-        sls = SliceSettings(n_burnin_draws=n_warmup, n_keep_draws=n_draws)
-        sls = _algo({"slice_settings": sls})
-        out = slice_sampler(initial_vals, log_kernel, sls,
-                            n_chains=n_chains, key=k_run, mesh=mesh,
-                            return_resume=extend)
-    elif algorithm == "stretch":
-        import numpy as _np
-        dim = int(_np.asarray(initial_vals).shape[-1])
-        n_walkers = max(int(n_chains), 2 * dim, 32)
-        n_walkers += n_walkers % 2
-        if mesh is not None:   # two shardable halves per device
-            m = 2 * int(_np.prod(list(mesh.shape.values())))
-            n_walkers = ((n_walkers + m - 1) // m) * m
-        ss = StretchSettings(n_walkers=n_walkers, n_burnin_draws=n_warmup,
-                             n_keep_draws=n_draws)
-        if init == "laplace":
-            # ensemble centers on the MAP with curvature-matched spread
-            # (the walker ball lives in unconstrained space, as does cov)
-            initial_vals = lap.mode
-            ss.init_spread = jnp.sqrt(jnp.diagonal(lap.cov))
-        ss = _algo({"stretch_settings": ss})
-        out = stretch(initial_vals, log_kernel, ss, key=k_run, mesh=mesh,
-                      return_resume=extend)
-    elif algorithm == "demcz":
-        if mesh is not None:
-            raise ValueError(
-                "fit(algorithm='demcz') does not take mesh: the population "
-                "is deliberately tiny (scale by replicating runs instead)")
-        zs = DEMCZSettings(n_pop=max(int(n_chains), 4),
-                           n_burnin_draws=n_warmup, n_keep_draws=n_draws)
-        if init == "laplace":
-            # center the initial box on the MAP with curvature-matched
-            # half-width; init_box builds it in unconstrained space (where
-            # lap.cov lives) and maps back, so bounded parameters get a
-            # correctly scaled constrained-space box
-            initial_vals = lap.mode
-            zs.initial_lb, zs.initial_ub = lap.init_box(2.0)
-        zs = _algo({"demcz_settings": zs})
-        out = demcz(initial_vals, log_kernel, zs, key=k_run,
-                    return_resume=extend)
-    else:
+
+    chain_algos = ("nuts", "chees", "hmc", "mala", "slice")
+    if algorithm in chain_algos and init == "laplace":
+        initial_vals = _laplace_init(n_chains)
+    ckpt = None if checkpoint_dir is None else str(checkpoint_dir)
+
+    def _run(total_keep, want_resume):
+        """One sampler invocation with ``total_keep`` kept draws. In
+        checkpointed extension rounds ``total_keep`` grows while the
+        directory stays fixed — the chunked runner resumes the stream."""
+        kw = dict(key=k_run, mesh=mesh, checkpoint_dir=ckpt, thin=thin,
+                  return_resume=want_resume)
+        # fit is the "it just works" surface: gradient samplers use the
+        # EXACT unconstrained-space gradient (grad of box kernel incl. the
+        # log-Jacobian), not the reference's quirked bounded-gradient
+        # convention — the quirk mis-shapes proposals near bounds (stuck
+        # chains) and, for MALA, biases the stationary distribution
+        # (samplers/mala.py module docstring). The direct entry points keep
+        # the reference default for parity.
+        grad_kw = dict(bounded_grad="exact")
+        if algorithm == "chees":
+            cs = ChEESSettings(n_burnin_draws=n_warmup,
+                               n_keep_draws=total_keep)
+            if target_accept is not None:
+                cs.target_accept_rate = target_accept
+            return chees(initial_vals, log_kernel,
+                         _algo({"chees_settings": cs}), n_chains=n_chains,
+                         adapt_mass_matrix="dense" if dense_mass else "diag",
+                         **grad_kw, **kw)
+        if algorithm == "nuts":
+            s = NUTSSettings(
+                n_burnin_draws=n_warmup, n_keep_draws=total_keep,
+                n_adapt_draws=n_warmup,
+                target_accept_rate=(0.8 if target_accept is None
+                                    else target_accept),
+                max_tree_depth=max_tree_depth,
+            )
+            return nuts(initial_vals, log_kernel, _algo({"nuts_settings": s}),
+                        n_chains=n_chains, pooled_adaptation=True,
+                        adapt_mass_matrix="dense" if dense_mass else "diag",
+                        **grad_kw, **kw)
+        if algorithm == "hmc":
+            hs = HMCSettings(n_burnin_draws=n_warmup, n_keep_draws=total_keep,
+                             n_leap_steps=int(n_leap_steps), step_size=0.1)
+            return hmc(initial_vals, log_kernel, _algo({"hmc_settings": hs}),
+                       n_chains=n_chains, adapt_step_size=True,
+                       target_accept=target_accept,
+                       adapt_mass_matrix="dense" if dense_mass else "diag",
+                       **grad_kw, **kw)
+        if algorithm == "mala":
+            ms = MALASettings(n_burnin_draws=n_warmup,
+                              n_keep_draws=total_keep, step_size=0.1)
+            return mala(initial_vals, log_kernel,
+                        _algo({"mala_settings": ms}), n_chains=n_chains,
+                        adapt_step_size=True, target_accept=target_accept,
+                        adapt_precond="dense" if dense_mass else "diag",
+                        pooled_adaptation=True, **grad_kw, **kw)
+        if algorithm == "slice":
+            sls = SliceSettings(n_burnin_draws=n_warmup,
+                                n_keep_draws=total_keep)
+            return slice_sampler(initial_vals, log_kernel,
+                                 _algo({"slice_settings": sls}),
+                                 n_chains=n_chains, **kw)
+        if algorithm == "stretch":
+            import numpy as _np
+            dim = int(_np.asarray(initial_vals).shape[-1])
+            n_walkers = max(int(n_chains), 2 * dim, 32)
+            n_walkers += n_walkers % 2
+            if mesh is not None:   # two shardable halves per device
+                m = 2 * int(_np.prod(list(mesh.shape.values())))
+                n_walkers = ((n_walkers + m - 1) // m) * m
+            ss = StretchSettings(n_walkers=n_walkers, n_burnin_draws=n_warmup,
+                                 n_keep_draws=total_keep)
+            iv = initial_vals
+            if init == "laplace":
+                # ensemble centers on the MAP with curvature-matched spread
+                # (the walker ball lives in unconstrained space, as does cov)
+                iv = lap.mode
+                ss.init_spread = jnp.sqrt(jnp.diagonal(lap.cov))
+            return stretch(iv, log_kernel, _algo({"stretch_settings": ss}),
+                           **kw)
+        if algorithm == "demcz":
+            if mesh is not None:
+                raise ValueError(
+                    "fit(algorithm='demcz') does not take mesh: the "
+                    "population is deliberately tiny (scale by replicating "
+                    "runs instead)")
+            zs = DEMCZSettings(n_pop=max(int(n_chains), 4),
+                               n_burnin_draws=n_warmup,
+                               n_keep_draws=total_keep)
+            iv = initial_vals
+            if init == "laplace":
+                # center the initial box on the MAP with curvature-matched
+                # half-width; init_box builds it in unconstrained space
+                # (where lap.cov lives) and maps back, so bounded parameters
+                # get a correctly scaled constrained-space box
+                iv = lap.mode
+                zs.initial_lb, zs.initial_ub = lap.init_box(2.0)
+            kw.pop("mesh")
+            return demcz(iv, log_kernel, _algo({"demcz_settings": zs}), **kw)
         raise ValueError(
-            f"fit algorithm must be 'nuts', 'chees', 'stretch', 'slice', "
-            f"or 'demcz', got {algorithm!r}")
-    if extend:
+            f"fit algorithm must be 'nuts', 'chees', 'hmc', 'mala', "
+            f"'stretch', 'slice', or 'demcz', got {algorithm!r}")
+
+    def _gates_ok(d):
+        ok = (rhat_target is None
+              or float(diagnostics.rank_normalized_rhat(d).max())
+              <= rhat_target)
+        if ok and min_ess is not None:
+            ok = float(diagnostics.bulk_ess(d).min()) >= min_ess
+        return ok
+
+    if not extend:
+        out = _run(n_draws, False)
+    elif ckpt is not None:
+        # checkpointed extension: re-enter the same directory with a grown
+        # total — the chunked runner resumes the carried key/state stream,
+        # so each round computes only the new draws (bit-identical to one
+        # long run); gates evaluate the full sink contents
+        rounds = 1
+        while True:
+            out = _run(n_draws * rounds, False)
+            d = jnp.asarray(out.draws)
+            ok = _gates_ok(d)
+            if ok or rounds >= max_rounds:
+                break
+            rounds += 1
+        out.diagnostics["n_rounds"] = rounds
+        out.diagnostics["converged"] = ok
+    else:
+        out = _run(n_draws, True)
         resume = out.diagnostics.pop("resume")
         segs, accepts, rounds = [out.draws], [out.n_accept_draws], 1
         while True:
             d = jnp.concatenate(segs, axis=0) if len(segs) > 1 else segs[0]
-            ok = (rhat_target is None
-                  or float(diagnostics.rank_normalized_rhat(d).max())
-                  <= rhat_target)
-            if ok and min_ess is not None:
-                ok = float(diagnostics.bulk_ess(d).min()) >= min_ess
+            ok = _gates_ok(d)
             if ok or rounds >= max_rounds:
                 break
             key, k_ext = jax.random.split(key)
@@ -281,6 +391,8 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
             draws=d, n_accept_draws=n_acc,
             diagnostics={**out.diagnostics, "n_rounds": rounds,
                          "converged": ok})
+    if unravel is not None:
+        out.diagnostics["unravel"] = unravel
     out.diagnostics["summary"] = diagnostics.summary(out.draws)
     return out
 

@@ -473,3 +473,42 @@ def test_chunked_runner_progress_callback(tmp_path):
     assert [m["done"] for m in msgs] == [10, 20, 30]
     assert [m["phase"] for m in msgs] == ["burnin", "keep", "keep"]
     assert all(m["total"] == 30 and m["draws_per_s"] > 0 for m in msgs)
+
+
+def test_checkpointed_nuts_diagnostics_equal_in_memory(tmp_path):
+    """Diagnostics parity (VERDICT r2 item 4): a checkpointed NUTS run's
+    draws — and therefore every draw-derived diagnostic (summary, split/rank
+    R-hat, bulk/tail ESS) computed from the drawsink memmap — equal the
+    in-memory run's for the same key, and the totals-mode diagnostics match
+    the in-memory traces' reductions."""
+    import mcmc_tpu
+    from mcmc_tpu import diagnostics as diag
+
+    lk = lambda v: -0.5 * jnp.sum(v ** 2)
+    s = mcmc_tpu.NUTSSettings(n_burnin_draws=100, n_keep_draws=200,
+                              n_adapt_draws=100)
+    out_mem = mcmc_tpu.nuts(jnp.zeros(2), lk, s, n_chains=4,
+                            key=jax.random.PRNGKey(5))
+    out_ck = mcmc_tpu.nuts(jnp.zeros(2), lk, s, n_chains=4,
+                           key=jax.random.PRNGKey(5),
+                           checkpoint_dir=tmp_path / "nd", checkpoint_every=64)
+    d_mem = np.asarray(out_mem.draws)
+    d_ck = np.asarray(out_ck.draws)
+    np.testing.assert_array_equal(d_mem, d_ck)
+
+    s_mem = diag.summary(d_mem)
+    s_ck = diag.summary(d_ck)
+    for k in s_mem:
+        np.testing.assert_allclose(np.asarray(s_mem[k]), np.asarray(s_ck[k]),
+                                   rtol=1e-6, err_msg=k)
+
+    # totals-mode diagnostics == reductions of the in-memory traces
+    np.testing.assert_array_equal(
+        np.asarray(out_ck.diagnostics["n_divergent"]),
+        np.asarray(out_mem.diagnostics["n_divergent"]))
+    np.testing.assert_allclose(
+        np.asarray(out_ck.diagnostics["mean_tree_depth"]),
+        np.asarray(out_mem.diagnostics["tree_depth"]).mean(axis=0),
+        rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out_mem.n_accept_draws),
+                                  np.asarray(out_ck.n_accept_draws))

@@ -122,3 +122,78 @@ def test_fit_slice_with_bounds_and_convergence_gate():
 
     with pytest.raises(ValueError, match="fit algorithm"):
         mcmc_tpu.fit(jnp.zeros(1), lk, algorithm="gibbs")
+
+
+def test_fit_hmc_and_mala_adapted():
+    """fit(algorithm='hmc'|'mala') (VERDICT r2 item 8): adapted step size +
+    learned mass/preconditioner converge on the correlated Gaussian."""
+    lk = _gauss2()
+    for algo, kw in [("hmc", dict(n_leap_steps=8)), ("mala", {})]:
+        out = mcmc_tpu.fit(jnp.zeros(2), lk, algorithm=algo, n_chains=16,
+                           n_warmup=400, n_draws=400,
+                           key=jax.random.PRNGKey(7), **kw)
+        d = np.asarray(out.draws)
+        assert d.shape == (400, 16, 2)
+        np.testing.assert_allclose(d.mean(axis=(0, 1)), 0.0, atol=0.2)
+        emp = np.cov(d.reshape(-1, 2).T)
+        assert emp[0, 1] == pytest.approx(0.5, abs=0.2), algo
+        assert "summary" in out.diagnostics
+        assert "adapted_step_size" in out.diagnostics
+        # adapted runs must actually move
+        acc = float(np.asarray(out.n_accept_draws).mean()) / 400
+        assert 0.3 < acc <= 1.0, (algo, acc)
+
+
+def test_fit_pytree_model():
+    """fit accepts a parameter pytree directly: initial values as a dict,
+    bounds as pytree prefixes, unravel attached (VERDICT r2 item 8)."""
+    x = 2.0 + 0.5 * jax.random.normal(jax.random.PRNGKey(0), (200,))
+
+    def lk_tree(p):
+        return (-0.5 * jnp.sum((x - p["mu"]) ** 2) / p["sigma"] ** 2
+                - 200 * jnp.log(p["sigma"]) - 0.5 * p["mu"] ** 2 / 100.0)
+
+    out = mcmc_tpu.fit({"mu": jnp.array(0.0), "sigma": jnp.array(1.0)},
+                       lk_tree, algorithm="nuts", n_chains=8,
+                       n_warmup=300, n_draws=300, key=jax.random.PRNGKey(9),
+                       lower_bounds={"mu": None, "sigma": 0.0})
+    assert out.draws.shape == (300, 8, 2)
+    unravel = out.diagnostics["unravel"]
+    tree = mcmc_tpu.unravel_draws(out.draws, unravel)
+    assert set(tree) == {"mu", "sigma"}
+    assert tree["mu"].shape == (300, 8)
+    assert float(tree["mu"].mean()) == pytest.approx(2.0, abs=0.15)
+    assert float(tree["sigma"].mean()) == pytest.approx(0.5, abs=0.1)
+    assert bool((tree["sigma"] > 0).all())     # bound respected
+
+
+def test_fit_checkpoint_convergence_gate(tmp_path):
+    """fit(checkpoint_dir=..., min_ess=...) composes (VERDICT r2 item 4):
+    extension rounds re-enter the same directory with a grown total (the
+    chunked runner continues the stream), gates evaluate the full sink, and
+    the summary is computed from the memmap."""
+    lk = _gauss2()
+    out = mcmc_tpu.fit(jnp.zeros(2), lk, algorithm="chees", n_chains=16,
+                       n_warmup=300, n_draws=150, key=jax.random.PRNGKey(2),
+                       min_ess=2500, max_rounds=6,
+                       checkpoint_dir=tmp_path / "fitck",
+                       )
+    rounds = int(out.diagnostics["n_rounds"])
+    assert out.diagnostics["converged"]
+    assert rounds >= 2                          # 150x16 draws can't hit 2500
+    assert out.draws.shape == (150 * rounds, 16, 2)
+    assert float(np.asarray(out.diagnostics["summary"]["ess_bulk"]).min()) \
+        >= 2500
+    # the sink holds exactly the final stream
+    from mcmc_tpu.runtime import read_draws
+    sunk = np.asarray(read_draws(tmp_path / "fitck" / "draws.bin"))
+    np.testing.assert_array_equal(sunk, np.asarray(out.draws))
+
+
+def test_fit_thin_passthrough():
+    lk = _gauss2()
+    out = mcmc_tpu.fit(jnp.zeros(2), lk, algorithm="chees", n_chains=16,
+                       n_warmup=200, n_draws=100, thin=3,
+                       key=jax.random.PRNGKey(4))
+    assert out.draws.shape == (100, 16, 2)
+    assert int(out.diagnostics["thin"]) == 3
