@@ -42,11 +42,20 @@ N_DATA = 1000
 N_LEAP = 4
 STEP_SIZE = 0.01
 
-# 1024 chains measured ~45% higher min-ESS/s than 256 (4096 exhausts HBM
-# with the collected draw buffer); see round-2 chains-scaling probe
+# 1024 chains measured ~45% higher min-ESS/s than 256; 2048/4096 pay a
+# growing lockstep straggler tax per draw (round-2/3 chains-scaling
+# probes, benchmarks/nuts_probe.py) — 1024 is the min-ESS/s-optimal batch.
+# The 4096-chain line below demonstrates the large-batch path with
+# on-device (chunked-FFT) diagnostics: no draw transfer, no HBM blowup.
 NUTS_CHAINS = 1024
+NUTS_BIG_CHAINS = 4096
 NUTS_WARMUP = 500
 NUTS_KEEP = 1000
+# round-3 protocol probe (benchmarks/nuts_probe.py, all rank-R-hat <= 1.01,
+# 0 divergences): target 0.8 -> 486k min-ESS/s, 0.65 -> 685k, 0.55 -> 715k;
+# draws/s saturates at ~630k from 0.65 down, so 0.65 keeps the larger
+# stability margin at the same speed
+NUTS_TARGET_ACCEPT = 0.65
 
 
 def cpp_baseline_steps_per_sec():
@@ -116,10 +125,18 @@ def measure_throughput(X, y, on_tpu):
     return total / elapsed, float(acc)
 
 
-def measure_nuts_quality(log_kernel):
+def measure_nuts_quality(log_kernel, n_chains=NUTS_CHAINS, prefix="nuts",
+                         device_diag=False):
     """Adapted-NUTS ESS/sec with a convergence gate (VERDICT r1 item 1):
     pooled dual averaging + windowed diag mass + depth budget over
-    NUTS_WARMUP draws, then a timed sampling phase of NUTS_KEEP draws."""
+    NUTS_WARMUP draws, then a timed sampling phase of NUTS_KEEP draws.
+
+    ``device_diag=True`` (the 4096-chain line, VERDICT r2 item 2a) keeps
+    the draw history in HBM and computes diagnostics on device — ESS via
+    the chunked-FFT estimator (``diagnostics.ess(chain_chunk=...)``) whose
+    workspace stays bounded; only reduced scalars cross the host link.
+    Rank R-hat (a full pooled argsort) is skipped at that size; split
+    R-hat gates."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -130,23 +147,24 @@ def measure_nuts_quality(log_kernel):
     from mcmc_tpu.samplers.nuts import build_nuts_kernel
 
     s = mcmc_tpu.NUTSSettings(n_burnin_draws=NUTS_WARMUP, n_keep_draws=NUTS_KEEP,
-                              n_adapt_draws=NUTS_WARMUP, target_accept_rate=0.8)
+                              n_adapt_draws=NUTS_WARMUP,
+                              target_accept_rate=NUTS_TARGET_ACCEPT)
     precond = common.make_spd(None, DIM, jnp.float32)
     init, step = build_nuts_kernel(log_kernel, jax.grad(log_kernel), precond,
                                    s, NUTS_WARMUP, pooled_adaptation=True,
                                    adapt_mass_matrix=True, adapt_depth=True)
     bstep = jax.vmap(step, axis_name=common.CHAIN_AXIS_NAME)
 
-    keys = jax.random.split(jax.random.PRNGKey(11), NUTS_CHAINS)
-    pos0 = 0.05 * jax.random.normal(jax.random.PRNGKey(12), (NUTS_CHAINS, DIM))
+    keys = jax.random.split(jax.random.PRNGKey(11), n_chains)
+    pos0 = 0.05 * jax.random.normal(jax.random.PRNGKey(12), (n_chains, DIM))
     state0 = jax.vmap(init, axis_name=common.CHAIN_AXIS_NAME)(keys, pos0)
 
-    def scan_phase(n, collect):
+    def make_scan(bstep_fn, n, collect):
         def run(state, ks):
             def body(c, _):
                 st, k = c
                 pairs = jax.vmap(lambda kk: jax.random.split(kk, 2))(k)
-                st, info = bstep(pairs[:, 1], st)
+                st, info = bstep_fn(pairs[:, 1], st)
                 out = (st.position, info["tree_depth"], info["diverged"]) \
                     if collect else None
                 return (st, pairs[:, 0]), out
@@ -154,14 +172,32 @@ def measure_nuts_quality(log_kernel):
             return st, k, outs
         return jax.jit(run)
 
-    warm = scan_phase(NUTS_WARMUP, collect=False)
-    samp = scan_phase(NUTS_KEEP, collect=True)
+    warm = make_scan(bstep, NUTS_WARMUP, collect=False)
 
-    ks = jax.random.split(jax.random.PRNGKey(13), NUTS_CHAINS)
+    ks = jax.random.split(jax.random.PRNGKey(13), n_chains)
     t0 = time.perf_counter()
     stw, ks, _ = warm(state0, ks)
     jax.block_until_ready(stw)
     t_warm = time.perf_counter() - t0
+
+    # static tree recap (round-3, mcmc_tpu.nuts(static_sampling_depth=True)):
+    # the sampling kernel is rebuilt with the learned depth budget as the
+    # static tree size — checkpoint buffers and the per-leaf U-turn scan
+    # shrink from max_depth=10 to cap (~4); measured 2.0x draws/s at
+    # identical R-hat on this posterior (benchmarks/nuts_probe.py)
+    cap = int(jnp.max(jnp.asarray(stw.depth_cap)))
+    s2 = mcmc_tpu.NUTSSettings(
+        n_burnin_draws=NUTS_WARMUP, n_keep_draws=NUTS_KEEP,
+        n_adapt_draws=NUTS_WARMUP, target_accept_rate=NUTS_TARGET_ACCEPT,
+        max_tree_depth=cap)
+    _i2, step2 = build_nuts_kernel(log_kernel, jax.grad(log_kernel), precond,
+                                   s2, NUTS_WARMUP, pooled_adaptation=True,
+                                   adapt_mass_matrix=True)
+    stw = stw._replace(
+        depth_hist=jnp.zeros((n_chains, cap + 1), jnp.int32),
+        depth_cap=jnp.full((n_chains,), cap, jnp.int32))
+    bstep = jax.vmap(step2, axis_name=common.CHAIN_AXIS_NAME)
+    samp = make_scan(bstep, NUTS_KEEP, collect=True)
 
     # compile the sampling phase off the clock, then measure
     _st, _ks, outs = samp(stw, ks)
@@ -171,25 +207,39 @@ def measure_nuts_quality(log_kernel):
     jax.block_until_ready(draws)
     t_samp = time.perf_counter() - t0
 
-    ess = diagnostics.ess(draws)
-    rhat = float(diagnostics.split_rhat(draws).max())
-    rank_rhat = float(diagnostics.rank_normalized_rhat(draws).max())
+    p = prefix
+    if device_diag:
+        ess_min = float(jax.jit(
+            lambda d: diagnostics.ess(d, chain_chunk=512).min())(draws))
+        rhat = float(jax.jit(lambda d: diagnostics.split_rhat(d).max())(draws))
+        extra = {}
+    else:
+        import numpy as np
+        draws = np.asarray(draws)
+        ess_min = float(diagnostics.ess(draws).min())
+        rhat = float(diagnostics.split_rhat(draws).max())
+        extra = {
+            f"{p}_bulk_ess_per_sec": round(
+                float(diagnostics.bulk_ess(draws).min()) / t_samp, 1),
+            f"{p}_tail_ess_per_sec": round(
+                float(diagnostics.tail_ess(draws).min()) / t_samp, 1),
+            f"{p}_max_rank_rhat": round(
+                float(diagnostics.rank_normalized_rhat(draws).max()), 4),
+        }
     return {
-        "nuts_min_ess_per_sec": round(float(ess.min()) / t_samp, 1),
-        "nuts_bulk_ess_per_sec": round(
-            float(diagnostics.bulk_ess(draws).min()) / t_samp, 1),
-        "nuts_tail_ess_per_sec": round(
-            float(diagnostics.tail_ess(draws).min()) / t_samp, 1),
-        "nuts_draws_per_sec": round(NUTS_KEEP * NUTS_CHAINS / t_samp, 1),
-        "nuts_max_split_rhat": round(rhat, 4),
-        "nuts_max_rank_rhat": round(rank_rhat, 4),
-        "nuts_converged": bool(rhat <= 1.01),
-        "nuts_mean_tree_depth": round(float(depth.mean()), 2),
-        "nuts_n_divergent": int(div.sum()),
-        "nuts_warmup_seconds": round(t_warm, 2),
-        "nuts_sample_seconds": round(t_samp, 2),
-        "nuts_chains": NUTS_CHAINS,
-        "nuts_adapted_step_size": round(float(stw.epsilon_bar[0]), 4),
+        f"{p}_min_ess_per_sec": round(ess_min / t_samp, 1),
+        f"{p}_draws_per_sec": round(NUTS_KEEP * n_chains / t_samp, 1),
+        f"{p}_max_split_rhat": round(rhat, 4),
+        f"{p}_converged": bool(rhat <= 1.01),
+        f"{p}_mean_tree_depth": round(float(depth.mean()), 2),
+        f"{p}_n_divergent": int(div.sum()),
+        f"{p}_warmup_seconds": round(t_warm, 2),
+        f"{p}_sample_seconds": round(t_samp, 2),
+        f"{p}_chains": n_chains,
+        f"{p}_adapted_step_size": round(float(stw.epsilon_bar[0]), 4),
+        f"{p}_target_accept": NUTS_TARGET_ACCEPT,
+        f"{p}_static_depth_cap": cap,
+        **extra,
     }
 
 
@@ -271,6 +321,12 @@ def main():
     steps_per_sec, acc = measure_throughput(X, y, on_tpu)
     lk = models.logistic_regression_model(X, y)
     quality = measure_nuts_quality(lk)
+    if on_tpu:
+        # the large-batch line: 4096 chains, draws HBM-resident, on-device
+        # chunked diagnostics (no transfer, no draw-buffer OOM)
+        quality.update(measure_nuts_quality(
+            lk, n_chains=NUTS_BIG_CHAINS, prefix="nuts4096",
+            device_diag=True))
     quality.update(measure_chees_quality(lk))
 
     result = {

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""AEES ladder-efficiency sweep (VERDICT r2 item 6): run the suite's
+aees_mixture config over candidate temperature ladders — including the
+PT-Robbins-Monro-adapted one (``adapt_ladder=True``) — and record
+min-ESS/s + rank R-hat per ladder, so the suite's choice is evidence-based
+rather than folklore.
+
+Run on the real TPU with nothing else on the tunnel:
+    python benchmarks/aees_ladder_sweep.py --out benchmarks/aees_ladder_sweep.json
+"""
+
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+
+import mcmc_tpu
+from mcmc_tpu import models, diagnostics
+
+N_RUNS = 64
+LADDERS = {
+    "suite_60_9": [60.0, 9.0],
+    "shallow_8_3": [8.0, 3.0],
+    "steep_200_14": [200.0, 14.0],
+    "geom4_60": [60.0, 15.3, 3.9],       # geometric, 4 rungs incl. T=1
+    "two_rung_20": [20.0],
+    "adapted": "adapt",                   # PT Robbins-Monro from suite_60_9
+}
+
+
+def main(out_path=None):
+    mu = jnp.array([[-2.0, -2.0], [2.0, 2.0]])
+    lk_hard = models.gaussian_mixture_model(mu, jnp.array([0.1, 0.1]),
+                                            jnp.array([0.5, 0.5]))
+    rows = []
+    for name, ladder in LADDERS.items():
+        kw = {}
+        if ladder == "adapt":
+            temper = jnp.array([60.0, 9.0])
+            kw["adapt_ladder"] = True
+        else:
+            temper = jnp.array(ladder)
+        settings = mcmc_tpu.AEESSettings(
+            n_initial_draws=500, n_burnin_draws=500, n_keep_draws=24000,
+            n_rings=11, ee_prob_par=0.05, temper_vec=temper,
+            cov_mat=0.35 * jnp.eye(2))
+        t0 = time.perf_counter()
+        out = mcmc_tpu.aees(mu[0], lk_hard, settings,
+                            key=jax.random.PRNGKey(8), n_runs=N_RUNS,
+                            history_capacity=512, **kw)
+        jax.block_until_ready(out.draws)
+        el = time.perf_counter() - t0
+        d = out.draws
+        row = {
+            "ladder": name,
+            "temperatures": [round(float(t), 3)
+                             for t in out.diagnostics["temperatures"]],
+            "seconds": round(el, 2),
+            "min_ess_per_sec": round(float(diagnostics.ess(d).min()) / el, 1),
+            "max_rank_rhat": round(
+                float(diagnostics.rank_normalized_rhat(d).max()), 4),
+            "mode_balance": round(float((jnp.asarray(d)[..., 0] > 0).mean()), 4),
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    best = max(rows, key=lambda r: r["min_ess_per_sec"])
+    summary = {"sweep": "aees_ladder", "n_runs": N_RUNS,
+               "best": best["ladder"],
+               "best_min_ess_per_sec": best["min_ess_per_sec"],
+               "platform": jax.devices()[0].platform}
+    print(json.dumps(summary))
+    if out_path:
+        pathlib.Path(out_path).write_text(
+            json.dumps({"summary": summary, "ladders": rows}, indent=1))
+
+
+if __name__ == "__main__":
+    out = None
+    for i, a in enumerate(sys.argv):
+        if a == "--out" and i + 1 < len(sys.argv):
+            out = sys.argv[i + 1]
+    main(out)

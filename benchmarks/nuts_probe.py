@@ -36,7 +36,7 @@ WARMUP, KEEP = 500, 1000
 
 
 def run_variant(name, log_kernel, n_chains, target=0.8, sample_method="slice",
-                depth_quantile=0.98, device_diag=False):
+                depth_quantile=0.98, device_diag=False, static_recap=False):
     s = mcmc_tpu.NUTSSettings(n_burnin_draws=WARMUP, n_keep_draws=KEEP,
                               n_adapt_draws=WARMUP, target_accept_rate=target)
     precond = common.make_spd(None, DIM, jnp.float32)
@@ -51,12 +51,12 @@ def run_variant(name, log_kernel, n_chains, target=0.8, sample_method="slice",
     pos0 = 0.05 * jax.random.normal(jax.random.PRNGKey(12), (n_chains, DIM))
     state0 = jax.vmap(init, axis_name=common.CHAIN_AXIS_NAME)(keys, pos0)
 
-    def scan_phase(n, collect):
+    def make_scan(bstep_fn, collect, n):
         def run(state, ks):
             def body(c, _):
                 st, k = c
                 pairs = jax.vmap(lambda kk: jax.random.split(kk, 2))(k)
-                st, info = bstep(pairs[:, 1], st)
+                st, info = bstep_fn(pairs[:, 1], st)
                 out = (st.position, info["tree_depth"], info["diverged"]) \
                     if collect else None
                 return (st, pairs[:, 0]), out
@@ -64,14 +64,37 @@ def run_variant(name, log_kernel, n_chains, target=0.8, sample_method="slice",
             return st, k, outs
         return jax.jit(run)
 
+    def scan_phase(n, collect):
+        return make_scan(bstep, collect, n)
+
     warm = scan_phase(WARMUP, collect=False)
-    samp = scan_phase(KEEP, collect=True)
 
     ks = jax.random.split(jax.random.PRNGKey(13), n_chains)
     t0 = time.perf_counter()
     stw, ks, _ = warm(state0, ks)
     jax.block_until_ready(stw)
     t_warm = time.perf_counter() - t0
+
+    if static_recap:
+        # rebuild the sampling kernel with the learned depth budget as the
+        # STATIC tree size: checkpoint buffers shrink from (11, d) to
+        # (cap+1, d) and the per-leaf progressive U-turn scan runs cap
+        # levels instead of 10 — the bookkeeping (not the gradients) is
+        # what each draw pays for at these shapes
+        cap = int(jnp.asarray(stw.depth_cap)[0])
+        s2 = mcmc_tpu.NUTSSettings(
+            n_burnin_draws=WARMUP, n_keep_draws=KEEP, n_adapt_draws=WARMUP,
+            target_accept_rate=target, max_tree_depth=cap)
+        _i2, step2 = build_nuts_kernel(
+            log_kernel, jax.grad(log_kernel), precond, s2, WARMUP,
+            pooled_adaptation=True, adapt_mass_matrix=True,
+            sample_method=sample_method)
+        stw = stw._replace(
+            depth_hist=jnp.zeros((n_chains, cap + 1), jnp.int32),
+            depth_cap=jnp.full((n_chains,), cap, jnp.int32))
+        bstep = jax.vmap(step2, axis_name=common.CHAIN_AXIS_NAME)
+
+    samp = make_scan(bstep, True, KEEP)
 
     _st, _ks, outs = samp(stw, ks)
     jax.block_until_ready(outs[0])
@@ -81,12 +104,14 @@ def run_variant(name, log_kernel, n_chains, target=0.8, sample_method="slice",
     t_samp = time.perf_counter() - t0
 
     if device_diag:
-        # 4096-chain mode: draws stay in HBM; diagnostics computed on device
-        # (jnp), only the reduced scalars cross the tunnel
-        ess_min = float(jax.jit(lambda d: diagnostics.ess(d).min())(draws))
+        # large-chain mode: draws stay in HBM; diagnostics computed on
+        # device (chunked-FFT ESS bounds the workspace), only the reduced
+        # scalars cross the tunnel. Rank-normalized R-hat (a full pooled
+        # argsort) is skipped at this size — split R-hat gates.
+        ess_min = float(jax.jit(
+            lambda d: diagnostics.ess(d, chain_chunk=512).min())(draws))
         rhat = float(jax.jit(lambda d: diagnostics.split_rhat(d).max())(draws))
-        rank_rhat = float(jax.jit(
-            lambda d: diagnostics.rank_normalized_rhat(d).max())(draws))
+        rank_rhat = float("nan")
         depth_mean = float(depth.mean())
         ndiv = int(div.sum())
     else:
@@ -128,8 +153,25 @@ def main():
         elif v == "multinomial":
             run_variant("multinomial", lk, chains,
                         sample_method="multinomial")
-        elif v == "ta65":
-            run_variant("ta65", lk, chains, target=0.65)
+        elif v.startswith("ta"):
+            # taNN[-qMM][-static][@CHAINS]: target acceptance sweep with
+            # optional depth quantile and static post-warmup tree recap
+            spec = v[2:]
+            n = chains
+            q = 0.98
+            recap = False
+            if "@" in spec:
+                spec, cn = spec.split("@")
+                n = int(cn)
+            if "-static" in spec:
+                spec = spec.replace("-static", "")
+                recap = True
+            if "-q" in spec:
+                spec, qs = spec.split("-q")
+                q = int(qs) / 100.0
+            run_variant(v, lk, n, target=int(spec) / 100.0,
+                        depth_quantile=q, device_diag=n >= 2048,
+                        static_recap=recap)
         elif v == "q90":
             run_variant("q90", lk, chains, depth_quantile=0.90)
         elif v == "mn_ta65":

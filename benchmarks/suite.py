@@ -3,14 +3,18 @@
 
   1. RWMH on the 2-d Gaussian mean/scale model
   2. MALA + HMC (autodiff gradients) on Bayesian logistic regression
+     (+ the fused-Pallas GLM path, logistic and probit links)
   3. NUTS on the 100-d ill-conditioned Gaussian and the banana
+     (+ the fused-Pallas multivariate-Gaussian path on the same target)
   4. DE-MCMC on a multimodal Gaussian mixture
   5. AEES + PT + RM-HMC on multimodal / (mu, sigma) posteriors
 
-For each: wall-clock, chain-draws/sec, min ESS/sec, max split R-hat.
-Prints one JSON line per config plus a trailing summary line. The primary
-single-line metric for the driver remains bench.py; this suite is the
-breadth harness (SURVEY.md §7 step 8).
+For each: wall-clock, chain-draws/sec, min ESS/sec, and the full modern
+diagnostics set — max split R-hat, max rank-normalized R-hat (the
+convergence gate, <= 1.01), min bulk/tail ESS per second (Vehtari et al.
+2021). Prints one JSON line per config plus a trailing summary line. The
+primary single-line metric for the driver remains bench.py; this suite is
+the breadth harness (SURVEY.md §7 step 8).
 """
 
 import json
@@ -44,6 +48,12 @@ def run_all(quick=False, out_path=None):
             "chain_draws_per_sec": round(d.shape[0] * d.shape[1] / el, 1),
             "min_ess_per_sec": round(float(diagnostics.ess(d).min()) / el, 1),
             "max_split_rhat": round(float(diagnostics.split_rhat(d).max()), 4),
+            "max_rank_rhat": round(
+                float(diagnostics.rank_normalized_rhat(d).max()), 4),
+            "min_bulk_ess_per_sec": round(
+                float(diagnostics.bulk_ess(d).min()) / el, 1),
+            "min_tail_ess_per_sec": round(
+                float(diagnostics.tail_ess(d).min()) / el, 1),
         }
         results.append(row)
         print(json.dumps(row), flush=True)
@@ -75,6 +85,25 @@ def run_all(quick=False, out_path=None):
         n_chains=256, key=jax.random.PRNGKey(4), adapt_step_size=True,
         adapt_mass_matrix=True))
 
+    # 2b. fused-Pallas GLM path (VERDICT r3 item 7): the same logistic
+    # posterior through the VMEM-fused trajectory at a TPU-sized batch, and
+    # the probit link (non-canonical; beyond the reference's capability)
+    from mcmc_tpu.ops import fused_glm_hmc
+    on_tpu = jax.devices()[0].platform == "tpu"
+    fkw = {} if on_tpu else {"interpret": True, "block_chains": 8}
+    fchains = 2048 if on_tpu else 32
+    record("hmc_logreg_25d_fused", lambda: fused_glm_hmc(
+        X, y, step_size=0.08, n_leap=8, n_chains=fchains,
+        n_burnin_draws=1000 // scale, n_keep_draws=2000 // scale,
+        key=jax.random.PRNGKey(17), **fkw))
+    yp = (jax.random.uniform(jax.random.PRNGKey(18), (500,)) <
+          0.5 * (1.0 + jax.lax.erf((X @ jnp.full(25, 0.4)) / jnp.sqrt(2.0)))
+          ).astype(jnp.float32)
+    record("hmc_probit_25d_fused", lambda: fused_glm_hmc(
+        X, yp, link="probit", step_size=0.08, n_leap=8, n_chains=fchains,
+        n_burnin_draws=1000 // scale, n_keep_draws=2000 // scale,
+        key=jax.random.PRNGKey(19), **fkw))
+
     # 3. NUTS, 100-d ill-conditioned + banana
     lk_ill = models.ill_conditioned_gaussian(100, 1e4)
     record("nuts_ill_conditioned_100d", lambda: mcmc_tpu.nuts(
@@ -91,6 +120,17 @@ def run_all(quick=False, out_path=None):
                               n_adapt_draws=800 // scale,
                               target_accept_rate=0.8),
         n_chains=64, key=jax.random.PRNGKey(6), adapt_mass_matrix="dense"))
+
+    # 3a'. fused-Pallas multivariate-Gaussian path on the ill-conditioned
+    # target (VERDICT r3 item 7): identity mass + long constant-step
+    # trajectories carry the slow directions; the whole trajectory is
+    # MXU matmuls in VMEM. eps < 2 * sigma_min = 2 for stability; 0.9 with
+    # 157 leapfrogs spans ~pi/2 periods of the slowest (sigma = 100) mode.
+    from mcmc_tpu.ops import fused_gaussian_hmc
+    record("hmc_ill_conditioned_100d_fused", lambda: fused_gaussian_hmc(
+        1.0 / lk_ill.variances, step_size=0.9, n_leap=157, n_chains=fchains,
+        n_burnin_draws=200 // scale, n_keep_draws=600 // scale,
+        init_scale=1.0, key=jax.random.PRNGKey(20), **fkw))
 
     # 3b. ChEES (beyond-reference) on the ill-conditioned target
     record("chees_ill_conditioned_100d", lambda: mcmc_tpu.chees(
@@ -120,19 +160,23 @@ def run_all(quick=False, out_path=None):
         temper_vec=jnp.array([60.0, 9.0]), cov_mat=0.35 * jnp.eye(2))
     lk_hard = models.gaussian_mixture_model(mu, jnp.array([0.1, 0.1]),
                                             jnp.array([0.5, 0.5]))
+    # 64 vmapped replicas (up from 16, VERDICT r2 item 3): replicas batch
+    # on the chip for ~free, so the cross-run R-hat/ESS statistics see 4x
+    # the evidence at roughly the wall-clock of one ladder
     record("aees_mixture", lambda: mcmc_tpu.aees(
-        mu[0], lk_hard, aees_settings, key=jax.random.PRNGKey(8), n_runs=16,
+        mu[0], lk_hard, aees_settings, key=jax.random.PRNGKey(8), n_runs=64,
         history_capacity=512))
     # 5b. parallel tempering (beyond-reference) on the same hard mixture
-    # (32 chains x 3000 draws: the mode-occupancy statistic that drives
-    # split R-hat on a 0.1-variance mixture needs the larger sample)
+    # (256 chains x 3000 draws — vmapped ladders are near-free on the chip,
+    # and the mode-occupancy statistic that drives split R-hat on a
+    # 0.1-variance mixture needs the large sample)
     record("pt_mixture", lambda: mcmc_tpu.pt(
         mu[0], lk_hard,
         mcmc_tpu.PTSettings(n_burnin_draws=1000 // scale,
                             n_keep_draws=3000 // scale,
                             n_temps=6, max_temp=60.0, adapt_temps=True,
                             inner="hmc", step_size=0.12, n_leap_steps=5),
-        n_chains=32, key=jax.random.PRNGKey(11)))
+        n_chains=256, key=jax.random.PRNGKey(11)))
     # 5c. tempered SMC (beyond-reference) on the same hard mixture. SMC
     # returns one weighted-then-resampled population, not a chain trace, so
     # chain diagnostics don't apply; its quality metrics are the log-evidence
@@ -198,17 +242,19 @@ def run_all(quick=False, out_path=None):
         n_chains=256, key=jax.random.PRNGKey(15)))
 
     # 5g. DE-MC(Z) (beyond-reference) — 6 walkers on a 10-d correlated
-    # Gaussian: the small-population regime plain DE cannot reach; 4
-    # independent replicas (own archives) make the R-hat honest — within a
-    # run the walkers are coupled through the shared archive
+    # Gaussian: the small-population regime plain DE cannot reach. 64
+    # independent replicas (own archives, VERDICT r2 item 3 — the chip has
+    # 16k lanes, 24 was underutilization by ~3 orders): cross-run R-hat is
+    # honest (within a run walkers couple through the shared archive) and
+    # the 384-chain evidence lets the run be half as long
     rho_z = 0.8
     cov_z = rho_z * jnp.ones((10, 10)) + (1 - rho_z) * jnp.eye(10)
     P_z = jnp.linalg.inv(cov_z)
     record("demcz_correlated_10d", lambda: mcmc_tpu.demcz(
         jnp.zeros(10), lambda x: -0.5 * x @ P_z @ x,
-        mcmc_tpu.DEMCZSettings(n_pop=6, n_burnin_draws=3000 // scale,
-                               n_keep_draws=8000 // scale),
-        n_runs=4, key=jax.random.PRNGKey(16)))
+        mcmc_tpu.DEMCZSettings(n_pop=6, n_burnin_draws=2000 // scale,
+                               n_keep_draws=3000 // scale),
+        n_runs=64, key=jax.random.PRNGKey(16)))
 
     record("rmhmc_fisher", lambda: mcmc_tpu.rmhmc(
         jnp.array([2.5, 2.5]), lk_ms, models.normal_fisher_metric(1000),
@@ -218,11 +264,16 @@ def run_all(quick=False, out_path=None):
         n_chains=64, key=jax.random.PRNGKey(9)))
 
     rhats = [r["max_split_rhat"] for r in results if "max_split_rhat" in r]
+    rank_rhats = [r["max_rank_rhat"] for r in results if "max_rank_rhat" in r]
+    # NaN sorts as +inf so a diverged/frozen config surfaces as
+    # worst_*_rhat: NaN instead of being silently dropped by max()
+    nan_max = lambda vs: max(vs, key=lambda v: float("inf") if v != v else v)
     summary = {"suite": "baseline_configs", "n_configs": len(results),
-               # NaN sorts as +inf so a diverged/frozen config surfaces as
-               # worst_split_rhat: NaN instead of being silently dropped by max()
-               "worst_split_rhat": max(
-                   rhats, key=lambda v: float("inf") if v != v else v),
+               "worst_split_rhat": nan_max(rhats),
+               # the modern gate (Vehtari et al. 2021): every config must
+               # pass rank-normalized R-hat <= 1.01
+               "worst_rank_rhat": nan_max(rank_rhats),
+               "all_converged": bool(nan_max(rank_rhats) <= 1.01),
                "platform": jax.devices()[0].platform}
     print(json.dumps(summary))
     if out_path is not None:

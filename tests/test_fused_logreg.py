@@ -243,3 +243,96 @@ def test_fused_trajectory_rt_matches_xla():
                                rtol=1e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(uf), np.asarray(ur),
                                rtol=1e-3, atol=2e-3)
+
+
+def test_fused_trajectory_probit_and_studentt_links():
+    """Probit (built-in, non-canonical) and Student-t (callable factory)
+    links: fused-kernel gradient path matches jax.grad of the exact
+    log-posterior, and the returned potential matches the exact U
+    (interpret mode; bf16 matmul tolerance)."""
+    from mcmc_tpu.ops.fused_logreg import make_fused_trajectory, studentt_link
+
+    key = jax.random.PRNGKey(17)
+    k1, k2 = jax.random.split(key)
+    n, d = 48, 6
+    X = jax.random.normal(k1, (n, d)) * 0.4
+
+    def ndtr(eta):
+        return 0.5 * (1.0 + jax.lax.erf(eta / jnp.sqrt(2.0)))
+
+    cases = []
+    # probit regression
+    y_pro = (jax.random.uniform(k2, (n,)) < ndtr(X @ jnp.ones(d) * 0.5)
+             ).astype(jnp.float32)
+
+    def lk_probit(b):
+        cdf = jnp.clip(ndtr(X @ b), 1e-30, 1.0 - 1e-7)
+        return (jnp.sum(y_pro * jnp.log(cdf) + (1 - y_pro) * jnp.log(1 - cdf))
+                - 0.5 * jnp.sum(b ** 2) / 100.0)
+    cases.append(("probit", y_pro, lk_probit))
+
+    # student-t robust regression, nu = 4
+    y_t = X @ jnp.ones(d) + 0.3 * jax.random.t(k2, 4.0, (n,))
+
+    def lk_t(b):
+        r = y_t - X @ b
+        return (jnp.sum(-0.5 * 5.0 * jnp.log1p(r * r / 4.0))
+                - 0.5 * jnp.sum(b ** 2) / 100.0)
+    cases.append((studentt_link(4.0), y_t, lk_t))
+
+    for link, y, lk in cases:
+        traj = make_fused_trajectory(X, y, 10.0, 0.02, 3, block_chains=8,
+                                     interpret=True, link=link)
+        Dp = traj.dim_padded
+        z0 = 0.05 * jax.random.normal(jax.random.PRNGKey(1), (8, d))
+        p0 = jax.random.normal(jax.random.PRNGKey(2), (8, d))
+        zp = jnp.zeros((8, Dp)).at[:, :d].set(z0)
+        pp = jnp.zeros((8, Dp)).at[:, :d].set(p0)
+        z1, p1, U1 = traj(zp, pp)
+
+        grad = jax.grad(lk)
+        z, p = z0, p0
+        for _ in range(3):
+            p = p + 0.5 * 0.02 * jax.vmap(grad)(z)
+            z = z + 0.02 * p
+            p = p + 0.5 * 0.02 * jax.vmap(grad)(z)
+        name = link if isinstance(link, str) else "studentt"
+        np.testing.assert_allclose(np.asarray(z1[:, :d]), np.asarray(z),
+                                   rtol=2e-2, atol=2e-2, err_msg=name)
+        np.testing.assert_allclose(np.asarray(U1),
+                                   np.asarray(-jax.vmap(lk)(z)),
+                                   rtol=2e-2, atol=0.5, err_msg=name)
+
+
+def test_fused_sampler_entry_points():
+    """fused_glm_hmc / fused_gaussian_hmc return SamplerResults whose
+    posteriors match the generic samplers (interpret mode, small shapes)."""
+    from mcmc_tpu.ops import fused_glm_hmc, fused_gaussian_hmc
+    import mcmc_tpu
+
+    X, y = _setup()
+    out = fused_glm_hmc(X, y, step_size=0.08, n_leap=5, n_chains=16,
+                        n_burnin_draws=300, n_keep_draws=400,
+                        key=jax.random.PRNGKey(3), block_chains=8,
+                        interpret=True)
+    assert out.draws.shape == (400, 16, D)
+    assert 0.5 < float(out.diagnostics["accept_rate_per_chain"].mean()) <= 1.0
+    lk = models.logistic_regression_model(X, y, prior_scale=10.0)
+    ref = mcmc_tpu.hmc(jnp.zeros(D), lk,
+                       mcmc_tpu.HMCSettings(n_burnin_draws=300,
+                                            n_keep_draws=400,
+                                            step_size=0.08, n_leap_steps=5),
+                       n_chains=16, key=jax.random.PRNGKey(5))
+    np.testing.assert_allclose(np.asarray(out.draws).mean(axis=(0, 1)),
+                               np.asarray(ref.draws).mean(axis=(0, 1)),
+                               atol=0.3)
+
+    # ill-conditioned diagonal Gaussian: marginal variances recovered
+    variances = jnp.array([1.0, 4.0, 25.0, 100.0])
+    outg = fused_gaussian_hmc(1.0 / variances, step_size=0.8, n_leap=20,
+                              n_chains=16, n_burnin_draws=200,
+                              n_keep_draws=600, key=jax.random.PRNGKey(6),
+                              block_chains=8, interpret=True)
+    assert outg.draws.shape == (600, 16, 4)
+    emp = np.asarray(outg.draws).reshape(-1, 4).var(axis=0)
+    np.testing.assert_allclose(emp, np.asarray(variances), rtol=0.35)

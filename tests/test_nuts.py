@@ -367,3 +367,42 @@ def test_nuts_multinomial_matches_exact_posterior():
         mcmc_tpu.nuts(jnp.zeros(2), lk, s, n_chains=4,
                       key=jax.random.PRNGKey(0),
                       sample_method="multinomial", tree_variant="reference")
+
+
+def test_nuts_static_sampling_depth():
+    """static_sampling_depth=True rebuilds the sampling kernel with the
+    learned depth budget as the static tree size (the round-3 straggler
+    lever, 2x draws/s on the flagship): posterior still exact, depth_cap
+    reported, and realized sampling-phase depths never exceed it."""
+    cov = np.array([[1.0, 0.5], [0.5, 1.0]], np.float32)
+    prec = jnp.asarray(np.linalg.inv(cov))
+    lk = lambda x: -0.5 * x @ prec @ x
+    s = mcmc_tpu.NUTSSettings(n_burnin_draws=400, n_keep_draws=800,
+                              n_adapt_draws=400, target_accept_rate=0.65)
+    out = mcmc_tpu.nuts(jnp.zeros(2), lk, s, n_chains=8,
+                        key=jax.random.PRNGKey(4), pooled_adaptation=True,
+                        adapt_mass_matrix=True, adapt_depth=True,
+                        static_sampling_depth=True)
+    d = np.asarray(out.draws)
+    assert d.shape == (800, 8, 2)
+    cap = int(np.asarray(out.diagnostics["depth_cap"]).max())
+    assert 1 <= cap <= 10
+    assert int(np.asarray(out.diagnostics["tree_depth"]).max()) <= cap
+    np.testing.assert_allclose(d.mean(axis=(0, 1)), 0.0, atol=0.15)
+    emp = np.cov(d.reshape(-1, 2).T)
+    np.testing.assert_allclose(emp, cov, atol=0.25)
+
+    # guard rails
+    with pytest.raises(ValueError, match="requires adapt_depth"):
+        mcmc_tpu.nuts(jnp.zeros(2), lk, s, n_chains=4,
+                      key=jax.random.PRNGKey(0), static_sampling_depth=True)
+    with pytest.raises(ValueError, match="checkpoint_dir"):
+        mcmc_tpu.nuts(jnp.zeros(2), lk, s, n_chains=4,
+                      key=jax.random.PRNGKey(0), adapt_depth=True,
+                      static_sampling_depth=True, checkpoint_dir="/tmp/x")
+    s_bad = mcmc_tpu.NUTSSettings(n_burnin_draws=100, n_keep_draws=100,
+                                  n_adapt_draws=200)
+    with pytest.raises(ValueError, match="n_adapt_draws"):
+        mcmc_tpu.nuts(jnp.zeros(2), lk, s_bad, n_chains=4,
+                      key=jax.random.PRNGKey(0), adapt_depth=True,
+                      static_sampling_depth=True)

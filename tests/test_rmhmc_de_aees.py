@@ -286,3 +286,37 @@ def test_aees_replicas_mesh_sharded():
     pooled = d.reshape(-1, 2)
     assert (pooled[:, 0] > 0.1).mean() > 0.1
     assert (pooled[:, 0] < -0.1).mean() > 0.1
+
+
+def test_aees_adapt_ladder():
+    """adapt_ladder=True: a PT Robbins-Monro pre-run tunes the ladder from
+    the user's temper_vec; the adapted ladder (reported in diagnostics) is
+    monotone descending ending at T=1, differs from the initial guess, and
+    the sampler still visits both modes."""
+    mu = jnp.array([[-2.0, -2.0], [2.0, 2.0]])
+    log_kernel = models.gaussian_mixture_model(
+        mu, sig_sq=jnp.array([0.1, 0.1]), weights=jnp.array([0.5, 0.5]))
+    settings = mcmc_tpu.AEESSettings(
+        n_initial_draws=300, n_burnin_draws=300, n_keep_draws=4000,
+        n_rings=11, ee_prob_par=0.05, temper_vec=jnp.array([60.0, 9.0]),
+        cov_mat=0.35 * jnp.eye(2))
+    out = mcmc_tpu.aees(mu[0], log_kernel, settings,
+                        key=jax.random.PRNGKey(3), n_runs=4,
+                        history_capacity=256, adapt_ladder=True,
+                        n_ladder_adapt=400)
+    temps = np.asarray(out.diagnostics["temperatures"])
+    assert temps.shape == (3,)
+    assert temps[-1] == pytest.approx(1.0)
+    assert np.all(np.diff(temps) < 0)          # strictly descending
+    assert np.all(temps[:-1] > 1.0)
+    # adaptation actually moved the ladder off the initial guess
+    assert not np.allclose(temps[:-1], [60.0, 9.0], rtol=0.05)
+    d = np.asarray(out.draws)
+    assert d.shape == (4000, 4, 2)
+    assert (d[..., 0] > 0.1).mean() > 0.05
+    assert (d[..., 0] < -0.1).mean() > 0.05
+
+    with pytest.raises(ValueError, match="adapt_ladder"):
+        mcmc_tpu.aees(mu[0], log_kernel,
+                      mcmc_tpu.AEESSettings(n_keep_draws=10),
+                      adapt_ladder=True)
