@@ -23,6 +23,12 @@ import mcmc_tpu
 from mcmc_tpu import models, diagnostics
 
 N_RUNS = 64
+# geom4 runs at 32 replicas: a K=4 x 64-replica x 28k-draw program in ONE
+# dispatch reproducibly dies with "UNAVAILABLE: TPU device error" under the
+# axon tunnel (K=3 at the same size passes; 32x24k and 64x12k pass) — a
+# single-dispatch execution-time ceiling, not a memory or correctness
+# issue; chunked execution (checkpoint_dir) is the production answer for
+# longer programs. min-ESS/s normalizes by wall, so the comparison stands.
 LADDERS = {
     "suite_60_9": [60.0, 9.0],
     "shallow_8_3": [8.0, 3.0],
@@ -31,14 +37,17 @@ LADDERS = {
     "two_rung_20": [20.0],
     "adapted": "adapt",                   # PT Robbins-Monro from suite_60_9
 }
+_RUNS_OVERRIDE = {"geom4_60": 32}
 
 
-def main(out_path=None):
+def main(out_path=None, only=None):
     mu = jnp.array([[-2.0, -2.0], [2.0, 2.0]])
     lk_hard = models.gaussian_mixture_model(mu, jnp.array([0.1, 0.1]),
                                             jnp.array([0.5, 0.5]))
     rows = []
-    for name, ladder in LADDERS.items():
+    items = [(n, l) for n, l in LADDERS.items()
+             if only is None or n in only]
+    for name, ladder in items:
         kw = {}
         if ladder == "adapt":
             temper = jnp.array([60.0, 9.0])
@@ -49,15 +58,17 @@ def main(out_path=None):
             n_initial_draws=500, n_burnin_draws=500, n_keep_draws=24000,
             n_rings=11, ee_prob_par=0.05, temper_vec=temper,
             cov_mat=0.35 * jnp.eye(2))
+        n_runs = _RUNS_OVERRIDE.get(name, N_RUNS)
         t0 = time.perf_counter()
         out = mcmc_tpu.aees(mu[0], lk_hard, settings,
-                            key=jax.random.PRNGKey(8), n_runs=N_RUNS,
+                            key=jax.random.PRNGKey(8), n_runs=n_runs,
                             history_capacity=512, **kw)
         jax.block_until_ready(out.draws)
         el = time.perf_counter() - t0
         d = out.draws
         row = {
             "ladder": name,
+            "n_runs": n_runs,
             "temperatures": [round(float(t), 3)
                              for t in out.diagnostics["temperatures"]],
             "seconds": round(el, 2),
@@ -82,7 +93,14 @@ def main(out_path=None):
 
 if __name__ == "__main__":
     out = None
-    for i, a in enumerate(sys.argv):
-        if a == "--out" and i + 1 < len(sys.argv):
-            out = sys.argv[i + 1]
-    main(out)
+    names = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        if argv[i] == "--out" and i + 1 < len(argv):
+            out = argv[i + 1]
+            i += 2
+        else:
+            names.append(argv[i])
+            i += 1
+    main(out, only=names or None)

@@ -42,18 +42,24 @@ def run_all(quick=False, out_path=None):
         jax.block_until_ready(out.draws)
         el = time.perf_counter() - t0
         d = out.draws if out.draws.ndim == 3 else out.draws[:, None, :]
+        # chunked-FFT ESS for large chain batches: the one-shot FFT's padded
+        # complex temporaries exceed HBM at (600, 2048, 100)+ shapes even
+        # though the draws themselves fit (identical numerics, see
+        # diagnostics.ess)
+        cc = 256 if d.shape[1] > 256 and d.shape[1] % 256 == 0 else None
         row = {
             "config": name,
             "seconds": round(el, 2),
             "chain_draws_per_sec": round(d.shape[0] * d.shape[1] / el, 1),
-            "min_ess_per_sec": round(float(diagnostics.ess(d).min()) / el, 1),
+            "min_ess_per_sec": round(
+                float(diagnostics.ess(d, chain_chunk=cc).min()) / el, 1),
             "max_split_rhat": round(float(diagnostics.split_rhat(d).max()), 4),
             "max_rank_rhat": round(
                 float(diagnostics.rank_normalized_rhat(d).max()), 4),
             "min_bulk_ess_per_sec": round(
-                float(diagnostics.bulk_ess(d).min()) / el, 1),
+                float(diagnostics.bulk_ess(d, chain_chunk=cc).min()) / el, 1),
             "min_tail_ess_per_sec": round(
-                float(diagnostics.tail_ess(d).min()) / el, 1),
+                float(diagnostics.tail_ess(d, chain_chunk=cc).min()) / el, 1),
         }
         results.append(row)
         print(json.dumps(row), flush=True)
@@ -122,15 +128,19 @@ def run_all(quick=False, out_path=None):
         n_chains=64, key=jax.random.PRNGKey(6), adapt_mass_matrix="dense"))
 
     # 3a'. fused-Pallas multivariate-Gaussian path on the ill-conditioned
-    # target (VERDICT r3 item 7): identity mass + long constant-step
-    # trajectories carry the slow directions; the whole trajectory is
-    # MXU matmuls in VMEM. eps < 2 * sigma_min = 2 for stability; 0.9 with
-    # 157 leapfrogs spans ~pi/2 periods of the slowest (sigma = 100) mode.
+    # target (VERDICT r3 item 7): identity mass + long JITTERED-step
+    # trajectories carry the slow directions; the whole trajectory is MXU
+    # matmuls in VMEM. eps < 2 * sigma_min = 2 for stability; 0.9 x 157
+    # leapfrogs spans ~pi/2 periods of the slowest (sigma = 100) mode; the
+    # +-30% per-draw step jitter breaks the fixed-angle resonances an exact
+    # quadratic otherwise hits (measured rank R-hat 3.2 unjittered -> 1.00);
+    # steps_per_draw=2 halves the stored autocorrelation at constant memory.
     from mcmc_tpu.ops import fused_gaussian_hmc
     record("hmc_ill_conditioned_100d_fused", lambda: fused_gaussian_hmc(
         1.0 / lk_ill.variances, step_size=0.9, n_leap=157, n_chains=fchains,
-        n_burnin_draws=200 // scale, n_keep_draws=600 // scale,
-        init_scale=1.0, key=jax.random.PRNGKey(20), **fkw))
+        n_burnin_draws=600 // scale, n_keep_draws=600 // scale,
+        init_scale=1.0, step_jitter=0.3, steps_per_draw=2,
+        key=jax.random.PRNGKey(20), **fkw))
 
     # 3b. ChEES (beyond-reference) on the ill-conditioned target
     record("chees_ill_conditioned_100d", lambda: mcmc_tpu.chees(
@@ -153,18 +163,20 @@ def run_all(quick=False, out_path=None):
 
     # 5. AEES (multimodal) + RM-HMC ((mu, sigma) with Fisher metric)
     # 24000 kept draws: the T=1-chain mode-occupancy statistic needs the
-    # long window to pass the R-hat <= 1.01 gate (12000 sat at 1.0113)
+    # long window to pass the R-hat <= 1.01 gate (12000 sat at 1.0113).
+    # Ladder: 4-rung geometric — the recorded ladder sweep
+    # (benchmarks/aees_ladder_sweep.json) measured it at 2.5x the reference
+    # example's (60, 9) on this same mixture. 32 replicas (not 64): a K=4 x
+    # 64 x 28k-draw program exceeds the single-dispatch execution ceiling
+    # under the tunnel (see the sweep record's note).
     aees_settings = mcmc_tpu.AEESSettings(
         n_initial_draws=500 // scale, n_burnin_draws=500 // scale,
         n_keep_draws=24000 // scale, n_rings=11, ee_prob_par=0.05,
-        temper_vec=jnp.array([60.0, 9.0]), cov_mat=0.35 * jnp.eye(2))
+        temper_vec=jnp.array([60.0, 15.3, 3.9]), cov_mat=0.35 * jnp.eye(2))
     lk_hard = models.gaussian_mixture_model(mu, jnp.array([0.1, 0.1]),
                                             jnp.array([0.5, 0.5]))
-    # 64 vmapped replicas (up from 16, VERDICT r2 item 3): replicas batch
-    # on the chip for ~free, so the cross-run R-hat/ESS statistics see 4x
-    # the evidence at roughly the wall-clock of one ladder
     record("aees_mixture", lambda: mcmc_tpu.aees(
-        mu[0], lk_hard, aees_settings, key=jax.random.PRNGKey(8), n_runs=64,
+        mu[0], lk_hard, aees_settings, key=jax.random.PRNGKey(8), n_runs=32,
         history_capacity=512))
     # 5b. parallel tempering (beyond-reference) on the same hard mixture
     # (256 chains x 3000 draws — vmapped ladders are near-free on the chip,
@@ -252,8 +264,8 @@ def run_all(quick=False, out_path=None):
     P_z = jnp.linalg.inv(cov_z)
     record("demcz_correlated_10d", lambda: mcmc_tpu.demcz(
         jnp.zeros(10), lambda x: -0.5 * x @ P_z @ x,
-        mcmc_tpu.DEMCZSettings(n_pop=6, n_burnin_draws=2000 // scale,
-                               n_keep_draws=3000 // scale),
+        mcmc_tpu.DEMCZSettings(n_pop=6, n_burnin_draws=2500 // scale,
+                               n_keep_draws=4500 // scale),
         n_runs=64, key=jax.random.PRNGKey(16)))
 
     record("rmhmc_fisher", lambda: mcmc_tpu.rmhmc(

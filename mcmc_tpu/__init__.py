@@ -277,9 +277,16 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
                                     else target_accept),
                 max_tree_depth=max_tree_depth,
             )
+            # adapt_depth + static tree recap: the sampling kernel is
+            # rebuilt with the warmup-learned depth budget as the static
+            # tree size — ~2x draws/s at identical R-hat on the flagship
+            # (samplers/nuts.py docstring); the recap changes the state
+            # template's shape so it cannot compose with checkpoint_dir
             return nuts(initial_vals, log_kernel, _algo({"nuts_settings": s}),
                         n_chains=n_chains, pooled_adaptation=True,
                         adapt_mass_matrix="dense" if dense_mass else "diag",
+                        adapt_depth=True,
+                        static_sampling_depth=ckpt is None,
                         **grad_kw, **kw)
         if algorithm == "hmc":
             hs = HMCSettings(n_burnin_draws=n_warmup, n_keep_draws=total_keep,

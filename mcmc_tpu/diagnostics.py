@@ -143,22 +143,24 @@ def rank_normalized_rhat(draws):
     return jnp.maximum(split_rhat(z), split_rhat(zf))
 
 
-def bulk_ess(draws):
+def bulk_ess(draws, chain_chunk=None):
     """Bulk effective sample size: Geyer ESS of rank-normalized *split*
-    chains (Vehtari et al. 2021; matches Stan/arviz ess_bulk)."""
+    chains (Vehtari et al. 2021; matches Stan/arviz ess_bulk).
+    ``chain_chunk`` bounds the FFT workspace as in :func:`ess`."""
     draws = _ensure_3d(draws)
-    return ess(_rank_normalize(_split_chains(draws)))
+    return ess(_rank_normalize(_split_chains(draws)), chain_chunk=chain_chunk)
 
 
-def tail_ess(draws):
+def tail_ess(draws, chain_chunk=None):
     """Tail effective sample size: the min of the split-chain ESS of the 5%
     and 95% quantile exceedance indicators (Vehtari et al. 2021 §4.3;
-    matches Stan/arviz ess_tail)."""
+    matches Stan/arviz ess_tail). ``chain_chunk`` bounds the FFT workspace
+    as in :func:`ess`."""
     draws = _ensure_3d(draws)
     q = jnp.quantile(draws, jnp.asarray([0.05, 0.95], draws.dtype), axis=(0, 1))
     split = _split_chains(draws)
-    e05 = ess((split <= q[0]).astype(draws.dtype))
-    e95 = ess((split <= q[1]).astype(draws.dtype))
+    e05 = ess((split <= q[0]).astype(draws.dtype), chain_chunk=chain_chunk)
+    e95 = ess((split <= q[1]).astype(draws.dtype), chain_chunk=chain_chunk)
     return jnp.minimum(e05, e95)
 
 

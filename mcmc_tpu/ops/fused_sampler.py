@@ -97,18 +97,22 @@ def fused_glm_hmc(X, y, *, link="logistic", prior_scale=10.0, step_size=0.05,
 def fused_gaussian_hmc(precision, mean=None, *, step_size=0.5, n_leap=32,
                        n_chains=2048, n_burnin_draws=500, n_keep_draws=1000,
                        init_scale=0.05, key=None, block_chains=256,
-                       interpret=False, steps_per_draw=1) -> SamplerResult:
+                       interpret=False, steps_per_draw=1,
+                       step_jitter=0.2) -> SamplerResult:
     """Fused-trajectory HMC on a multivariate Gaussian ``N(mean, P^{-1})``
     given the precision ``P`` (dense or diagonal) — the pure-MXU-matmul
     member of the fused family; the natural engine for the ill-conditioned
-    BASELINE stress config where long constant-step trajectories carry the
-    slow directions."""
+    BASELINE stress config where long jittered-step trajectories carry the
+    slow directions (``step_jitter`` breaks the fixed-angle resonances an
+    exactly quadratic target otherwise hits — see
+    :func:`mcmc_tpu.ops.fused_logreg.make_fused_gaussian_hmc_step`)."""
     key = jax.random.PRNGKey(0) if key is None else key
     k_init, k_run = jax.random.split(key)
     step = make_fused_gaussian_hmc_step(precision, mean, step_size=step_size,
                                         n_leap=n_leap,
                                         block_chains=block_chains,
-                                        interpret=interpret)
+                                        interpret=interpret,
+                                        step_jitter=step_jitter)
     pos0 = init_scale * jax.random.normal(k_init, (n_chains, step.dim),
                                           jnp.float32)
     return run_fused_step(step, pos0, n_burnin_draws, n_keep_draws, k_run,

@@ -170,3 +170,20 @@ def test_samplers_run_in_float64():
                                                  step_size=0.5, n_leap_steps=3),
                             key=jax.random.PRNGKey(1))
         assert out2.draws.dtype == jnp.float64
+
+
+def test_ess_chain_chunk_identical():
+    """Chunked-FFT ESS (bounded workspace for huge chain batches) is
+    numerically identical to the one-shot estimator, incl. through
+    bulk/tail ESS."""
+    from mcmc_tpu import diagnostics
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (200, 16, 3))
+    # add autocorrelation so tau is nontrivial
+    x = x.at[1:].add(0.7 * x[:-1])
+    for fn in (diagnostics.ess, diagnostics.bulk_ess, diagnostics.tail_ess):
+        a = np.asarray(fn(x))
+        b = np.asarray(fn(x, chain_chunk=4))
+        np.testing.assert_allclose(a, b, rtol=1e-5, err_msg=fn.__name__)
+    with pytest.raises(ValueError, match="chain_chunk"):
+        diagnostics.ess(x, chain_chunk=5)
