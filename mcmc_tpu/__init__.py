@@ -41,6 +41,8 @@ from mcmc_tpu.settings import (
     SGHMCSettings,
     EllipticalSettings,
     SliceSettings,
+    MCLMCSettings,
+    MAMSSettings,
 )
 from mcmc_tpu.results import SamplerResult
 from mcmc_tpu.samplers.rwmh import rwmh
@@ -58,6 +60,7 @@ from mcmc_tpu.samplers.stretch import stretch
 from mcmc_tpu.samplers.sgld import sgld, sghmc
 from mcmc_tpu.samplers.ellipse import elliptical_slice
 from mcmc_tpu.samplers.slice import slice_sampler
+from mcmc_tpu.samplers.mclmc import mclmc, mams
 from mcmc_tpu.laplace import map_laplace, LaplaceResult
 from mcmc_tpu.model_compare import (
     pointwise_log_lik,
@@ -86,6 +89,7 @@ _SAMPLERS = {
     "stretch": stretch, "sgld": sgld, "sghmc": sghmc,
     "elliptical": elliptical_slice,
     "slice": slice_sampler,
+    "mclmc": mclmc, "mams": mams,
 }
 
 
@@ -406,13 +410,14 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
 __all__ = [
     "rwmh", "mala", "hmc", "nuts", "chees", "rmhmc", "de", "demcz", "aees",
     "pt", "smc", "stretch", "sgld", "sghmc", "elliptical_slice",
-    "slice_sampler",
+    "slice_sampler", "mclmc", "mams",
     "sample", "fit", "map_laplace", "LaplaceResult",
     "AlgoSettings", "RWMHSettings", "MALASettings", "HMCSettings",
     "NUTSSettings", "ChEESSettings", "RMHMCSettings", "DESettings",
     "DEMCZSettings", "AEESSettings", "PTSettings", "SMCSettings",
     "StretchSettings",
     "SGLDSettings", "SGHMCSettings", "EllipticalSettings", "SliceSettings",
+    "MCLMCSettings", "MAMSSettings",
     "SamplerResult", "bounds", "stats", "diagnostics", "models",
     "pointwise_log_lik", "waic", "psis_loo", "compare",
     "ravel_model", "unravel_draws", "bounds_like", "softabs_metric",

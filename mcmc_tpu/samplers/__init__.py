@@ -6,5 +6,7 @@ from mcmc_tpu.samplers.chees import chees
 from mcmc_tpu.samplers.rmhmc import rmhmc
 from mcmc_tpu.samplers.de import de
 from mcmc_tpu.samplers.aees import aees
+from mcmc_tpu.samplers.mclmc import mclmc, mams
 
-__all__ = ["rwmh", "mala", "hmc", "nuts", "chees", "rmhmc", "de", "aees"]
+__all__ = ["rwmh", "mala", "hmc", "nuts", "chees", "rmhmc", "de", "aees",
+           "mclmc", "mams"]

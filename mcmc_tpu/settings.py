@@ -22,7 +22,8 @@ __all__ = [
     "RWMHSettings", "MALASettings", "HMCSettings", "NUTSSettings",
     "ChEESSettings", "RMHMCSettings", "DESettings", "AEESSettings",
     "PTSettings", "SMCSettings", "StretchSettings", "SGLDSettings",
-    "SGHMCSettings", "DEMCZSettings", "AlgoSettings",
+    "SGHMCSettings", "DEMCZSettings", "MCLMCSettings", "MAMSSettings",
+    "AlgoSettings",
 ]
 
 ArrayLike = Any
@@ -297,6 +298,50 @@ class EllipticalSettings:
 
 
 @dataclass
+class MCLMCSettings:
+    """Unadjusted Microcanonical Langevin Monte Carlo (Robnik, De Luca,
+    Silverstein & Seljak 2022, arXiv:2212.08549; no reference analog — the
+    framework's highest-throughput accelerator-native sampler, see
+    samplers/mclmc.py). One gradient per draw, no accept/reject; the
+    stationary distribution carries an O(step_size^2) discretization bias
+    controlled by ``desired_energy_var``.
+
+    ``L`` is the momentum-decoherence length (0.0 = auto: init sqrt(dim),
+    then adapted to ``l_factor * sqrt(trace posterior covariance)`` from
+    pooled cross-chain variances during burn-in). ``step_size`` is tuned
+    during burn-in so the pooled per-dimension squared energy error per
+    step hits ``desired_energy_var``."""
+    n_burnin_draws: int = 1000
+    n_keep_draws: int = 1000
+    step_size: float = 0.0          # 0.0 = auto (init from L / 10)
+    L: float = 0.0                  # 0.0 = auto
+    desired_energy_var: float = 5e-4
+    l_factor: float = 1.0
+    variance_ema_rate: float = 0.02  # cross-chain variance EWMA gain
+
+
+@dataclass
+class MAMSSettings:
+    """Metropolis-adjusted microcanonical sampler (Robnik & Seljak 2024; no
+    reference analog — exact chain built on the isokinetic integrator, see
+    samplers/mclmc.py). Full momentum refresh + a jittered isokinetic
+    trajectory per draw, accepted on the microcanonical energy error.
+    Trajectory length T = ``l_factor * sqrt(trace posterior covariance)``
+    (adapted from pooled cross-chain variances; 0.0 = auto), jittered per
+    draw by a shared Halton point like ChEES; step size dual-averaged to
+    ``target_accept_rate`` (0.9 — isokinetic energy errors are lighter-
+    tailed than Hamiltonian ones, so the optimum sits higher than HMC's)."""
+    n_burnin_draws: int = 1000
+    n_keep_draws: int = 1000
+    step_size: float = 0.0          # 0.0 = auto
+    L: float = 0.0                  # 0.0 = auto (trajectory length scale)
+    target_accept_rate: float = 0.9
+    max_leap_steps: int = 1024      # hard per-draw trajectory cap
+    l_factor: float = 1.0
+    variance_ema_rate: float = 0.02
+
+
+@dataclass
 class AlgoSettings:
     """Umbrella settings (reference mcmc_structs.hpp:151-184).
 
@@ -327,6 +372,8 @@ class AlgoSettings:
     elliptical_settings: EllipticalSettings = field(
         default_factory=EllipticalSettings)
     slice_settings: SliceSettings = field(default_factory=SliceSettings)
+    mclmc_settings: MCLMCSettings = field(default_factory=MCLMCSettings)
+    mams_settings: MAMSSettings = field(default_factory=MAMSSettings)
 
     def replace(self, **kw) -> "AlgoSettings":
         return dataclasses.replace(self, **kw)
