@@ -305,6 +305,101 @@ def measure_chees_quality(log_kernel):
     }
 
 
+def measure_microcanonical_quality(log_kernel):
+    """MCLMC (unadjusted) + MAMS (exact) on the flagship posterior — the
+    microcanonical family introduced in round 4 (samplers/mclmc.py). Both
+    run 4096 chains with diagonal preconditioning; MCLMC runs thin=4 (the
+    protocol-probe optimum, benchmarks/mclmc_probe.py: ESS/kept-draw ~0.75
+    at 1/4 the draw-collection cost). Diagnostics stay on device (chunked-
+    FFT ESS) — only scalars cross the tunnel. The unadjusted chain's lines
+    carry a bias audit against the exact sampler's moments (max |dmean|,
+    max relative std diff): the O(step^2) bias at the desired_energy_var
+    operating point measured ~1% here."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    import mcmc_tpu
+    from mcmc_tpu import diagnostics
+    from mcmc_tpu.samplers import common
+    from mcmc_tpu.samplers.mclmc import build_mclmc_kernel, build_mams_kernel
+
+    N = 4096
+    out = {}
+    moments = {}
+    for kind, thin in (("mams", 1), ("mclmc", 4)):
+        if kind == "mclmc":
+            s = mcmc_tpu.MCLMCSettings(n_burnin_draws=NUTS_WARMUP,
+                                       n_keep_draws=NUTS_KEEP)
+            init, step = build_mclmc_kernel(log_kernel, s, NUTS_WARMUP,
+                                            adapt_mass=True)
+        else:
+            s = mcmc_tpu.MAMSSettings(n_burnin_draws=NUTS_WARMUP,
+                                      n_keep_draws=NUTS_KEEP)
+            init, step = build_mams_kernel(log_kernel, s, NUTS_WARMUP,
+                                           adapt_mass=True)
+        step = common.thin_step(step, thin)
+        bstep = jax.vmap(step, axis_name=common.CHAIN_AXIS_NAME)
+        pos0 = 0.05 * jax.random.normal(jax.random.PRNGKey(32), (N, DIM))
+        ik = jax.random.split(jax.random.PRNGKey(33), N)
+        state0 = jax.vmap(lambda k, x: init(k, x, float(DIM) ** 0.5,
+                                            0.1 * float(DIM) ** 0.5),
+                          axis_name=common.CHAIN_AXIS_NAME)(ik, pos0)
+
+        def scan_phase(n, collect):
+            def run(state, ks):
+                def body(c, _):
+                    st, k = c
+                    pairs = jax.vmap(lambda kk: jax.random.split(kk, 2))(k)
+                    st, info = bstep(pairs[:, 1], st)
+                    return (st, pairs[:, 0]), (st.position if collect
+                                               else None)
+                (st, k), outs = lax.scan(body, (state, ks), None, length=n)
+                return st, k, outs
+            return jax.jit(run)
+
+        warm = scan_phase(NUTS_WARMUP, collect=False)
+        samp = scan_phase(NUTS_KEEP, collect=True)
+        ks = jax.random.split(jax.random.PRNGKey(34), N)
+        t0 = time.perf_counter()
+        stw, ks, _ = warm(state0, ks)
+        jax.block_until_ready(stw)
+        t_warm = time.perf_counter() - t0
+        _s, _k, outs = samp(stw, ks)          # compile off the clock
+        jax.block_until_ready(outs)
+        t0 = time.perf_counter()
+        _s, _k, draws = samp(stw, ks)
+        jax.block_until_ready(draws)
+        t_samp = time.perf_counter() - t0
+
+        @jax.jit
+        def diag(d):
+            return (diagnostics.ess(d, chain_chunk=512).min(),
+                    diagnostics.split_rhat(d).max(),
+                    d.mean((0, 1)), d.std((0, 1)))
+
+        ess_min, rhat, mean, std = diag(draws)
+        ess_min, rhat = float(ess_min), float(rhat)
+        moments[kind] = (mean, std)
+        out.update({
+            f"{kind}_min_ess_per_sec": round(ess_min / t_samp, 1),
+            f"{kind}_max_split_rhat": round(rhat, 4),
+            f"{kind}_converged": bool(rhat <= 1.01),
+            f"{kind}_chains": N,
+            f"{kind}_warmup_seconds": round(t_warm, 2),
+            f"{kind}_sample_seconds": round(t_samp, 3),
+            f"{kind}_adapted_step_size": round(
+                float(jnp.exp(stw.da.log_eps_bar[0])), 4),
+        })
+        if thin > 1:
+            out[f"{kind}_thin"] = thin
+    dmean = float(jnp.abs(moments["mclmc"][0] - moments["mams"][0]).max())
+    dstd = float(jnp.abs(moments["mclmc"][1] / moments["mams"][1] - 1.0).max())
+    out["mclmc_bias_max_abs_mean_diff"] = round(dmean, 4)
+    out["mclmc_bias_max_rel_std_diff"] = round(dstd, 4)
+    return out
+
+
 def main():
     baseline = cpp_baseline_steps_per_sec()
 
@@ -328,6 +423,8 @@ def main():
             lk, n_chains=NUTS_BIG_CHAINS, prefix="nuts4096",
             device_diag=True))
     quality.update(measure_chees_quality(lk))
+    if on_tpu:
+        quality.update(measure_microcanonical_quality(lk))
 
     result = {
         "metric": "leapfrog_steps_per_sec_per_chip",

@@ -149,6 +149,22 @@ def run_all(quick=False, out_path=None):
                                n_keep_draws=600 // scale),
         n_chains=64, key=jax.random.PRNGKey(10), adapt_mass_matrix=True))
 
+    # 3c. the microcanonical family (beyond-reference, round 4) on the same
+    # target: mclmc = unadjusted (one gradient per step, thin=4 per the
+    # protocol probe), mams = Metropolis-exact. 1024 chains — their
+    # cross-chain (L, step-size) tuning and lockstep cost profile are built
+    # for large batches.
+    record("mclmc_ill_conditioned_100d", lambda: mcmc_tpu.mclmc(
+        jnp.zeros(100), lk_ill,
+        mcmc_tpu.MCLMCSettings(n_burnin_draws=600 // scale,
+                               n_keep_draws=600 // scale),
+        n_chains=1024, key=jax.random.PRNGKey(24), adapt_mass=True, thin=4))
+    record("mams_ill_conditioned_100d", lambda: mcmc_tpu.mams(
+        jnp.zeros(100), lk_ill,
+        mcmc_tpu.MAMSSettings(n_burnin_draws=600 // scale,
+                              n_keep_draws=600 // scale),
+        n_chains=1024, key=jax.random.PRNGKey(25), adapt_mass=True))
+
     # 4. DE, multimodal mixture
     mu = jnp.array([[-2.0, -2.0], [2.0, 2.0]])
     lk_mix = models.gaussian_mixture_model(mu, jnp.array([0.5, 0.5]),

@@ -245,7 +245,7 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
     if key is not None:
         key, k_run = jax.random.split(key)
 
-    chain_algos = ("nuts", "chees", "hmc", "mala", "slice")
+    chain_algos = ("nuts", "chees", "hmc", "mala", "slice", "mclmc", "mams")
     if algorithm in chain_algos and init == "laplace":
         initial_vals = _laplace_init(n_chains)
     ckpt = None if checkpoint_dir is None else str(checkpoint_dir)
@@ -308,6 +308,29 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
                         adapt_step_size=True, target_accept=target_accept,
                         adapt_precond="dense" if dense_mass else "diag",
                         pooled_adaptation=True, **grad_kw, **kw)
+        if algorithm in ("mclmc", "mams"):
+            # the microcanonical family: mclmc = unadjusted (one gradient
+            # per draw, O(eps^2) bias at the desired_energy_var operating
+            # point), mams = Metropolis-exact. Cross-chain tuning pools
+            # variances, so these shine at large n_chains. Preconditioning
+            # is diagonal-only (the dynamics whiten coordinates directly).
+            if dense_mass:
+                raise ValueError(
+                    f"fit(algorithm={algorithm!r}) supports diagonal "
+                    "preconditioning only (dense_mass=False)")
+            if algorithm == "mclmc":
+                ms2 = MCLMCSettings(n_burnin_draws=n_warmup,
+                                    n_keep_draws=total_keep)
+                return mclmc(initial_vals, log_kernel,
+                             _algo({"mclmc_settings": ms2}),
+                             n_chains=n_chains, adapt_mass=True, **kw)
+            as2 = MAMSSettings(n_burnin_draws=n_warmup,
+                               n_keep_draws=total_keep)
+            if target_accept is not None:
+                as2.target_accept_rate = target_accept
+            return mams(initial_vals, log_kernel,
+                        _algo({"mams_settings": as2}),
+                        n_chains=n_chains, adapt_mass=True, **kw)
         if algorithm == "slice":
             sls = SliceSettings(n_burnin_draws=n_warmup,
                                 n_keep_draws=total_keep)
@@ -353,7 +376,8 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
             return demcz(iv, log_kernel, _algo({"demcz_settings": zs}), **kw)
         raise ValueError(
             f"fit algorithm must be 'nuts', 'chees', 'hmc', 'mala', "
-            f"'stretch', 'slice', or 'demcz', got {algorithm!r}")
+            f"'mclmc', 'mams', 'stretch', 'slice', or 'demcz', "
+            f"got {algorithm!r}")
 
     def _gates_ok(d):
         ok = (rhat_target is None

@@ -110,7 +110,8 @@ def isokinetic_velocity_verlet(value_and_grad_fn, sqrt_diag):
     gradients enter scaled by ``sqrt_diag`` — i.e. the dynamics run in
     whitened coordinates). Returns
     ``step(eps, x, u, logp, g) -> (x', u', logp', g', dE)`` with ``dE`` the
-    microcanonical energy change of the step (zero under exact flow)."""
+    microcanonical energy change of the step (zero under exact flow).
+    One gradient evaluation per step (the boundary gradient is carried)."""
 
     def step(eps, x, u, logp, g):
         u1, k1 = _iso_momentum_update(u, sqrt_diag * g, 0.5 * eps)
@@ -121,6 +122,49 @@ def isokinetic_velocity_verlet(value_and_grad_fn, sqrt_diag):
         return x1, u2, logp1, g1, d_energy
 
     return step
+
+
+# McLachlan & Atela's minimal-norm second-order coefficient: the B-A-B-A-B
+# splitting with this lambda minimizes the third-order error norm — the
+# energy-error constant is ~20x below velocity Verlet's, so the tuned step
+# size grows more than enough to pay for the second gradient per step.
+_MN_LAMBDA = 0.1931833275037836
+
+
+def isokinetic_mclachlan(value_and_grad_fn, sqrt_diag):
+    """One minimal-norm (McLachlan) second-order step of the isokinetic
+    dynamics: u(lam*eps) x(eps/2) u((1-2lam)*eps) x(eps/2) u(lam*eps) —
+    two gradient evaluations per step (boundary gradient carried), much
+    smaller energy-error constant than velocity Verlet; the default
+    integrator of the MCLMC reference implementations. Same signature as
+    :func:`isokinetic_velocity_verlet`."""
+
+    def step(eps, x, u, logp, g):
+        u1, k1 = _iso_momentum_update(u, sqrt_diag * g, _MN_LAMBDA * eps)
+        x1 = x + 0.5 * eps * (sqrt_diag * u1)
+        _, g1 = value_and_grad_fn(x1)
+        u2, k2 = _iso_momentum_update(u1, sqrt_diag * g1,
+                                      (1.0 - 2.0 * _MN_LAMBDA) * eps)
+        x2 = x1 + 0.5 * eps * (sqrt_diag * u2)
+        logp2, g2 = value_and_grad_fn(x2)
+        u3, k3 = _iso_momentum_update(u2, sqrt_diag * g2, _MN_LAMBDA * eps)
+        d_energy = (k1 + k2 + k3) - (logp2 - logp)
+        return x2, u3, logp2, g2, d_energy
+
+    return step
+
+
+_INTEGRATORS = {"velocity_verlet": isokinetic_velocity_verlet,
+                "mclachlan": isokinetic_mclachlan}
+
+
+def _get_integrator(name):
+    try:
+        return _INTEGRATORS[name]
+    except KeyError:
+        raise ValueError(
+            f"integrator must be one of {sorted(_INTEGRATORS)}, got "
+            f"{name!r}") from None
 
 
 def partial_velocity_refresh(key, u, eps, L):
@@ -202,6 +246,7 @@ def build_mclmc_kernel(box_log_kernel, cfg: MCLMCSettings, n_adapt: int,
     rate = float(cfg.variance_ema_rate)
     auto_L = float(cfg.L) == 0.0
     vg = _finite_value_and_grad(box_log_kernel)
+    make_integrator = _get_integrator(cfg.integrator)
 
     def step(key, state: MCLMCState):
         dim = state.position.shape[0]
@@ -211,7 +256,7 @@ def build_mclmc_kernel(box_log_kernel, cfg: MCLMCSettings, n_adapt: int,
         eps = jnp.exp(jnp.where(adapting, state.da.log_eps,
                                 state.da.log_eps_bar))
         L = jnp.exp(state.log_L)
-        vv = isokinetic_velocity_verlet(vg, state.sqrt_diag)
+        vv = make_integrator(vg, state.sqrt_diag)
 
         x1, u1, logp1, g1, d_energy = vv(
             eps, state.position, state.velocity, state.logdens, state.grad)
@@ -295,6 +340,7 @@ def build_mams_kernel(box_log_kernel, cfg: MAMSSettings, n_adapt: int,
     rate = float(cfg.variance_ema_rate)
     auto_L = float(cfg.L) == 0.0
     vg = _finite_value_and_grad(box_log_kernel)
+    make_integrator = _get_integrator(cfg.integrator)
 
     def step(key, state: MAMSState):
         dtype = state.position.dtype
@@ -305,7 +351,7 @@ def build_mams_kernel(box_log_kernel, cfg: MAMSSettings, n_adapt: int,
         eps = jnp.exp(jnp.where(adapting, state.da.log_eps,
                                 state.da.log_eps_bar))
         L = jnp.exp(state.log_L)
-        vv = isokinetic_velocity_verlet(vg, state.sqrt_diag)
+        vv = make_integrator(vg, state.sqrt_diag)
 
         # shared jitter (same Halton trick as ChEES): t in [L/2, 3L/2],
         # mean L — uniform-from-zero jitter wastes draws on tiny trajectories

@@ -197,3 +197,24 @@ def test_fit_thin_passthrough():
                        key=jax.random.PRNGKey(4))
     assert out.draws.shape == (100, 16, 2)
     assert int(out.diagnostics["thin"]) == 3
+
+
+def test_fit_mclmc_and_mams():
+    """fit(algorithm='mclmc'|'mams'): the microcanonical family through the
+    one-call surface, with convergence gates."""
+    lk = _gauss2()
+    for algo in ("mclmc", "mams"):
+        out = mcmc_tpu.fit(jnp.zeros(2), lk, algorithm=algo, n_chains=32,
+                           n_warmup=400, n_draws=400,
+                           key=jax.random.PRNGKey(9),
+                           rhat_target=1.05, max_rounds=3)
+        d = np.asarray(out.draws)
+        assert d.shape[1:] == (32, 2)
+        np.testing.assert_allclose(d.mean(axis=(0, 1)), 0.0, atol=0.2)
+        emp = np.cov(d.reshape(-1, 2).T)
+        assert emp[0, 1] == pytest.approx(0.5, abs=0.2), algo
+        assert "summary" in out.diagnostics
+        assert bool(out.diagnostics["converged"])
+    with pytest.raises(ValueError, match="diagonal"):
+        mcmc_tpu.fit(jnp.zeros(2), lk, algorithm="mclmc", n_chains=8,
+                     dense_mass=True, key=jax.random.PRNGKey(0))
