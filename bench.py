@@ -308,13 +308,17 @@ def measure_chees_quality(log_kernel):
 def measure_microcanonical_quality(log_kernel):
     """MCLMC (unadjusted) + MAMS (exact) on the flagship posterior — the
     microcanonical family introduced in round 4 (samplers/mclmc.py). Both
-    run 4096 chains with diagonal preconditioning; MCLMC runs thin=4 (the
-    protocol-probe optimum, benchmarks/mclmc_probe.py: ESS/kept-draw ~0.75
-    at 1/4 the draw-collection cost). Diagnostics stay on device (chunked-
-    FFT ESS) — only scalars cross the tunnel. The unadjusted chain's lines
-    carry a bias audit against the exact sampler's moments (max |dmean|,
-    max relative std diff): the O(step^2) bias at the desired_energy_var
-    operating point measured ~1% here."""
+    run 4096 chains with diagonal preconditioning and the minimal-norm
+    (McLachlan) integrator; MCLMC runs thin=2 (the protocol-probe optimum,
+    benchmarks/mclmc_probe.py: at the tuned eps ~ 11 two steps cover one
+    decoherence length L ~ 22, so kept draws are decorrelated-to-
+    anticorrelated — ESS/kept-draw can exceed 1, which is real for
+    microcanonical chains, and bulk/tail ESS are reported alongside as the
+    conservative check). Diagnostics stay on device (chunked-FFT ESS) —
+    only scalars cross the tunnel. The unadjusted chain's lines carry a
+    bias audit against the exact sampler's moments (max |dmean|, max
+    relative std diff): the O(step^2) bias at the desired_energy_var
+    operating point measured ~1.5% here."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -327,7 +331,7 @@ def measure_microcanonical_quality(log_kernel):
     N = 4096
     out = {}
     moments = {}
-    for kind, thin in (("mams", 1), ("mclmc", 4)):
+    for kind, thin in (("mams", 1), ("mclmc", 2)):
         if kind == "mclmc":
             s = mcmc_tpu.MCLMCSettings(n_burnin_draws=NUTS_WARMUP,
                                        n_keep_draws=NUTS_KEEP)
@@ -375,14 +379,18 @@ def measure_microcanonical_quality(log_kernel):
         @jax.jit
         def diag(d):
             return (diagnostics.ess(d, chain_chunk=512).min(),
+                    diagnostics.bulk_ess(d, chain_chunk=512).min(),
+                    diagnostics.tail_ess(d, chain_chunk=512).min(),
                     diagnostics.split_rhat(d).max(),
                     d.mean((0, 1)), d.std((0, 1)))
 
-        ess_min, rhat, mean, std = diag(draws)
+        ess_min, ess_bulk, ess_tail, rhat, mean, std = diag(draws)
         ess_min, rhat = float(ess_min), float(rhat)
         moments[kind] = (mean, std)
         out.update({
             f"{kind}_min_ess_per_sec": round(ess_min / t_samp, 1),
+            f"{kind}_bulk_ess_per_sec": round(float(ess_bulk) / t_samp, 1),
+            f"{kind}_tail_ess_per_sec": round(float(ess_tail) / t_samp, 1),
             f"{kind}_max_split_rhat": round(rhat, 4),
             f"{kind}_converged": bool(rhat <= 1.01),
             f"{kind}_chains": N,

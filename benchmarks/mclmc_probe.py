@@ -29,13 +29,15 @@ KEEP = 1000
 
 
 def run_variant(name, lk, kind, n_chains, thin=1, keep=KEEP,
-                desired_energy_var=5e-4):
+                desired_energy_var=5e-4, integrator="velocity_verlet"):
     if kind == "mclmc":
         s = mcmc_tpu.MCLMCSettings(n_burnin_draws=WARMUP, n_keep_draws=keep,
-                                   desired_energy_var=desired_energy_var)
+                                   desired_energy_var=desired_energy_var,
+                                   integrator=integrator)
         init, step = build_mclmc_kernel(lk, s, WARMUP, adapt_mass=True)
     else:
-        s = mcmc_tpu.MAMSSettings(n_burnin_draws=WARMUP, n_keep_draws=keep)
+        s = mcmc_tpu.MAMSSettings(n_burnin_draws=WARMUP, n_keep_draws=keep,
+                                  integrator=integrator)
         init, step = build_mams_kernel(lk, s, WARMUP, adapt_mass=True)
     step = common.thin_step(step, thin)
     bstep = jax.vmap(step, axis_name=common.CHAIN_AXIS_NAME)
@@ -113,6 +115,12 @@ def main():
         "mclmc-16384-thin4": dict(kind="mclmc", n_chains=16384, thin=4),
         "mclmc-16384-thin8": dict(kind="mclmc", n_chains=16384, thin=8),
         "mams-4096-thin2": dict(kind="mams", n_chains=4096, thin=2),
+        "mclmc-4096-mn-thin2": dict(kind="mclmc", n_chains=4096, thin=2,
+                                    integrator="mclachlan"),
+        "mclmc-4096-mn-thin4": dict(kind="mclmc", n_chains=4096, thin=4,
+                                    integrator="mclachlan"),
+        "mams-4096-mn": dict(kind="mams", n_chains=4096,
+                             integrator="mclachlan"),
     }
     names = sys.argv[1:] or list(variants)
     moments = {}

@@ -318,7 +318,7 @@ class MCLMCSettings:
     desired_energy_var: float = 5e-4
     l_factor: float = 1.0
     variance_ema_rate: float = 0.02  # cross-chain variance EWMA gain
-    integrator: str = "velocity_verlet"   # | "mclachlan" (minimal-norm)
+    integrator: str = "mclachlan"   # minimal-norm (default) | "velocity_verlet"
 
 
 @dataclass
@@ -340,7 +340,7 @@ class MAMSSettings:
     max_leap_steps: int = 1024      # hard per-draw trajectory cap
     l_factor: float = 1.0
     variance_ema_rate: float = 0.02
-    integrator: str = "velocity_verlet"   # | "mclachlan" (minimal-norm)
+    integrator: str = "mclachlan"   # minimal-norm (default) | "velocity_verlet"
 
 
 @dataclass

@@ -255,7 +255,8 @@ def test_mclachlan_integrator_smaller_energy_error_and_exact():
                                rtol=0.06)
     # the tuned step lands larger than velocity Verlet's at the same
     # energy-variance target (the point of the integrator)
-    s_vv = mcmc_tpu.MCLMCSettings(n_burnin_draws=600, n_keep_draws=10)
+    s_vv = mcmc_tpu.MCLMCSettings(n_burnin_draws=600, n_keep_draws=10,
+                                  integrator="velocity_verlet")
     out_vv = mcmc_tpu.mclmc(jnp.zeros(4), lk, s_vv, n_chains=256,
                             key=jax.random.PRNGKey(21))
     assert float(out.diagnostics["adapted_step_size"]) > \
