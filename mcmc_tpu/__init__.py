@@ -43,6 +43,7 @@ from mcmc_tpu.settings import (
     SliceSettings,
     MCLMCSettings,
     MAMSSettings,
+    EvidenceSettings,
 )
 from mcmc_tpu.results import SamplerResult
 from mcmc_tpu.samplers.rwmh import rwmh
@@ -62,6 +63,7 @@ from mcmc_tpu.samplers.ellipse import elliptical_slice
 from mcmc_tpu.samplers.slice import slice_sampler
 from mcmc_tpu.samplers.mclmc import mclmc, mams
 from mcmc_tpu.laplace import map_laplace, LaplaceResult
+from mcmc_tpu.evidence import thermo_evidence, EvidenceResult
 from mcmc_tpu.model_compare import (
     pointwise_log_lik,
     waic,
@@ -436,6 +438,7 @@ __all__ = [
     "pt", "smc", "stretch", "sgld", "sghmc", "elliptical_slice",
     "slice_sampler", "mclmc", "mams",
     "sample", "fit", "map_laplace", "LaplaceResult",
+    "thermo_evidence", "EvidenceResult", "EvidenceSettings",
     "AlgoSettings", "RWMHSettings", "MALASettings", "HMCSettings",
     "NUTSSettings", "ChEESSettings", "RMHMCSettings", "DESettings",
     "DEMCZSettings", "AEESSettings", "PTSettings", "SMCSettings",

@@ -87,6 +87,19 @@ class LaplaceResult:
             lambda v: bounds_mod.inv_transform(v, self._codes, self._lb, self._ub)
         )(z)
 
+    @property
+    def log_evidence(self):
+        """Laplace approximation to the log marginal likelihood:
+        ``log p(mode) + d/2·log 2π + ½·log|Σ|`` (the Gaussian integral of
+        the quadratic expansion around the mode, in unconstrained space —
+        exact when the box posterior is Gaussian). Requires ``log_kernel``
+        to be the *normalized* joint ``log prior + log lik``; cross-check
+        against :func:`mcmc_tpu.evidence.thermo_evidence` and SMC's
+        ``log_z`` (see mcmc_tpu/evidence.py)."""
+        d = self.mode_z.shape[0]
+        _, logdet = jnp.linalg.slogdet(self.cov)
+        return self.log_post + 0.5 * d * jnp.log(2.0 * jnp.pi) + 0.5 * logdet
+
     def init_box(self, scale: float = 2.0):
         """Curvature-matched initial box ``(lb, ub)`` in *constrained*
         space: ``mode_z ± scale * sd`` built in unconstrained coordinates

@@ -23,7 +23,7 @@ __all__ = [
     "ChEESSettings", "RMHMCSettings", "DESettings", "AEESSettings",
     "PTSettings", "SMCSettings", "StretchSettings", "SGLDSettings",
     "SGHMCSettings", "DEMCZSettings", "MCLMCSettings", "MAMSSettings",
-    "AlgoSettings",
+    "EvidenceSettings", "AlgoSettings",
 ]
 
 ArrayLike = Any
@@ -344,6 +344,26 @@ class MAMSSettings:
 
 
 @dataclass
+class EvidenceSettings:
+    """Power-posterior marginal-likelihood estimation (no reference analog —
+    MCMCLib cannot produce ``log Z``; see evidence.py). A ``n_temps``-rung
+    replica-exchange ladder targets ``prior·lik^beta`` with
+    ``beta_k = (k/(K-1))^schedule_power`` (Friel & Pettitt 2008), DEO
+    even/odd swaps, and per-rung dual-averaged step sizes."""
+    n_burnin_draws: int = 1000
+    n_keep_draws: int = 1000
+    n_temps: int = 24
+    schedule_power: float = 5.0
+    inner: str = "hmc"               # "hmc" | "rwmh" inner transition
+    step_size: float = 0.25          # hmc initial per-rung step size
+    n_leap_steps: int = 8
+    par_scale: float = 0.5           # rwmh initial per-rung proposal sd
+    target_accept: Optional[float] = None  # default 0.65 hmc / 0.234 rwmh
+    swap_every: int = 1
+    n_adapt_draws: Optional[int] = None    # defaults to n_burnin_draws
+
+
+@dataclass
 class AlgoSettings:
     """Umbrella settings (reference mcmc_structs.hpp:151-184).
 
@@ -376,6 +396,8 @@ class AlgoSettings:
     slice_settings: SliceSettings = field(default_factory=SliceSettings)
     mclmc_settings: MCLMCSettings = field(default_factory=MCLMCSettings)
     mams_settings: MAMSSettings = field(default_factory=MAMSSettings)
+    evidence_settings: EvidenceSettings = field(
+        default_factory=EvidenceSettings)
 
     def replace(self, **kw) -> "AlgoSettings":
         return dataclasses.replace(self, **kw)
