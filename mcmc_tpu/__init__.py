@@ -44,6 +44,7 @@ from mcmc_tpu.settings import (
     MCLMCSettings,
     MAMSSettings,
     EvidenceSettings,
+    BarkerSettings,
 )
 from mcmc_tpu.results import SamplerResult
 from mcmc_tpu.samplers.rwmh import rwmh
@@ -62,6 +63,7 @@ from mcmc_tpu.samplers.sgld import sgld, sghmc
 from mcmc_tpu.samplers.ellipse import elliptical_slice
 from mcmc_tpu.samplers.slice import slice_sampler
 from mcmc_tpu.samplers.mclmc import mclmc, mams
+from mcmc_tpu.samplers.barker import barker
 from mcmc_tpu.laplace import map_laplace, LaplaceResult
 from mcmc_tpu.evidence import thermo_evidence, EvidenceResult
 from mcmc_tpu.model_compare import (
@@ -92,6 +94,7 @@ _SAMPLERS = {
     "elliptical": elliptical_slice,
     "slice": slice_sampler,
     "mclmc": mclmc, "mams": mams,
+    "barker": barker,
 }
 
 
@@ -176,7 +179,11 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
     fixed-trajectory HMC (``n_leap_steps`` leapfrogs, default 16) with
     adapted step size and mass — the predictable-cost gradient sampler;
     ``algorithm="mala"`` runs MALA with adapted step size and learned
-    preconditioner — the one-gradient-per-draw choice for cheap targets.
+    preconditioner — the one-gradient-per-draw choice for cheap targets;
+    ``algorithm="barker"`` runs the Barker proposal with adapted scale and
+    per-coordinate preconditioning — MALA's robust sibling (insensitive to
+    step-size mis-tuning, ergodic on light-tailed targets where MALA is
+    transient), the safe gradient default on unfamiliar geometry.
     ``algorithm="stretch"`` runs the affine-invariant ensemble — the
     derivative-free choice when ``log_kernel`` is not differentiable
     (``n_chains`` maps to walkers, min ``max(2 * dim, 32)`` and even; no
@@ -247,7 +254,8 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
     if key is not None:
         key, k_run = jax.random.split(key)
 
-    chain_algos = ("nuts", "chees", "hmc", "mala", "slice", "mclmc", "mams")
+    chain_algos = ("nuts", "chees", "hmc", "mala", "barker", "slice",
+                   "mclmc", "mams")
     if algorithm in chain_algos and init == "laplace":
         initial_vals = _laplace_init(n_chains)
     ckpt = None if checkpoint_dir is None else str(checkpoint_dir)
@@ -310,6 +318,17 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
                         adapt_step_size=True, target_accept=target_accept,
                         adapt_precond="dense" if dense_mass else "diag",
                         pooled_adaptation=True, **grad_kw, **kw)
+        if algorithm == "barker":
+            if dense_mass:
+                raise ValueError(
+                    "fit(algorithm='barker') supports per-coordinate "
+                    "(diagonal) scales only (dense_mass=False)")
+            bs = BarkerSettings(n_burnin_draws=n_warmup,
+                                n_keep_draws=total_keep, step_size=0.5)
+            return barker(initial_vals, log_kernel,
+                          _algo({"barker_settings": bs}), n_chains=n_chains,
+                          adapt_step_size=True, target_accept=target_accept,
+                          adapt_precond=True, pooled_adaptation=True, **kw)
         if algorithm in ("mclmc", "mams"):
             # the microcanonical family: mclmc = unadjusted (one gradient
             # per draw, O(eps^2) bias at the desired_energy_var operating
@@ -378,7 +397,7 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
             return demcz(iv, log_kernel, _algo({"demcz_settings": zs}), **kw)
         raise ValueError(
             f"fit algorithm must be 'nuts', 'chees', 'hmc', 'mala', "
-            f"'mclmc', 'mams', 'stretch', 'slice', or 'demcz', "
+            f"'barker', 'mclmc', 'mams', 'stretch', 'slice', or 'demcz', "
             f"got {algorithm!r}")
 
     def _gates_ok(d):
@@ -436,7 +455,7 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
 __all__ = [
     "rwmh", "mala", "hmc", "nuts", "chees", "rmhmc", "de", "demcz", "aees",
     "pt", "smc", "stretch", "sgld", "sghmc", "elliptical_slice",
-    "slice_sampler", "mclmc", "mams",
+    "slice_sampler", "mclmc", "mams", "barker",
     "sample", "fit", "map_laplace", "LaplaceResult",
     "thermo_evidence", "EvidenceResult", "EvidenceSettings",
     "AlgoSettings", "RWMHSettings", "MALASettings", "HMCSettings",
@@ -444,7 +463,7 @@ __all__ = [
     "DEMCZSettings", "AEESSettings", "PTSettings", "SMCSettings",
     "StretchSettings",
     "SGLDSettings", "SGHMCSettings", "EllipticalSettings", "SliceSettings",
-    "MCLMCSettings", "MAMSSettings",
+    "MCLMCSettings", "MAMSSettings", "BarkerSettings",
     "SamplerResult", "bounds", "stats", "diagnostics", "models",
     "pointwise_log_lik", "waic", "psis_loo", "compare",
     "ravel_model", "unravel_draws", "bounds_like", "softabs_metric",

@@ -7,6 +7,7 @@ from mcmc_tpu.samplers.rmhmc import rmhmc
 from mcmc_tpu.samplers.de import de
 from mcmc_tpu.samplers.aees import aees
 from mcmc_tpu.samplers.mclmc import mclmc, mams
+from mcmc_tpu.samplers.barker import barker
 
 __all__ = ["rwmh", "mala", "hmc", "nuts", "chees", "rmhmc", "de", "aees",
-           "mclmc", "mams"]
+           "mclmc", "mams", "barker"]

@@ -23,7 +23,7 @@ __all__ = [
     "ChEESSettings", "RMHMCSettings", "DESettings", "AEESSettings",
     "PTSettings", "SMCSettings", "StretchSettings", "SGLDSettings",
     "SGHMCSettings", "DEMCZSettings", "MCLMCSettings", "MAMSSettings",
-    "EvidenceSettings", "AlgoSettings",
+    "BarkerSettings", "EvidenceSettings", "AlgoSettings",
 ]
 
 ArrayLike = Any
@@ -344,6 +344,19 @@ class MAMSSettings:
 
 
 @dataclass
+class BarkerSettings:
+    """Barker proposal (Livingstone & Zanella 2022; no reference analog —
+    the robust gradient-based alternative to MALASettings; see
+    samplers/barker.py). The gradient skews the sign of a symmetric
+    Gaussian kick instead of shifting its mean, so the chain stays
+    geometrically ergodic where MALA is transient and tolerates step-size
+    mis-tuning."""
+    n_burnin_draws: int = 1000
+    n_keep_draws: int = 1000
+    step_size: float = 0.5
+
+
+@dataclass
 class EvidenceSettings:
     """Power-posterior marginal-likelihood estimation (no reference analog —
     MCMCLib cannot produce ``log Z``; see evidence.py). A ``n_temps``-rung
@@ -398,6 +411,7 @@ class AlgoSettings:
     mams_settings: MAMSSettings = field(default_factory=MAMSSettings)
     evidence_settings: EvidenceSettings = field(
         default_factory=EvidenceSettings)
+    barker_settings: BarkerSettings = field(default_factory=BarkerSettings)
 
     def replace(self, **kw) -> "AlgoSettings":
         return dataclasses.replace(self, **kw)
