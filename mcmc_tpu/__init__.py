@@ -66,6 +66,7 @@ from mcmc_tpu.samplers.mclmc import mclmc, mams
 from mcmc_tpu.samplers.barker import barker
 from mcmc_tpu.laplace import map_laplace, LaplaceResult
 from mcmc_tpu.evidence import thermo_evidence, EvidenceResult
+from mcmc_tpu.pathfinder import pathfinder, PathfinderResult
 from mcmc_tpu.model_compare import (
     pointwise_log_lik,
     waic,
@@ -197,7 +198,12 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
     ``init="laplace"`` first finds the posterior mode
     (:func:`mcmc_tpu.map_laplace`, batched-Adam MAP) and starts every
     chain from an overdispersed draw of the Laplace Gaussian instead of
-    ``initial_vals`` directly. ``lower_bounds``/``upper_bounds`` (either
+    ``initial_vals`` directly; ``init="pathfinder"`` instead starts chains
+    from PSIS-resampled multi-path Pathfinder draws
+    (:func:`mcmc_tpu.pathfinder` — L-BFGS-path variational approximation,
+    targets the typical set rather than the mode; prefer it on
+    non-Gaussian geometry and in high dimension where the Laplace Hessian
+    is expensive). ``lower_bounds``/``upper_bounds`` (either
     or both, per-dimension, inf = unbounded) apply the same box-constraint
     transform stack as the sampler entry points.
 
@@ -230,12 +236,13 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
     checkpointed runs. The "it just works" entry point the reference's
     fixed-settings API cannot offer.
     """
-    if init not in (None, "laplace"):
-        raise ValueError(f"fit init must be None or 'laplace', got {init!r}")
+    if init not in (None, "laplace", "pathfinder"):
+        raise ValueError(f"fit init must be None, 'laplace', or "
+                         f"'pathfinder', got {init!r}")
     initial_vals, log_kernel, lower_bounds, upper_bounds, unravel = \
         _fit_ravel(initial_vals, log_kernel, lower_bounds, upper_bounds)
     extend = rhat_target is not None or min_ess is not None
-    if (extend or init == "laplace") and key is None:
+    if (extend or init is not None) and key is None:
         key = jax.random.PRNGKey(0)
     bounded = lower_bounds is not None or upper_bounds is not None
     def _algo(inner):
@@ -246,6 +253,11 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
         key, k_map, k_init = jax.random.split(key, 3)
         lap = map_laplace(initial_vals, log_kernel, _algo({}), key=k_map)
         _laplace_init = lambda n: lap.draw_init(k_init, n)
+    elif init == "pathfinder":
+        key, k_pf, k_init = jax.random.split(key, 3)
+        pf = pathfinder(initial_vals, log_kernel, _algo({}), key=k_pf,
+                        n_draws=256)
+        _laplace_init = lambda n: pf.draw_init(k_init, n)
     # Reserve a disjoint key for the sampler run: the extension loop below
     # keeps splitting `key`, and jax.random.split(k, 2) rows are a prefix of
     # split(k, n) rows, so handing the sampler the same `key` we later split
@@ -256,7 +268,7 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
 
     chain_algos = ("nuts", "chees", "hmc", "mala", "barker", "slice",
                    "mclmc", "mams")
-    if algorithm in chain_algos and init == "laplace":
+    if algorithm in chain_algos and init is not None:
         initial_vals = _laplace_init(n_chains)
     ckpt = None if checkpoint_dir is None else str(checkpoint_dir)
 
@@ -374,6 +386,11 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
                 # (the walker ball lives in unconstrained space, as does cov)
                 iv = lap.mode
                 ss.init_spread = jnp.sqrt(jnp.diagonal(lap.cov))
+            elif init == "pathfinder":
+                # ensemble centers on the draw-cloud mean with its own
+                # spread (both from the unconstrained pathfinder draws)
+                iv = pf.center
+                ss.init_spread = pf.spread_z
             return stretch(iv, log_kernel, _algo({"stretch_settings": ss}),
                            **kw)
         if algorithm == "demcz":
@@ -393,6 +410,10 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
                 # get a correctly scaled constrained-space box
                 iv = lap.mode
                 zs.initial_lb, zs.initial_ub = lap.init_box(2.0)
+            elif init == "pathfinder":
+                # initial box spans the pathfinder draw cloud
+                iv = pf.center
+                zs.initial_lb, zs.initial_ub = pf.init_box(2.0)
             kw.pop("mesh")
             return demcz(iv, log_kernel, _algo({"demcz_settings": zs}), **kw)
         raise ValueError(
@@ -458,6 +479,7 @@ __all__ = [
     "slice_sampler", "mclmc", "mams", "barker",
     "sample", "fit", "map_laplace", "LaplaceResult",
     "thermo_evidence", "EvidenceResult", "EvidenceSettings",
+    "pathfinder", "PathfinderResult",
     "AlgoSettings", "RWMHSettings", "MALASettings", "HMCSettings",
     "NUTSSettings", "ChEESSettings", "RMHMCSettings", "DESettings",
     "DEMCZSettings", "AEESSettings", "PTSettings", "SMCSettings",
