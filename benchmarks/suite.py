@@ -83,6 +83,12 @@ def run_all(quick=False, out_path=None):
         mcmc_tpu.MALASettings(n_burnin_draws=1000 // scale,
                               n_keep_draws=2000 // scale, step_size=0.05),
         n_chains=256, key=jax.random.PRNGKey(3), adapt_step_size=True))
+    record("barker_logreg_25d", lambda: mcmc_tpu.barker(
+        jnp.zeros(25), lk_lr,
+        mcmc_tpu.BarkerSettings(n_burnin_draws=1000 // scale,
+                                n_keep_draws=2000 // scale, step_size=0.5),
+        n_chains=256, key=jax.random.PRNGKey(23), adapt_step_size=True,
+        adapt_precond=True, pooled_adaptation=True))
     record("hmc_logreg_25d", lambda: mcmc_tpu.hmc(
         jnp.zeros(25), lk_lr,
         mcmc_tpu.HMCSettings(n_burnin_draws=1000 // scale,

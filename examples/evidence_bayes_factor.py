@@ -61,11 +61,18 @@ for name, degree in [("linear", 1), ("quadratic", 2)]:
         jnp.zeros(d), lambda th: log_prior(th) + log_lik(th), smc_s,
         key=jax.random.PRNGKey(3))
 
+    # nested sampling over the same model through the unit-cube transform
+    from jax.scipy.special import ndtri
+    ns = mcmc_tpu.nested_sampling(
+        lambda u: 2.0 * ndtri(u),          # the N(0, 2^2) iid prior
+        log_lik, d, n_live=512, key=jax.random.PRNGKey(4))
+
     print(f"{name:10s} log Z: stepping-stone {res.log_z:9.2f} "
           f"+- {float(res.log_z_se):.3f} | corrected TI {res.log_z_ti:9.2f} "
           f"+- {float(res.log_z_ti_se):.3f} | Laplace "
           f"{float(lap.log_evidence):9.2f} | SMC "
-          f"{float(smc_res.diagnostics['log_z']):9.2f}")
+          f"{float(smc_res.diagnostics['log_z']):9.2f} | nested "
+          f"{float(ns.log_z):9.2f} +- {float(ns.log_z_err):.2f}")
     print(f"{'':10s} per-rung accept in "
           f"[{float(res.accept_rate.min()):.2f}, "
           f"{float(res.accept_rate.max()):.2f}], min swap rate "

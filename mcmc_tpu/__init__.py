@@ -67,6 +67,7 @@ from mcmc_tpu.samplers.barker import barker
 from mcmc_tpu.laplace import map_laplace, LaplaceResult
 from mcmc_tpu.evidence import thermo_evidence, EvidenceResult
 from mcmc_tpu.pathfinder import pathfinder, PathfinderResult
+from mcmc_tpu.nested import nested_sampling, NestedResult
 from mcmc_tpu.model_compare import (
     pointwise_log_lik,
     waic,
@@ -480,6 +481,7 @@ __all__ = [
     "sample", "fit", "map_laplace", "LaplaceResult",
     "thermo_evidence", "EvidenceResult", "EvidenceSettings",
     "pathfinder", "PathfinderResult",
+    "nested_sampling", "NestedResult",
     "AlgoSettings", "RWMHSettings", "MALASettings", "HMCSettings",
     "NUTSSettings", "ChEESSettings", "RMHMCSettings", "DESettings",
     "DEMCZSettings", "AEESSettings", "PTSettings", "SMCSettings",
