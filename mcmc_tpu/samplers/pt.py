@@ -66,6 +66,9 @@ class PTState(NamedTuple):
     X: jax.Array         # (K, d) replica positions, cold chain last
     kv: jax.Array        # (K,) untempered log-kernel values
     rho: jax.Array       # (K-1,) log inverse-temperature spacings
+    occ: jax.Array       # (K,) original-replica id occupying each rung
+    odir: jax.Array      # (K,) per-ORIGINAL-replica direction: +1 -> cold
+    trips: jax.Array     # (K,) per-original-replica completed round trips
     draw_ind: jax.Array  # global draw counter
 
 
@@ -178,6 +181,7 @@ def build_pt_kernel(box, s: PTSettings, dim, dt, n_adapt,
                                           betas, temps)
         info = {"accepted": acc[K - 1]}
         rho = state.rho
+        occ, odir, trips = state.occ, state.odir, state.trips
 
         if K > 1:
             # even/odd swap round every `swap_every` sweeps: active pairs
@@ -200,6 +204,19 @@ def build_pt_kernel(box, s: PTSettings, dim, dt, n_adapt,
                              jnp.where(with_prev, idx_K - 1, idx_K))
             X = X[perm]
             kv = kv[perm]
+            occ = occ[perm]
+
+            # replica-flow bookkeeping (Syed et al. 2022 round-trip rate):
+            # a replica turning around at the COLD end starts heading hot;
+            # one arriving back at the HOT end with a cold visit banked
+            # completes a round trip. Directions/trips are indexed by
+            # ORIGINAL replica id so they follow the occupant through swaps.
+            cold_occ = occ[K - 1]
+            hot_occ = occ[0]
+            trips = trips.at[hot_occ].add(
+                jnp.where(odir[hot_occ] < 0, 1, 0))
+            odir = odir.at[hot_occ].set(1)
+            odir = odir.at[cold_occ].set(-1)
 
             info["swap_accepted"] = acc_swap.astype(dt)
             info["swap_attempted"] = active.astype(dt)
@@ -213,7 +230,8 @@ def build_pt_kernel(box, s: PTSettings, dim, dt, n_adapt,
                 adapting = active & (draw_ind < n_adapt)
                 rho = jnp.where(adapting, rho + upd, rho)
 
-        new_state = PTState(X=X, kv=kv, rho=rho, draw_ind=draw_ind + 1)
+        new_state = PTState(X=X, kv=kv, rho=rho, occ=occ, odir=odir,
+                            trips=trips, draw_ind=draw_ind + 1)
         return new_state, info
 
     def make_state0(first, val_init):
@@ -221,6 +239,9 @@ def build_pt_kernel(box, s: PTSettings, dim, dt, n_adapt,
             X=jnp.tile(first[None, :], (K, 1)),
             kv=jnp.full((K,), val_init, dt),
             rho=jnp.asarray(rho0, dt),
+            occ=jnp.arange(K, dtype=jnp.int32),
+            odir=jnp.ones((K,), jnp.int32),
+            trips=jnp.zeros((K,), jnp.int32),
             draw_ind=jnp.asarray(0, jnp.int32),
         )
 
@@ -239,8 +260,15 @@ def pt(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
     masked even/odd swap permutation — see the module docstring.
 
     Diagnostics: ``temperatures`` (the final ladder — adapted when
-    ``adapt_temps=True``) and ``swap_accept_rate`` (per adjacent pair, over
-    kept draws). ``return_resume=True`` attaches
+    ``adapt_temps=True``), ``swap_accept_rate`` (per adjacent pair, over
+    kept draws), and the replica-flow measures ``round_trips`` /
+    ``round_trip_rate`` (completed hot->cold->hot traversals per ladder
+    over the whole run incl. burn-in, and per sweep — Syed et al. 2022;
+    a ladder can show healthy pairwise swap rates while replicas never
+    traverse it, which is exactly the failure this exposes; on a warm
+    ``resume`` the counts stay cumulative while the denominator restarts,
+    so compare rates only within one segment). ``return_resume=True``
+    attaches
     ``diagnostics["resume"](key, n_keep)`` — a warm continuation from the
     final replica states (adapted ladder carries over); incompatible with
     ``checkpoint_dir``."""
@@ -295,6 +323,19 @@ def pt(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
         else:
             temps_final = make_ladder(s, dt)
 
+        # replica-flow efficiency (Syed, Bouchard-Côté et al. 2022): total
+        # hot->cold->hot round trips per ladder over the WHOLE run
+        # (burn-in included) and the per-sweep rate — the diagnostic that
+        # distinguishes a ladder that merely swaps locally from one whose
+        # replicas actually traverse it
+        n_sweeps = (n_burnin + n_keep) * max(int(thin), 1)
+        round_trips = final.trips.sum(axis=-1)             # (n_chains,)
+        trip_rate = round_trips.astype(dt) / jnp.asarray(
+            max(n_sweeps, 1), dt)
+        if prob.squeeze:
+            round_trips = round_trips[0]
+            trip_rate = trip_rate[0]
+
         if prob.squeeze:
             draws = draws[:, 0, :]
             n_accept = n_accept[0]
@@ -304,6 +345,8 @@ def pt(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
             n_accept_draws=n_accept,
             diagnostics={"temperatures": temps_final,
                          "swap_accept_rate": swap_rate,
+                         "round_trips": round_trips,
+                         "round_trip_rate": trip_rate,
                          **({"thin": int(thin)} if thin > 1 else {})},
         ), final
 

@@ -213,3 +213,41 @@ def test_pt_sharded_matches_library_distributionally():
         pt_sharded(jnp.zeros(2), bimodal,
                    mcmc_tpu.PTSettings(n_temps=6, adapt_temps=True),
                    mesh=mesh)
+
+
+def test_pt_round_trip_diagnostics():
+    """Replica-flow bookkeeping: a well-mixed geometric ladder on an easy
+    target completes round trips (rate > 0); the counters are consistent
+    (non-negative ints, rate = total / sweeps) and a K=1 ladder reports
+    zero trips."""
+    lk = lambda v: -0.5 * jnp.sum(v ** 2)
+    s = mcmc_tpu.PTSettings(n_burnin_draws=200, n_keep_draws=800,
+                            n_temps=4, max_temp=8.0, step_size=0.5,
+                            n_leap_steps=4)
+    out = mcmc_tpu.pt(jnp.zeros(2), lk, s, n_chains=4,
+                      key=jax.random.PRNGKey(0))
+    trips = np.asarray(out.diagnostics["round_trips"])
+    rate = np.asarray(out.diagnostics["round_trip_rate"])
+    assert trips.shape == (4,) and (trips >= 0).all()
+    assert trips.min() > 0, trips          # healthy ladder traverses
+    np.testing.assert_allclose(rate, trips / 1000.0, rtol=1e-6)
+
+    s1 = mcmc_tpu.PTSettings(n_burnin_draws=50, n_keep_draws=50, n_temps=1)
+    out1 = mcmc_tpu.pt(jnp.zeros(2), lk, s1, key=jax.random.PRNGKey(1))
+    assert int(out1.diagnostics["round_trips"]) == 0
+
+
+def test_pt_round_trip_counts_exact_small():
+    """Hand-checkable flow: with K=2 and swap_every=1 every sweep attempts
+    the single pair; forcing near-certain swaps (identical temperatures ~
+    1+eps) the occupant alternates rungs every sweep, so each replica
+    completes ~n_sweeps/2 round trips (hot->cold->hot takes 2 swaps)."""
+    lk = lambda v: -0.5 * jnp.sum(v ** 2)
+    s = mcmc_tpu.PTSettings(n_burnin_draws=0, n_keep_draws=100,
+                            temper_vec=[1.0 + 1e-4], step_size=0.3,
+                            n_leap_steps=2)
+    out = mcmc_tpu.pt(jnp.zeros(1), lk, s, key=jax.random.PRNGKey(2))
+    trips = int(np.asarray(out.diagnostics["round_trips"]))
+    # 100 sweeps -> ~50 swaps accepted at ~100% -> total trips across the
+    # 2 replicas ~ 50 (each round trip needs 2 swaps; both replicas count)
+    assert 30 <= trips <= 60, trips
