@@ -68,6 +68,7 @@ from mcmc_tpu.laplace import map_laplace, LaplaceResult
 from mcmc_tpu.evidence import thermo_evidence, EvidenceResult
 from mcmc_tpu.pathfinder import pathfinder, PathfinderResult
 from mcmc_tpu.nested import nested_sampling, NestedResult
+from mcmc_tpu.advi import advi, ADVIResult
 from mcmc_tpu.model_compare import (
     pointwise_log_lik,
     waic,
@@ -482,6 +483,7 @@ __all__ = [
     "thermo_evidence", "EvidenceResult", "EvidenceSettings",
     "pathfinder", "PathfinderResult",
     "nested_sampling", "NestedResult",
+    "advi", "ADVIResult",
     "AlgoSettings", "RWMHSettings", "MALASettings", "HMCSettings",
     "NUTSSettings", "ChEESSettings", "RMHMCSettings", "DESettings",
     "DEMCZSettings", "AEESSettings", "PTSettings", "SMCSettings",
