@@ -133,13 +133,24 @@ def _build_kernel(box_prior, box_lik, s: EvidenceSettings, dim, dt,
     idx_K = jnp.arange(K)
 
     def tempered_grad(z, beta):
-        return jax.grad(lambda zz: box_prior(zz) + beta * box_lik(zz))(z)
+        # separate AD passes so the beta = 0 (prior) rung is driven by the
+        # prior gradient ALONE: beta * grad_ll with a NaN/inf likelihood
+        # gradient (hard-constraint likelihoods) must not poison the drift
+        g_lp = jax.grad(box_prior)(z)
+        g_ll = jax.grad(box_lik)(z)
+        g_ll = jnp.where(jnp.isfinite(g_ll), g_ll, 0.0)
+        return g_lp + beta * g_ll
 
     def eval_parts(z):
         lp = box_prior(z)
         ll = box_lik(z)
         return (jnp.where(jnp.isfinite(lp), lp, -jnp.inf),
                 jnp.where(jnp.isfinite(ll), ll, -jnp.inf))
+
+    def bll(ll, beta):
+        """beta * ll with the beta = 0 rung exact: 0 * (-inf) would be NaN
+        and would silently restrict the prior rung to {lik > 0}."""
+        return jnp.where(beta > 0, beta * ll, 0.0)
 
     def inner_hmc(key, x, ll, lp, beta, eps):
         k_mom, k_acc = jax.random.split(key)
@@ -148,7 +159,7 @@ def _build_kernel(box_prior, box_lik, s: EvidenceSettings, dim, dt,
             lambda zz: tempered_grad(zz, beta), lambda m: m, eps,
             int(s.n_leap_steps), x, p0)
         lp_new, ll_new = eval_parts(z)
-        dH = (lp_new + beta * ll_new) - (lp + beta * ll) \
+        dH = (lp_new + bll(ll_new, beta)) - (lp + bll(ll, beta)) \
             - 0.5 * (p @ p - p0 @ p0)
         dH = jnp.where(jnp.isnan(dH), -jnp.inf, dH)
         alpha = jnp.exp(jnp.minimum(0.0, dH))
@@ -161,7 +172,7 @@ def _build_kernel(box_prior, box_lik, s: EvidenceSettings, dim, dt,
         k_n, k_u = jax.random.split(key)
         prop = x + scale * jax.random.normal(k_n, (dim,), dt)
         lp_new, ll_new = eval_parts(prop)
-        comp = (lp_new + beta * ll_new) - (lp + beta * ll)
+        comp = (lp_new + bll(ll_new, beta)) - (lp + bll(ll, beta))
         comp = jnp.where(jnp.isnan(comp), -jnp.inf, comp)
         alpha = jnp.exp(jnp.minimum(0.0, comp))
         acc = jnp.log(jax.random.uniform(k_u, dtype=dt)) \
@@ -199,6 +210,9 @@ def _build_kernel(box_prior, box_lik, s: EvidenceSettings, dim, dt,
         # pi_{beta_k}(x_{k+1}) pi_{beta_{k+1}}(x_k) / (pi_{beta_k}(x_k)
         # pi_{beta_{k+1}}(x_{k+1})): the untempered prior factors cancel
         log_alpha = (betas[1:] - betas[:-1]) * (ll[:-1] - ll[1:])
+        # two adjacent -inf likelihoods give (-inf) - (-inf) = NaN: the
+        # states are exchangeable, reject deterministically instead
+        log_alpha = jnp.where(jnp.isnan(log_alpha), -jnp.inf, log_alpha)
         u = jax.random.uniform(k_swap, (K - 1,), dt)
         acc_swap = active & (jnp.log(u) < jnp.minimum(0.0, log_alpha))
 

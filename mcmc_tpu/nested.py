@@ -89,11 +89,8 @@ class NestedResult:
     def posterior_draws(self, key, n_draws: int):
         """Equal-weight posterior draws: Gumbel top-k resampling of
         ``samples`` by ``log_w`` without replacement."""
-        g = -jnp.log(-jnp.log(jax.random.uniform(
-            key, self.log_w.shape, self.log_w.dtype,
-            minval=1e-12, maxval=1.0)))
-        take = jnp.argsort(self.log_w + g)[::-1][: int(n_draws)]
-        return self.samples[take]
+        from mcmc_tpu.stats import gumbel_topk
+        return self.samples[gumbel_topk(key, self.log_w, int(n_draws))]
 
 
 def nested_sampling(prior_transform: Callable, log_lik: Callable, n_vals: int,
@@ -188,8 +185,10 @@ def nested_sampling(prior_transform: Callable, log_lik: Callable, n_vals: int,
         # information update: H = sum w_i/Z lnL_i - lnZ, accumulated in the
         # standard streaming form (Skilling 2006)
         dZ_frac = jnp.exp(jax.scipy.special.logsumexp(log_wL) - logZ_new)
-        mean_lnL = jnp.sum(
-            jax.nn.softmax(log_wL) * L_killed)
+        # a killed point with L = -inf (hard-constraint likelihood) carries
+        # zero weight; mask it so softmax's 0 * (-inf) cannot NaN-poison H
+        wl = jax.nn.softmax(log_wL)
+        mean_lnL = jnp.sum(jnp.where(wl > 0, wl * L_killed, 0.0))
         # first round: logZ = -inf makes the carried term 0, not NaN
         carried = jnp.where(jnp.isfinite(logZ),
                             jnp.exp(logZ - logZ_new) * (h + logZ), 0.0)
@@ -238,7 +237,8 @@ def nested_sampling(prior_transform: Callable, log_lik: Callable, n_vals: int,
     logZ_final = jnp.logaddexp(
         logZ, jax.scipy.special.logsumexp(log_w_live))
     dZ_frac = jnp.exp(jax.scipy.special.logsumexp(log_w_live) - logZ_final)
-    mean_lnL_live = jnp.sum(jax.nn.softmax(log_w_live) * live_L)
+    wl_live = jax.nn.softmax(log_w_live)
+    mean_lnL_live = jnp.sum(jnp.where(wl_live > 0, wl_live * live_L, 0.0))
     carried = jnp.where(jnp.isfinite(logZ),
                         jnp.exp(logZ - logZ_final) * (h + logZ), 0.0)
     h_final = (carried + dZ_frac * mean_lnL_live) - logZ_final
@@ -257,7 +257,7 @@ def nested_sampling(prior_transform: Callable, log_lik: Callable, n_vals: int,
                            / jnp.asarray(N, dtype)),
         h=h_final,
         samples=samples, log_w=log_w, log_l=log_l,
-        n_like_evals=int(N + n_rounds * B * walks),
+        n_like_evals=int(N + n_rounds * B * (walks + 1)),
         n_rounds=n_rounds,
         accept_rate=acc_last,
         converged=bool(done),

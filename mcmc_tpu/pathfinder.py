@@ -350,10 +350,9 @@ def pathfinder(initial_vals, log_kernel, settings=None, *, n_paths=8,
     else:
         lw_smooth = lw - jax.scipy.special.logsumexp(lw)
         khat = jnp.asarray(jnp.inf, dt)
+    from mcmc_tpu.stats import gumbel_topk
     k_gum, = jax.random.split(keys[-1], 1)
-    gumbel = -jnp.log(-jnp.log(
-        jax.random.uniform(k_gum, (S_pool,), dt, minval=1e-12, maxval=1.0)))
-    take = jnp.argsort(lw_smooth + gumbel)[::-1][: int(n_draws)]
+    take = gumbel_topk(k_gum, lw_smooth, int(n_draws))
 
     draws_z = xs.reshape(-1, d)[take]
     draws = draws_z

@@ -67,7 +67,8 @@ class PTState(NamedTuple):
     kv: jax.Array        # (K,) untempered log-kernel values
     rho: jax.Array       # (K-1,) log inverse-temperature spacings
     occ: jax.Array       # (K,) original-replica id occupying each rung
-    odir: jax.Array      # (K,) per-ORIGINAL-replica direction: +1 -> cold
+    odir: jax.Array      # (K,) per-ORIGINAL-replica flow state: 0 virgin,
+                         # +1 touched hot (heading cold), -1 cold-after-hot
     trips: jax.Array     # (K,) per-original-replica completed round trips
     draw_ind: jax.Array  # global draw counter
 
@@ -207,16 +208,18 @@ def build_pt_kernel(box, s: PTSettings, dim, dt, n_adapt,
             occ = occ[perm]
 
             # replica-flow bookkeeping (Syed et al. 2022 round-trip rate):
-            # a replica turning around at the COLD end starts heading hot;
-            # one arriving back at the HOT end with a cold visit banked
-            # completes a round trip. Directions/trips are indexed by
-            # ORIGINAL replica id so they follow the occupant through swaps.
+            # a round trip is a completed hot->cold->hot traversal. Three
+            # per-ORIGINAL-replica states (they follow the occupant through
+            # swaps): 0 = never touched the hot end, +1 = touched hot,
+            # heading cold, -1 = touched cold AFTER hot, heading back. A
+            # virgin replica's first cold visit must not bank half a trip.
             cold_occ = occ[K - 1]
             hot_occ = occ[0]
             trips = trips.at[hot_occ].add(
                 jnp.where(odir[hot_occ] < 0, 1, 0))
             odir = odir.at[hot_occ].set(1)
-            odir = odir.at[cold_occ].set(-1)
+            odir = odir.at[cold_occ].set(
+                jnp.where(odir[cold_occ] == 1, -1, odir[cold_occ]))
 
             info["swap_accepted"] = acc_swap.astype(dt)
             info["swap_attempted"] = active.astype(dt)
@@ -240,7 +243,7 @@ def build_pt_kernel(box, s: PTSettings, dim, dt, n_adapt,
             kv=jnp.full((K,), val_init, dt),
             rho=jnp.asarray(rho0, dt),
             occ=jnp.arange(K, dtype=jnp.int32),
-            odir=jnp.ones((K,), jnp.int32),
+            odir=jnp.zeros((K,), jnp.int32),
             trips=jnp.zeros((K,), jnp.int32),
             draw_ind=jnp.asarray(0, jnp.int32),
         )

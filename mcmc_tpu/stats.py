@@ -12,7 +12,7 @@ import math
 
 import jax.numpy as jnp
 
-__all__ = ["dnorm", "dmvnorm", "LOG_2PI"]
+__all__ = ["dnorm", "dmvnorm", "LOG_2PI", "gumbel_topk"]
 
 LOG_2PI = math.log(2.0 * math.pi)
 
@@ -61,3 +61,14 @@ def dmvnorm(x, mu, sigma, log=False):
         ret = jnp.exp(ret)
         ret = jnp.where(jnp.isinf(ret), jnp.finfo(x.dtype).max, ret)
     return ret
+
+
+def gumbel_topk(key, log_weights, n):
+    """Indices of ``n`` draws WITHOUT replacement proportional to
+    ``exp(log_weights)`` via the Gumbel top-k trick (no reference analog —
+    shared by the Pathfinder and nested-sampling resamplers)."""
+    import jax
+    g = -jnp.log(-jnp.log(jax.random.uniform(
+        key, log_weights.shape, log_weights.dtype,
+        minval=1e-12, maxval=1.0)))
+    return jnp.argsort(log_weights + g)[::-1][: int(n)]

@@ -177,3 +177,28 @@ def test_evidence_settings_validation():
         s.evidence_settings = EvidenceSettings(inner="nope")
         mcmc_tpu.thermo_evidence(jnp.zeros(2), lambda x: -x @ x / 2,
                                  lambda x: -x @ x, s, n_chains=2)
+
+
+def test_prior_rung_samples_full_prior_with_hard_constraint():
+    """With log_lik = -inf outside a constraint region, the beta = 0 rung
+    must sample the WHOLE prior (0 * -inf guard) — otherwise the first
+    stepping-stone factor is computed under the wrong distribution. Exact
+    model: prior N(0,1), lik = indicator(x > 0) * c. Then
+    Z = c * P(x > 0) = c/2 exactly, and E_0[lik^db] over the full prior
+    drives the SS estimate; the buggy restricted-prior version converges
+    to c instead."""
+    c = -1.3
+    log_prior = lambda th: jnp.sum(-0.5 * th**2 - 0.5 * jnp.log(2 * jnp.pi))
+    log_lik = lambda th: jnp.where(th[0] > 0.0, c, -jnp.inf)
+    logZ_exact = c + jnp.log(0.5)
+
+    s = AlgoSettings()
+    s.evidence_settings = EvidenceSettings(
+        n_burnin_draws=600, n_keep_draws=1200, n_temps=12, inner="rwmh",
+        par_scale=0.8)
+    res = mcmc_tpu.thermo_evidence(
+        jnp.full((1,), -0.5), log_prior, log_lik, s, n_chains=8,
+        key=jax.random.PRNGKey(11))
+    assert np.isfinite(float(res.log_z))
+    assert abs(float(res.log_z) - float(logZ_exact)) < 0.1, \
+        (float(res.log_z), float(logZ_exact))

@@ -114,3 +114,23 @@ def test_round_cap_and_validation():
     assert res.n_rounds == 3
     with pytest.raises(ValueError, match="kill_frac"):
         nested_sampling(lambda u: u, ll, 2, n_live=16, kill_frac=1.0)
+
+
+def test_hard_constraint_likelihood_no_nan():
+    """A likelihood that is -inf on half the prior (hard constraint) must
+    not NaN-poison H / log_z_err (softmax 0 * -inf guard). Exact check:
+    L = indicator(x > 0) * N(x; 1, s) on uniform [-a, a]."""
+    a, s = 4.0, 0.5
+    def ll(th):
+        base = (-0.5 * ((th[0] - 1.0) / s) ** 2 - jnp.log(s)
+                - 0.5 * jnp.log(2 * jnp.pi))
+        return jnp.where(th[0] > 0.0, base, -jnp.inf)
+
+    logZ_exact = math.log(
+        (_phi((a - 1.0) / s) - _phi((0.0 - 1.0) / s)) / (2 * a))
+    res = nested_sampling(lambda u: -a + 2 * a * u, ll, 1, n_live=512,
+                          key=jax.random.PRNGKey(7))
+    assert np.isfinite(float(res.h)), "H NaN-poisoned by -inf likelihoods"
+    assert np.isfinite(float(res.log_z_err))
+    err = max(float(res.log_z_err), 1e-3)
+    assert abs(float(res.log_z) - logZ_exact) < 5 * err
