@@ -121,6 +121,15 @@ def main():
                                     integrator="mclachlan"),
         "mams-4096-mn": dict(kind="mams", n_chains=4096,
                              integrator="mclachlan"),
+        "mclmc-8192-mn-thin2": dict(kind="mclmc", n_chains=8192, thin=2,
+                                    integrator="mclachlan"),
+        "mams-8192-mn": dict(kind="mams", n_chains=8192,
+                             integrator="mclachlan"),
+        "mclmc-4096-mn-thin2-dev1e3": dict(
+            kind="mclmc", n_chains=4096, thin=2, integrator="mclachlan",
+            desired_energy_var=1e-3),
+        "mclmc-4096-mn-thin1": dict(kind="mclmc", n_chains=4096, thin=1,
+                                    integrator="mclachlan"),
     }
     names = sys.argv[1:] or list(variants)
     moments = {}
