@@ -69,6 +69,7 @@ from mcmc_tpu.evidence import thermo_evidence, EvidenceResult
 from mcmc_tpu.pathfinder import pathfinder, PathfinderResult
 from mcmc_tpu.nested import nested_sampling, NestedResult
 from mcmc_tpu.advi import advi, ADVIResult
+from mcmc_tpu.svgd import svgd, SVGDResult
 from mcmc_tpu.model_compare import (
     pointwise_log_lik,
     waic,
@@ -484,6 +485,7 @@ __all__ = [
     "pathfinder", "PathfinderResult",
     "nested_sampling", "NestedResult",
     "advi", "ADVIResult",
+    "svgd", "SVGDResult",
     "AlgoSettings", "RWMHSettings", "MALASettings", "HMCSettings",
     "NUTSSettings", "ChEESSettings", "RMHMCSettings", "DESettings",
     "DEMCZSettings", "AEESSettings", "PTSettings", "SMCSettings",

@@ -1,0 +1,143 @@
+"""Stein variational gradient descent — deterministic particle inference.
+
+No reference analog — SVGD (Liu & Wang 2016, NeurIPS) transports a cloud
+of N particles along the kernelized Stein discrepancy's steepest-descent
+direction:
+
+    x_i <- x_i + eps * (1/N) sum_j [ k(x_j, x_i) grad log p(x_j)
+                                     + grad_{x_j} k(x_j, x_i) ]
+
+The first term pulls particles toward high density weighted by the RBF
+kernel; the second (the gradient of the kernel) is a repulsive force that
+stops the cloud collapsing onto the mode — with one particle SVGD is
+exactly gradient ascent to the MAP, with many it approximates the full
+posterior. Deterministic (no MH, no rejection), and between MCMC and VI in
+character: richer than a parametric q, cheaper than a long chain.
+
+TPU-native design: the update is *built* of batched all-pairs primitives —
+the (N, N) squared-distance matrix, the RBF kernel, and the kernel-weighted
+gradient sums are three MXU matmuls per step; the whole optimization is one
+jitted ``lax.scan`` of Adam-preconditioned steps (Adam smooths the
+notoriously scale-sensitive raw SVGD step). The bandwidth follows the
+median heuristic ``h = med^2 / log N``, recomputed every step from the
+current cloud (a masked median via sort — on-device, no host sync).
+
+Bounded problems transport particles in unconstrained space against the
+box kernel (transform + log-Jacobian), exactly like the samplers, and map
+back at the end.
+
+Validation targets what SVGD is known to do well: match Gaussian
+mean/covariance closely with modest N, and keep both modes of a separated
+mixture populated (tests/test_svgd.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mcmc_tpu import bounds as bounds_mod
+from mcmc_tpu.settings import AlgoSettings
+from mcmc_tpu.samplers import common
+
+__all__ = ["svgd", "SVGDResult"]
+
+
+@dataclasses.dataclass
+class SVGDResult:
+    """Transported particle cloud.
+
+    Attributes:
+        particles: ``(n_particles, n_vals)`` final cloud, constrained
+            space — use directly as posterior draws (equal weights) or
+            chain initializations.
+        grad_norm_trace: per-step mean update magnitude (convergence
+            monitor — should decay and plateau).
+        bandwidth: final RBF bandwidth ``h`` (median heuristic).
+    """
+
+    particles: Any
+    grad_norm_trace: Any
+    bandwidth: Any
+
+
+def _svgd_direction(X, glogp, h):
+    """phi(X): (N, d) kernelized Stein direction. Three matmul-shaped
+    all-pairs contractions; ``h`` is the squared-bandwidth."""
+    sq = jnp.sum(X * X, axis=1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (X @ X.T)     # (N, N)
+    K = jnp.exp(-d2 / h)                                  # k(x_j, x_i)
+    # attractive: (1/N) K^T glogp ; repulsive: (2/h)(K x_i - K-weighted sum)
+    attract = K.T @ glogp
+    repulse = (2.0 / h) * (jnp.sum(K, axis=0)[:, None] * X - K.T @ X)
+    N = X.shape[0]
+    return (attract + repulse) / N
+
+
+def svgd(initial_vals, log_kernel, settings=None, *, n_particles=256,
+         n_steps=1000, learning_rate=0.05, init_scale=1.0, key=None,
+         dtype=None) -> SVGDResult:
+    """Run SVGD (module docstring).
+
+    ``initial_vals`` centers the initial cloud (``init_scale``-sized
+    Gaussian spread in unconstrained space). ``n_particles`` bounds the
+    resolution of the posterior approximation; the per-step cost is the
+    (N, N) kernel — thousands of particles are cheap on the MXU.
+    """
+    if settings is None:
+        settings = AlgoSettings()
+    if not isinstance(settings, AlgoSettings):
+        raise TypeError(f"settings must be AlgoSettings or None; got "
+                        f"{type(settings).__name__}")
+    if key is None:
+        key = jax.random.PRNGKey(int(settings.rng_seed_value))
+    N = int(n_particles)
+    if N < 2:
+        raise ValueError(f"n_particles must be >= 2, got {N}")
+
+    import optax
+    prob = common.setup_problem(initial_vals, log_kernel, settings,
+                                n_chains=1, dtype=dtype)
+    box = prob.box_log_kernel
+    d, dt = prob.n_vals, prob.dtype
+    grad_box = jax.vmap(jax.grad(box))
+
+    X0 = prob.first_draw[0] + jnp.asarray(init_scale, dt) * \
+        jax.random.normal(key, (N, d), dt)
+
+    med_ix = (N * N) // 2
+    logN = jnp.log(jnp.asarray(N, dt))
+    opt = optax.adam(learning_rate)
+
+    def step(carry, _):
+        X, opt_state = carry
+        g = grad_box(X)
+        g = jnp.where(jnp.isfinite(g), g, 0.0)
+        sq = jnp.sum(X * X, axis=1)
+        d2 = sq[:, None] + sq[None, :] - 2.0 * (X @ X.T)
+        med2 = jnp.sort(d2.reshape(-1))[med_ix]           # median sq-dist
+        h = jnp.maximum(med2 / jnp.maximum(logN, 1.0), 1e-6)
+        phi = _svgd_direction(X, g, h)
+        upd, opt_state = opt.update(-phi, opt_state, X)   # ascent
+        X = optax.apply_updates(X, upd)
+        return (X, opt_state), jnp.mean(jnp.linalg.norm(phi, axis=1))
+
+    (Xf, _), trace = jax.jit(
+        lambda x: lax.scan(step, (x, opt.init(x)), None,
+                           length=int(n_steps)))(X0)
+
+    sq = jnp.sum(Xf * Xf, axis=1)
+    d2 = sq[:, None] + sq[None, :] - 2.0 * (Xf @ Xf.T)
+    h_final = jnp.maximum(
+        jnp.sort(d2.reshape(-1))[med_ix] / jnp.maximum(logN, 1.0), 1e-6)
+
+    particles = Xf
+    if prob.vals_bound:
+        particles = bounds_mod.inv_transform(
+            Xf, prob.codes, prob.lower_bounds, prob.upper_bounds)
+    return SVGDResult(particles=particles, grad_norm_trace=trace,
+                      bandwidth=h_final)
