@@ -5,8 +5,11 @@ initializer, here with all iterates scored in one batched pass.
 
 No counterpart in the reference — MCMCLib's examples hardcode
 `initial_vals`. The funnel below is the case where mode-seeking
-initialization (MAP/Laplace) fails outright: the mode sits at v -> -inf,
-while Pathfinder's ELBO picks an iterate in the typical set.
+initialization (MAP/Laplace) fails: the joint mode sits at z = 0 with v
+driven far negative (v* = -9(d-1)/2 for this parameterization — finite,
+but dozens of standard deviations below the v ~ N(0, 3^2) typical set,
+where the local curvature describes nothing the posterior bulk looks
+like), while Pathfinder's ELBO picks an iterate in the typical set.
 """
 
 from _common import setup

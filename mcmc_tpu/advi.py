@@ -124,11 +124,25 @@ def advi(initial_vals, log_kernel, settings=None, *, full_rank=False,
     def neg_elbo(phi, zs):
         mu, L, diag = unpack(phi)
         xs = mu + zs @ L.T
-        lps = jax.vmap(box)(xs)
-        lps = jnp.where(jnp.isfinite(lps), lps, -1e30)
+        # per-sample masking with safe-input substitution: ONE bad MC
+        # sample (NaN/inf value or backward pass outside support) would
+        # otherwise NaN the whole summed gradient and — after the
+        # elementwise isfinite zeroing — silently no-op the entire step.
+        # Masking only the OUTPUT is not enough (0 * NaN-cotangent is
+        # still NaN through the where-vjp), so bad rows are replaced by
+        # the variational mean, whose gradient path is cut and whose
+        # backward pass is finite whenever mu is in support; the
+        # elementwise gradient guard below remains the last resort.
+        ok = jnp.isfinite(jax.vmap(box)(lax.stop_gradient(xs)))
+        xs_safe = jnp.where(ok[:, None], xs,
+                            lax.stop_gradient(mu)[None, :])
+        lps = jnp.where(ok, jax.vmap(box)(xs_safe), 0.0)
+        mean_lp = lps.sum() / jnp.maximum(ok.sum(), 1)
+        # all-masked batch: the data term vanishes and only entropy pulls
+        # (widening q until it finds support) — still finite, never NaN
         entropy = jnp.sum(jnp.log(diag)) \
             + 0.5 * d * (1.0 + jnp.log(2 * jnp.pi))
-        return -(lps.mean() + entropy)
+        return -(mean_lp + entropy)
 
     phi0 = {"mu": z0, "log_diag": jnp.full((d,), -1.0, dt)}
     if full_rank:

@@ -252,12 +252,40 @@ def _logmeanexp(a, axis):
         jnp.asarray(n, a.dtype))
 
 
+def _cond_mean_var(ll, axis):
+    """Mean/variance over ``axis`` conditional on finite entries — the
+    beta -> 0+ limit of the per-rung expectation when the likelihood has
+    hard constraints (ll = -inf on prior mass). Empty slices report
+    (-inf, 0)."""
+    fin = jnp.isfinite(ll)
+    cnt = fin.sum(axis=axis)
+    safe = jnp.where(fin, ll, 0.0)
+    mean = jnp.where(cnt > 0, safe.sum(axis=axis) / jnp.maximum(cnt, 1),
+                     -jnp.inf)
+    mean_safe = jnp.expand_dims(jnp.where(jnp.isfinite(mean), mean, 0.0),
+                                axis)
+    dev2 = jnp.where(fin, (safe - mean_safe) ** 2, 0.0)
+    var = jnp.where(cnt > 1, dev2.sum(axis=axis) / jnp.maximum(cnt - 1, 1),
+                    0.0)
+    return mean, var
+
+
 def estimate_from_ll(ll_draws, betas):
     """Estimators from a ``(n_keep, n_chains, K)`` log-likelihood trace.
 
     Returns ``(log_z_ss, log_z_ti, e_ll, v_ll)`` with the per-chain
     stepping-stone and variance-corrected-TI estimates ``(n_chains,)`` and
-    the chain-pooled per-rung mean/variance curves ``(K,)``."""
+    the chain-pooled per-rung mean/variance curves ``(K,)``.
+
+    Hard-constraint caveat: per-rung means/variances condition on finite
+    ``ll`` (the beta -> 0+ limit), so the curves stay finite when the
+    likelihood is -inf on part of the prior — but then the TI path has a
+    discontinuity at beta = 0 (``Z(0+) = P(lik > 0) != 1``) that NO
+    quadrature can see, so ``log_z_ti`` estimates
+    ``log Z - log P(lik > 0)`` and is biased HIGH by the prior's
+    infeasible mass. The stepping-stone ``log_z`` handles the atom
+    exactly (its rung-0 log-mean-exp includes the zero-likelihood draws)
+    and is the headline for constrained likelihoods."""
     dbeta = betas[1:] - betas[:-1]                      # (K-1,)
 
     # stepping stone: rung k's draws bridge beta_k -> beta_{k+1}
@@ -265,14 +293,14 @@ def estimate_from_ll(ll_draws, betas):
         dbeta[None, None, :] * ll_draws[:, :, :-1], axis=0)  # (C, K-1)
     log_z_ss = ratios.sum(axis=-1)                           # (C,)
 
-    e = ll_draws.mean(axis=0)                                # (C, K)
-    v = ll_draws.var(axis=0, ddof=1)                         # (C, K)
+    e, v = _cond_mean_var(ll_draws, axis=0)                  # (C, K)
     trap = 0.5 * (dbeta[None, :] * (e[:, 1:] + e[:, :-1])).sum(axis=-1)
     corr = (dbeta[None, :] ** 2 / 12.0 * (v[:, 1:] - v[:, :-1])).sum(axis=-1)
     log_z_ti = trap - corr                                   # (C,)
 
     flat = ll_draws.reshape(-1, ll_draws.shape[-1])
-    return log_z_ss, log_z_ti, flat.mean(axis=0), flat.var(axis=0, ddof=1)
+    e_all, v_all = _cond_mean_var(flat, axis=0)
+    return log_z_ss, log_z_ti, e_all, v_all
 
 
 def thermo_evidence(initial_vals, log_prior, log_lik, settings=None, *,

@@ -130,10 +130,12 @@ def nested_sampling(prior_transform: Callable, log_lik: Callable, n_vals: int,
 
     neg_inf = jnp.asarray(-jnp.inf, dtype)
 
-    def replace_batch(key, u_start, live_u, L_star, scale):
+    def replace_batch(key, u_start, L_start, live_u, L_star, scale):
         """B constrained random walks of `walks` Metropolis steps in
         u-space: uniform above L_star (out-of-cube or L <= L_star
-        rejects). Proposal = live-point covariance Cholesky * scale."""
+        rejects). Proposal = live-point covariance Cholesky * scale.
+        ``L_start`` carries the start points' already-known likelihoods
+        (they are survivors) — no re-evaluation."""
         mu = live_u.mean(axis=0)
         cent = live_u - mu
         cov = cent.T @ cent / (live_u.shape[0] - 1) \
@@ -154,8 +156,7 @@ def nested_sampling(prior_transform: Callable, log_lik: Callable, n_vals: int,
             return (u, L), acc.mean(dtype=dtype)
 
         keys = jax.random.split(key, walks)
-        (u_new, L_new), accs = lax.scan(
-            one_step, (u_start, ll_batch(u_start)), keys)
+        (u_new, L_new), accs = lax.scan(one_step, (u_start, L_start), keys)
         return u_new, L_new, accs.mean()
 
     def cond(state):
@@ -203,7 +204,8 @@ def nested_sampling(prior_transform: Callable, log_lik: Callable, n_vals: int,
         # parallel constrained replacement from random survivors
         start_ix = survivors[jax.random.randint(k_pick, (B,), 0, N - B)]
         u_new, L_new, acc = replace_batch(
-            k_walk, live_u[start_ix], live_u[survivors], L_star, scale)
+            k_walk, live_u[start_ix], live_L[start_ix], live_u[survivors],
+            L_star, scale)
         live_u = live_u.at[killed].set(u_new)
         live_L = live_L.at[killed].set(L_new)
 
@@ -257,7 +259,7 @@ def nested_sampling(prior_transform: Callable, log_lik: Callable, n_vals: int,
                            / jnp.asarray(N, dtype)),
         h=h_final,
         samples=samples, log_w=log_w, log_l=log_l,
-        n_like_evals=int(N + n_rounds * B * (walks + 1)),
+        n_like_evals=int(N + n_rounds * B * walks),
         n_rounds=n_rounds,
         accept_rate=acc_last,
         converged=bool(done),

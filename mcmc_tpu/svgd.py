@@ -20,7 +20,9 @@ gradient sums are three MXU matmuls per step; the whole optimization is one
 jitted ``lax.scan`` of Adam-preconditioned steps (Adam smooths the
 notoriously scale-sensitive raw SVGD step). The bandwidth follows the
 median heuristic ``h = med^2 / log N``, recomputed every step from the
-current cloud (a masked median via sort — on-device, no host sync).
+current cloud (the median of the full N^2 distance matrix via sort,
+diagonal zeros included — the standard convention — on-device, no host
+sync).
 
 Bounded problems transport particles in unconstrained space against the
 box kernel (transform + log-Jacobian), exactly like the samplers, and map
@@ -65,11 +67,19 @@ class SVGDResult:
     bandwidth: Any
 
 
-def _svgd_direction(X, glogp, h):
-    """phi(X): (N, d) kernelized Stein direction. Three matmul-shaped
-    all-pairs contractions; ``h`` is the squared-bandwidth."""
+def _pairwise_sq(X):
     sq = jnp.sum(X * X, axis=1)
-    d2 = sq[:, None] + sq[None, :] - 2.0 * (X @ X.T)     # (N, N)
+    return sq[:, None] + sq[None, :] - 2.0 * (X @ X.T)    # (N, N)
+
+
+def _svgd_direction(X, glogp, h, d2=None):
+    """phi(X): (N, d) kernelized Stein direction. Three matmul-shaped
+    all-pairs contractions; ``h`` is the squared-bandwidth. Pass the
+    precomputed distance matrix ``d2`` to share it with the bandwidth
+    computation (the O(N^2 d) matmul is the dominant per-step cost for
+    cheap targets)."""
+    if d2 is None:
+        d2 = _pairwise_sq(X)
     K = jnp.exp(-d2 / h)                                  # k(x_j, x_i)
     # attractive: (1/N) K^T glogp ; repulsive: (2/h)(K x_i - K-weighted sum)
     attract = K.T @ glogp
@@ -117,11 +127,10 @@ def svgd(initial_vals, log_kernel, settings=None, *, n_particles=256,
         X, opt_state = carry
         g = grad_box(X)
         g = jnp.where(jnp.isfinite(g), g, 0.0)
-        sq = jnp.sum(X * X, axis=1)
-        d2 = sq[:, None] + sq[None, :] - 2.0 * (X @ X.T)
+        d2 = _pairwise_sq(X)
         med2 = jnp.sort(d2.reshape(-1))[med_ix]           # median sq-dist
         h = jnp.maximum(med2 / jnp.maximum(logN, 1.0), 1e-6)
-        phi = _svgd_direction(X, g, h)
+        phi = _svgd_direction(X, g, h, d2=d2)
         upd, opt_state = opt.update(-phi, opt_state, X)   # ascent
         X = optax.apply_updates(X, upd)
         return (X, opt_state), jnp.mean(jnp.linalg.norm(phi, axis=1))
@@ -130,10 +139,9 @@ def svgd(initial_vals, log_kernel, settings=None, *, n_particles=256,
         lambda x: lax.scan(step, (x, opt.init(x)), None,
                            length=int(n_steps)))(X0)
 
-    sq = jnp.sum(Xf * Xf, axis=1)
-    d2 = sq[:, None] + sq[None, :] - 2.0 * (Xf @ Xf.T)
     h_final = jnp.maximum(
-        jnp.sort(d2.reshape(-1))[med_ix] / jnp.maximum(logN, 1.0), 1e-6)
+        jnp.sort(_pairwise_sq(Xf).reshape(-1))[med_ix]
+        / jnp.maximum(logN, 1.0), 1e-6)
 
     particles = Xf
     if prob.vals_bound:

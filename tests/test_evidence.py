@@ -202,3 +202,27 @@ def test_prior_rung_samples_full_prior_with_hard_constraint():
     assert np.isfinite(float(res.log_z))
     assert abs(float(res.log_z) - float(logZ_exact)) < 0.1, \
         (float(res.log_z), float(logZ_exact))
+
+
+def test_ti_curves_finite_under_hard_constraint():
+    """With a hard-constraint likelihood the per-rung curves and TI stay
+    FINITE (conditional-on-feasible statistics), and TI's documented bias
+    is exactly +(-log P(lik>0)): it misses the beta=0 atom the stepping
+    stone captures."""
+    c = -1.3
+    log_prior = lambda th: jnp.sum(-0.5 * th**2 - 0.5 * jnp.log(2 * jnp.pi))
+    log_lik = lambda th: jnp.where(th[0] > 0.0, c, -jnp.inf)
+    s = AlgoSettings()
+    s.evidence_settings = EvidenceSettings(
+        n_burnin_draws=400, n_keep_draws=800, n_temps=12, inner="rwmh",
+        par_scale=0.8)
+    res = mcmc_tpu.thermo_evidence(
+        jnp.full((1,), -0.5), log_prior, log_lik, s, n_chains=8,
+        key=jax.random.PRNGKey(12))
+    assert np.isfinite(np.asarray(res.expected_log_lik)).all()
+    assert np.isfinite(np.asarray(res.var_log_lik)).all()
+    assert np.isfinite(float(res.log_z_ti))
+    # conditional on feasibility ll == c everywhere, so TI == c (biased
+    # high by -log 0.5 vs the true log Z = c + log 0.5), SS is exact
+    assert abs(float(res.log_z_ti) - c) < 0.05
+    assert abs(float(res.log_z) - (c + np.log(0.5))) < 0.1

@@ -148,9 +148,10 @@ def test_pathfinder_bounded():
 
 
 def test_pathfinder_funnel_prefers_early_iterate():
-    """Neal's funnel: the mode (v -> -inf) is degenerate, so the best-ELBO
-    iterate must NOT be the last one — Pathfinder stops in the typical
-    set. (The paper's central claim; a mode-seeking init fails here.)"""
+    """A funnel: the joint mode (z = 0, v far below the v ~ N(0, 3^2)
+    typical set) is where L-BFGS converges, so the best-ELBO iterate must
+    NOT be the last one — Pathfinder stops in the typical set. (The
+    paper's central claim; a mode-seeking init fails here.)"""
     def funnel(x):
         v, z = x[0], x[1:]
         return (-0.5 * (v / 3.0) ** 2
