@@ -15,6 +15,16 @@ Extensions (no reference analog):
   Welford estimates of the posterior variance (the same Stan-style doubling
   schedule as NUTS mass adaptation); dual averaging restarts at window ends.
   Requires the default identity ``cov_mat``.
+- ``delayed_rejection=True`` adds a second-stage proposal after a
+  first-stage rejection (Mira 2001; with ``adapt_precond='dense'`` this is
+  DRAM, Haario-Laine-Mira-Saksman 2006): the fallback move is the same
+  walk shrunk by ``dr_shrink`` (default 0.2), accepted with the exact
+  two-stage ratio — because both stages share the proposal Cholesky, the
+  Gaussian-density terms reduce to noise-space norms
+  ``|s1 z1 - s2 z2|^2/s1^2 - |z1|^2`` and cost no solves. On TPU the
+  second stage runs lockstep every draw (masked where stage one
+  accepted): one extra kernel evaluation per draw buys a chain that keeps
+  moving when the learned scale overshoots locally.
 """
 
 from __future__ import annotations
@@ -44,7 +54,7 @@ class RWMHState(NamedTuple):
 
 
 def build_rwmh_kernel(box_log_kernel, prop_chol_mv, par_scale,
-                      adapt_cfg=None, precond_cfg=None):
+                      adapt_cfg=None, precond_cfg=None, dr_shrink=None):
     """Single-chain transition kernel ``(key, state) -> (state, info)``.
 
     ``adapt_cfg`` is ``None`` (fixed scale, reference behavior) or a dict
@@ -70,7 +80,7 @@ def build_rwmh_kernel(box_log_kernel, prop_chol_mv, par_scale,
         )
 
     def step(key, state: RWMHState):
-        k_noise, k_accept = jax.random.split(key)
+        k_noise, k_accept, k_noise2, k_accept2 = jax.random.split(key, 4)
         if adapt_cfg is None:
             scale = par_scale
         else:
@@ -78,13 +88,15 @@ def build_rwmh_kernel(box_log_kernel, prop_chol_mv, par_scale,
             scale = jnp.exp(jnp.where(adapting, state.da.log_eps,
                                       state.da.log_eps_bar))
 
+        def chol_mv(v):
+            if precond_cfg is None:
+                return prop_chol_mv(v)
+            if dense:
+                return state.pchol @ v
+            return jnp.sqrt(state.wv.var) * v
+
         noise = jax.random.normal(k_noise, state.position.shape, state.position.dtype)
-        if precond_cfg is None:
-            scaled = prop_chol_mv(noise)
-        elif dense:
-            scaled = state.pchol @ noise
-        else:
-            scaled = jnp.sqrt(state.wv.var) * noise
+        scaled = chol_mv(noise)
         proposal = state.position + scale * scaled
 
         prop_lp = box_log_kernel(proposal)
@@ -95,6 +107,42 @@ def build_rwmh_kernel(box_log_kernel, prop_chol_mv, par_scale,
         accepted = u < jnp.exp(comp)
 
         new_position = jnp.where(accepted, proposal, state.position)
+        new_lp = jnp.where(accepted, prop_lp, state.log_prob)
+
+        if dr_shrink is not None:
+            # second-stage (delayed-rejection) move, lockstep every draw:
+            # y2 = x + s2 C z2, s2 = dr_shrink * s1. Mira (2001) ratio for
+            # symmetric shared-Cholesky stages — q1 terms in noise space:
+            # log q1(y2->y1) - log q1(x->y1)
+            #   = -(|s1 z1 - s2 z2|^2 / s1^2 - |z1|^2) / 2
+            dt = state.position.dtype
+            s2 = jnp.asarray(dr_shrink, dt) * scale
+            z2 = jax.random.normal(k_noise2, state.position.shape, dt)
+            y2 = state.position + s2 * chol_mv(z2)
+            y2_lp = box_log_kernel(y2)
+            y2_lp = jnp.where(jnp.isfinite(y2_lp), y2_lp, -jnp.inf)
+
+            diffz = scale * noise - s2 * z2
+            qdiff = -0.5 * (diffz @ diffz / (scale * scale)
+                            - noise @ noise)
+            # log(1 - alpha1(a -> y1)) = log1p(-exp(min(0, lp1 - lp_a))):
+            # exactly -inf when alpha1 = 1 — correct (zero weight) in the
+            # numerator; in the denominator it can only hit -inf by f32
+            # rounding (a rejected stage one implies alpha1 < 1), in which
+            # case the ratio is meaningless and stage two must reject.
+            c_num = jnp.minimum(0.0, prop_lp - y2_lp)
+            c_den = comp
+            log_a2 = (y2_lp + qdiff + jnp.log1p(-jnp.exp(c_num))) \
+                - (state.log_prob + jnp.log1p(-jnp.exp(c_den)))
+            log_a2 = jnp.where(jnp.isnan(log_a2) | (c_den >= 0.0)
+                               | ~jnp.isfinite(jnp.log1p(-jnp.exp(c_den))),
+                               -jnp.inf, log_a2)
+            u2 = jax.random.uniform(k_accept2, dtype=dt)
+            accepted2 = (~accepted) & (
+                jnp.log(u2) < jnp.minimum(0.0, log_a2))
+            new_position = jnp.where(accepted2, y2, new_position)
+            new_lp = jnp.where(accepted2, y2_lp, new_lp)
+            accepted = accepted | accepted2
 
         da = state.da
         if adapt_cfg is not None:
@@ -120,7 +168,7 @@ def build_rwmh_kernel(box_log_kernel, prop_chol_mv, par_scale,
 
         new_state = RWMHState(
             position=new_position,
-            log_prob=jnp.where(accepted, prop_lp, state.log_prob),
+            log_prob=new_lp,
             da=da,
             wv=wv,
             pchol=pchol,
@@ -135,7 +183,8 @@ def build_rwmh_kernel(box_log_kernel, prop_chol_mv, par_scale,
 def rwmh(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
          mesh=None, checkpoint_dir=None, checkpoint_every=500, dtype=None,
          adapt_scale=False, adapt_precond=False, pooled_adaptation=False,
-         target_accept=None, thin=1, return_resume=False) -> SamplerResult:
+         target_accept=None, delayed_rejection=False, thin=1,
+         return_resume=False) -> SamplerResult:
     """Run RWMH. ``log_kernel(params) -> scalar`` is a pure JAX function
     (closures replace the reference's ``void* target_data``).
 
@@ -146,6 +195,11 @@ def rwmh(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
     ``adapt_precond=True`` (or ``"diag"`` / ``"dense"``) additionally
     learns a diagonal or full proposal covariance (see module docstring),
     pooled across chains when ``pooled_adaptation``.
+    ``delayed_rejection=True`` adds the second-stage fallback proposal
+    (``dr_shrink``-scaled; module docstring) — with
+    ``adapt_precond='dense'`` this is DRAM; the reported ``accept_rate``
+    counts either stage, while scale adaptation still targets the
+    FIRST-stage acceptance (the scale governs stage one).
     ``return_resume=True`` attaches ``diagnostics["resume"](key, n_keep)``
     — a warm continuation from the final kernel state (adapted scale /
     proposal covariance carry over); incompatible with ``checkpoint_dir``.
@@ -176,8 +230,9 @@ def rwmh(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None,
         precond_cfg = adaptation.make_precond_cfg(
             s.n_burnin_draws, pooled_adaptation, common.CHAIN_AXIS_NAME)
         precond_cfg["mode"] = mode
-    init, step = build_rwmh_kernel(prob.box_log_kernel, cov.sqrt_mv,
-                                   s.par_scale, adapt_cfg, precond_cfg)
+    init, step = build_rwmh_kernel(
+        prob.box_log_kernel, cov.sqrt_mv, s.par_scale, adapt_cfg,
+        precond_cfg, dr_shrink=s.dr_shrink if delayed_rejection else None)
     state0 = jax.vmap(init)(prob.first_draw)
 
     def assemble(key, state0, n_burnin, n_keep):

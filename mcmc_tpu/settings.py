@@ -31,11 +31,15 @@ ArrayLike = Any
 
 @dataclass
 class RWMHSettings:
-    """Random-walk Metropolis-Hastings (reference mcmc_structs.hpp:138-149)."""
+    """Random-walk Metropolis-Hastings (reference mcmc_structs.hpp:138-149).
+
+    ``dr_shrink`` (beyond-reference) scales the second-stage fallback
+    proposal when ``rwmh(delayed_rejection=True)`` — see samplers/rwmh.py."""
     n_burnin_draws: int = 1000
     n_keep_draws: int = 1000
     par_scale: float = 1.0
     cov_mat: Optional[ArrayLike] = None  # None -> identity
+    dr_shrink: float = 0.2               # delayed-rejection stage-2 scale
 
 
 @dataclass

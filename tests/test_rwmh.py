@@ -100,3 +100,55 @@ def test_rwmh_bounded(gaussian_data):
     assert (d >= 0.5).all() and (d <= 10.0).all()
     post_mean, post_var = analytic_posterior(x, sigma)
     assert float(out.mean[0]) == pytest.approx(post_mean, abs=5 * np.sqrt(post_var))
+
+
+def test_delayed_rejection_exactness_ks():
+    """DR invariance: at a deliberately overshooting scale the stage-2
+    ratio must keep N(0,1) exactly invariant (KS), and the fallback must
+    carry acceptance well above the plain chain's."""
+    import math
+    lk = lambda v: -0.5 * jnp.sum(v ** 2)
+    s = mcmc_tpu.RWMHSettings(n_burnin_draws=500, n_keep_draws=4000,
+                              par_scale=6.0)
+    kw = dict(n_chains=16, key=jax.random.PRNGKey(20))
+    dr = mcmc_tpu.rwmh(jnp.zeros(1), lk, s, delayed_rejection=True, **kw)
+    plain = mcmc_tpu.rwmh(jnp.zeros(1), lk, s, **kw)
+    acc_dr = float(dr.accept_rate.mean())
+    acc_plain = float(plain.accept_rate.mean())
+    assert acc_dr > 2.0 * acc_plain, (acc_dr, acc_plain)
+
+    x = np.sort(np.asarray(dr.draws[:, :, 0])[::8].reshape(-1).astype(np.float64))
+    n = len(x)
+    cdf = 0.5 * (1.0 + np.vectorize(math.erf)(x / math.sqrt(2.0)))
+    ks = max(np.max(np.arange(1, n + 1) / n - cdf),
+             np.max(cdf - np.arange(0, n) / n))
+    assert ks < 1.95 / math.sqrt(n), ks
+
+
+def test_dram_composition():
+    """DRAM = dense adaptive covariance + delayed rejection: converges on
+    a correlated target and recovers its covariance."""
+    cov = np.array([[2.0, 0.9], [0.9, 1.0]], np.float32)
+    prec = jnp.asarray(np.linalg.inv(cov))
+    lk = lambda v: -0.5 * v @ prec @ v
+    out = mcmc_tpu.rwmh(jnp.zeros(2), lk,
+                        mcmc_tpu.RWMHSettings(n_burnin_draws=2000,
+                                              n_keep_draws=3000),
+                        n_chains=32, key=jax.random.PRNGKey(21),
+                        adapt_scale=True, adapt_precond="dense",
+                        pooled_adaptation=True, delayed_rejection=True)
+    d = np.asarray(out.draws).reshape(-1, 2)
+    np.testing.assert_allclose(np.cov(d.T), cov, rtol=0.2, atol=0.1)
+    assert 0.1 < float(out.accept_rate.mean()) < 0.9
+
+
+def test_delayed_rejection_deterministic_and_bounded():
+    lk = lambda v: -0.5 * jnp.sum((v - 1.0) ** 2)
+    s = mcmc_tpu.AlgoSettings(vals_bound=True, lower_bounds=jnp.zeros(1))
+    s.rwmh_settings = mcmc_tpu.RWMHSettings(n_burnin_draws=300,
+                                            n_keep_draws=500, par_scale=2.0)
+    kw = dict(n_chains=8, key=jax.random.PRNGKey(22), delayed_rejection=True)
+    a = mcmc_tpu.rwmh(jnp.ones(1), lk, s, **kw)
+    b = mcmc_tpu.rwmh(jnp.ones(1), lk, s, **kw)
+    np.testing.assert_array_equal(np.asarray(a.draws), np.asarray(b.draws))
+    assert np.asarray(a.draws).min() >= 0.0
