@@ -198,6 +198,10 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
     ``algorithm="demcz"`` runs DE-MC(Z) — derivative-free with a tiny
     population (``n_chains`` maps to ``n_pop``, min 4): archive-based
     difference proposals span the space even when the walkers cannot.
+    ``algorithm="pt"`` runs parallel tempering with a self-tuning
+    geometric ladder — the one-call choice for MULTIMODAL posteriors
+    (draws are the cold chain's; check
+    ``diagnostics["round_trip_rate"] > 0``).
     ``init="laplace"`` first finds the posterior mode
     (:func:`mcmc_tpu.map_laplace`, batched-Adam MAP) and starts every
     chain from an overdispersed draw of the Laplace Gaussian instead of
@@ -270,7 +274,7 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
         key, k_run = jax.random.split(key)
 
     chain_algos = ("nuts", "chees", "hmc", "mala", "barker", "slice",
-                   "mclmc", "mams")
+                   "mclmc", "mams", "pt")
     if algorithm in chain_algos and init is not None:
         initial_vals = _laplace_init(n_chains)
     ckpt = None if checkpoint_dir is None else str(checkpoint_dir)
@@ -367,6 +371,13 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
             return mams(initial_vals, log_kernel,
                         _algo({"mams_settings": as2}),
                         n_chains=n_chains, adapt_mass=True, **kw)
+        if algorithm == "pt":
+            # one-call multimodal fit: parallel tempering with a
+            # self-tuning geometric ladder; draws are the cold chain's
+            ps = PTSettings(n_burnin_draws=n_warmup, n_keep_draws=total_keep,
+                            adapt_temps=True)
+            return pt(initial_vals, log_kernel, _algo({"pt_settings": ps}),
+                      n_chains=n_chains, **kw)
         if algorithm == "slice":
             sls = SliceSettings(n_burnin_draws=n_warmup,
                                 n_keep_draws=total_keep)
@@ -421,8 +432,8 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
             return demcz(iv, log_kernel, _algo({"demcz_settings": zs}), **kw)
         raise ValueError(
             f"fit algorithm must be 'nuts', 'chees', 'hmc', 'mala', "
-            f"'barker', 'mclmc', 'mams', 'stretch', 'slice', or 'demcz', "
-            f"got {algorithm!r}")
+            f"'barker', 'mclmc', 'mams', 'pt', 'stretch', 'slice', or "
+            f"'demcz', got {algorithm!r}")
 
     def _gates_ok(d):
         ok = (rhat_target is None

@@ -218,3 +218,19 @@ def test_fit_mclmc_and_mams():
     with pytest.raises(ValueError, match="diagonal"):
         mcmc_tpu.fit(jnp.zeros(2), lk, algorithm="mclmc", n_chains=8,
                      dense_mass=True, key=jax.random.PRNGKey(0))
+
+
+def test_fit_pt_multimodal():
+    """fit(algorithm='pt'): one-call multimodal fit — the cold chain
+    visits both modes of a separated mixture (a plain fit would stick)."""
+    lk = lambda v: jnp.logaddexp(-0.5 * jnp.sum((v - 3.0) ** 2) / 0.25,
+                                 -0.5 * jnp.sum((v + 3.0) ** 2) / 0.25)
+    out = mcmc_tpu.fit(jnp.zeros(2), lk, algorithm="pt", n_chains=8,
+                       n_warmup=500, n_draws=1000,
+                       key=jax.random.PRNGKey(30))
+    d = np.asarray(out.draws).reshape(-1, 2)
+    frac = (d[:, 0] > 0).mean()
+    assert 0.2 < frac < 0.8, frac            # both modes occupied
+    assert float(np.asarray(
+        out.diagnostics["round_trip_rate"]).mean()) > 0.0
+    assert "summary" in out.diagnostics
