@@ -45,6 +45,7 @@ from mcmc_tpu.settings import (
     MAMSSettings,
     EvidenceSettings,
     BarkerSettings,
+    MMALASettings,
 )
 from mcmc_tpu.results import SamplerResult
 from mcmc_tpu.samplers.rwmh import rwmh
@@ -64,6 +65,7 @@ from mcmc_tpu.samplers.ellipse import elliptical_slice
 from mcmc_tpu.samplers.slice import slice_sampler
 from mcmc_tpu.samplers.mclmc import mclmc, mams
 from mcmc_tpu.samplers.barker import barker
+from mcmc_tpu.samplers.mmala import mmala
 from mcmc_tpu.laplace import map_laplace, LaplaceResult
 from mcmc_tpu.evidence import thermo_evidence, EvidenceResult
 from mcmc_tpu.pathfinder import pathfinder, PathfinderResult
@@ -98,7 +100,7 @@ _SAMPLERS = {
     "elliptical": elliptical_slice,
     "slice": slice_sampler,
     "mclmc": mclmc, "mams": mams,
-    "barker": barker,
+    "barker": barker, "mmala": mmala,
 }
 
 
@@ -120,10 +122,10 @@ def sample(algorithm, initial_vals, log_kernel, settings=None, **kwargs):
         raise ValueError(
             f"unknown algorithm {algorithm!r}; choose from {sorted(_SAMPLERS)}"
         ) from None
-    if algorithm == "rmhmc":
+    if algorithm in ("rmhmc", "mmala"):
         metric_fn = kwargs.pop("metric_fn", None)
         if metric_fn is None:
-            raise ValueError("rmhmc requires metric_fn=")
+            raise ValueError(f"{algorithm} requires metric_fn=")
         return fn(initial_vals, log_kernel, metric_fn, settings, **kwargs)
     if algorithm in ("sgld", "sghmc"):
         log_lik = kwargs.pop("log_lik", None)
@@ -490,7 +492,7 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
 __all__ = [
     "rwmh", "mala", "hmc", "nuts", "chees", "rmhmc", "de", "demcz", "aees",
     "pt", "smc", "stretch", "sgld", "sghmc", "elliptical_slice",
-    "slice_sampler", "mclmc", "mams", "barker",
+    "slice_sampler", "mclmc", "mams", "barker", "mmala",
     "sample", "fit", "map_laplace", "LaplaceResult",
     "thermo_evidence", "EvidenceResult", "EvidenceSettings",
     "pathfinder", "PathfinderResult",
@@ -502,7 +504,7 @@ __all__ = [
     "DEMCZSettings", "AEESSettings", "PTSettings", "SMCSettings",
     "StretchSettings",
     "SGLDSettings", "SGHMCSettings", "EllipticalSettings", "SliceSettings",
-    "MCLMCSettings", "MAMSSettings", "BarkerSettings",
+    "MCLMCSettings", "MAMSSettings", "BarkerSettings", "MMALASettings",
     "SamplerResult", "bounds", "stats", "diagnostics", "models",
     "pointwise_log_lik", "waic", "psis_loo", "compare",
     "ravel_model", "unravel_draws", "bounds_like", "softabs_metric",

@@ -23,7 +23,7 @@ __all__ = [
     "ChEESSettings", "RMHMCSettings", "DESettings", "AEESSettings",
     "PTSettings", "SMCSettings", "StretchSettings", "SGLDSettings",
     "SGHMCSettings", "DEMCZSettings", "MCLMCSettings", "MAMSSettings",
-    "BarkerSettings", "EvidenceSettings", "AlgoSettings",
+    "BarkerSettings", "MMALASettings", "EvidenceSettings", "AlgoSettings",
 ]
 
 ArrayLike = Any
@@ -348,6 +348,17 @@ class MAMSSettings:
 
 
 @dataclass
+class MMALASettings:
+    """Simplified manifold MALA (Girolami & Calderhead 2011; no reference
+    analog — the one-step sibling of RMHMCSettings; see samplers/mmala.py).
+    Position-dependent Langevin proposals under a user metric (or
+    softabs_metric), exact via the two-sided MH correction."""
+    n_burnin_draws: int = 1000
+    n_keep_draws: int = 1000
+    step_size: float = 0.2
+
+
+@dataclass
 class BarkerSettings:
     """Barker proposal (Livingstone & Zanella 2022; no reference analog —
     the robust gradient-based alternative to MALASettings; see
@@ -416,6 +427,7 @@ class AlgoSettings:
     evidence_settings: EvidenceSettings = field(
         default_factory=EvidenceSettings)
     barker_settings: BarkerSettings = field(default_factory=BarkerSettings)
+    mmala_settings: MMALASettings = field(default_factory=MMALASettings)
 
     def replace(self, **kw) -> "AlgoSettings":
         return dataclasses.replace(self, **kw)
