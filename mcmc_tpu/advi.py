@@ -67,6 +67,7 @@ class ADVIResult:
     chol: Any
     elbo: Any
     elbo_trace: Any
+    unravel: Any = None   # pytree-input runs: unravel_draws(draw(...), .)
     _codes: Any = dataclasses.field(repr=False, default=None)
     _lb: Any = dataclasses.field(repr=False, default=None)
     _ub: Any = dataclasses.field(repr=False, default=None)
@@ -102,6 +103,9 @@ def advi(initial_vals, log_kernel, settings=None, *, full_rank=False,
                         f"{type(settings).__name__}")
     if key is None:
         key = jax.random.PRNGKey(int(settings.rng_seed_value))
+    from mcmc_tpu.pytree import coerce_model
+    initial_vals, (log_kernel,), unravel = coerce_model(initial_vals,
+                                                        log_kernel)
 
     prob = common.setup_problem(initial_vals, log_kernel, settings,
                                 n_chains=1, dtype=dtype)
@@ -187,7 +191,7 @@ def advi(initial_vals, log_kernel, settings=None, *, full_rank=False,
     tail = elbo_trace[-max(int(n_steps) // 20, 1):]
     return ADVIResult(
         mean_z=mu, mean=mean, sd_z=sd_z, chol=L,
-        elbo=tail.mean(), elbo_trace=elbo_trace,
+        elbo=tail.mean(), elbo_trace=elbo_trace, unravel=unravel,
         _codes=prob.codes, _lb=prob.lower_bounds, _ub=prob.upper_bounds,
         _vals_bound=prob.vals_bound,
     )

@@ -319,6 +319,9 @@ def thermo_evidence(initial_vals, log_prior, log_lik, settings=None, *,
     """
     algo, s = resolve_settings(settings, "evidence_settings", EvidenceSettings)
     key = resolve_key(key, algo)
+    from mcmc_tpu.pytree import coerce_model
+    initial_vals, (log_prior, log_lik), _unravel = coerce_model(
+        initial_vals, log_prior, log_lik)
 
     # setup_problem wires bounds/transform for the PRIOR factor (the box
     # log-prior includes the log-Jacobian); the likelihood factor is the

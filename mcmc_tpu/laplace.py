@@ -69,6 +69,7 @@ class LaplaceResult:
     log_post: Any
     grad_norm: Any
     restart_log_posts: Any
+    unravel: Any = None   # pytree-input runs: unravel flat mode/draws
     _codes: Any = dataclasses.field(repr=False, default=None)
     _lb: Any = dataclasses.field(repr=False, default=None)
     _ub: Any = dataclasses.field(repr=False, default=None)
@@ -143,6 +144,9 @@ def map_laplace(initial_vals, log_kernel, settings=None, *, n_steps=500,
             f"{type(settings).__name__}")
     if key is None:
         key = jax.random.PRNGKey(int(settings.rng_seed_value))
+    from mcmc_tpu.pytree import coerce_model
+    initial_vals, (log_kernel,), unravel = coerce_model(initial_vals,
+                                                        log_kernel)
     n_restarts = int(n_restarts)
     if n_restarts < 1:
         raise ValueError(f"n_restarts must be >= 1, got {n_restarts}")
@@ -216,7 +220,7 @@ def map_laplace(initial_vals, log_kernel, settings=None, *, n_steps=500,
     return LaplaceResult(
         mode=mode, mode_z=z_star, cov=cov, cov_sqrt=cov_sqrt,
         log_post=jnp.max(log_posts), grad_norm=grad_norm,
-        restart_log_posts=log_posts,
+        restart_log_posts=log_posts, unravel=unravel,
         _codes=prob.codes, _lb=prob.lower_bounds, _ub=prob.upper_bounds,
         _vals_bound=prob.vals_bound,
     )

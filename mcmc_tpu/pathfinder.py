@@ -90,6 +90,7 @@ class PathfinderResult:
     elbo: Any
     best_iter: Any
     n_lbfgs_iters: Any
+    unravel: Any = None   # pytree-input runs: unravel_draws(draws, unravel)
     _draws_z: Any = dataclasses.field(repr=False, default=None)
     _codes: Any = dataclasses.field(repr=False, default=None)
     _lb: Any = dataclasses.field(repr=False, default=None)
@@ -286,6 +287,9 @@ def pathfinder(initial_vals, log_kernel, settings=None, *, n_paths=8,
                         f"{type(settings).__name__}")
     if key is None:
         key = jax.random.PRNGKey(int(settings.rng_seed_value))
+    from mcmc_tpu.pytree import coerce_model
+    initial_vals, (log_kernel,), unravel = coerce_model(initial_vals,
+                                                        log_kernel)
     n_paths = int(n_paths)
     if n_paths < 1:
         raise ValueError(f"n_paths must be >= 1, got {n_paths}")
@@ -363,6 +367,7 @@ def pathfinder(initial_vals, log_kernel, settings=None, *, n_paths=8,
         draws=draws, log_p=lw[take] + logq.reshape(-1)[take],
         log_q=logq.reshape(-1)[take], pareto_k=khat,
         elbo=elbos, best_iter=bests, n_lbfgs_iters=n_ok,
+        unravel=unravel,
         _draws_z=draws_z,
         _codes=prob.codes, _lb=prob.lower_bounds, _ub=prob.upper_bounds,
         _vals_bound=prob.vals_bound,

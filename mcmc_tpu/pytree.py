@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 
-__all__ = ["ravel_model", "unravel_draws", "bounds_like"]
+__all__ = ["ravel_model", "unravel_draws", "bounds_like",
+           "coerce_model"]
 
 
 def ravel_model(init_tree, tree_log_kernel=None):
@@ -90,3 +91,29 @@ def bounds_like(init_tree, bound_tree, default):
         flat.append(jnp.broadcast_to(
             jnp.asarray(val, leaf.dtype), leaf.shape).ravel())
     return jnp.concatenate(flat) if flat else jnp.zeros((0,))
+
+
+def coerce_model(initial_vals, *fns):
+    """Accept flat-vector OR pytree initial values uniformly.
+
+    Returns ``(x0, wrapped_fns, unravel)``: flat inputs pass through with
+    ``unravel=None``; a dict (or anything :func:`jnp.asarray` rejects)
+    ravels through :func:`ravel_model`, and every function in ``fns`` is
+    wrapped to take the flat vector. The ergonomic bridge used by the
+    approximate-inference surfaces (pathfinder/advi/svgd/map_laplace/
+    thermo_evidence) — samplers go through ``fit``'s richer path, which
+    also maps bound trees.
+    """
+    is_tree = isinstance(initial_vals, dict)
+    if not is_tree and not (callable(initial_vals)
+                            and not hasattr(initial_vals, "__array__")):
+        try:
+            jnp.asarray(initial_vals)
+        except (TypeError, ValueError):
+            is_tree = True
+    if not is_tree:
+        return initial_vals, fns, None
+    x0, unravel = ravel_pytree(initial_vals)
+    wrapped = tuple((lambda f: lambda x, *a: f(unravel(x), *a))(f)
+                    for f in fns)
+    return x0, wrapped, unravel

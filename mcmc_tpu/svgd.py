@@ -65,6 +65,7 @@ class SVGDResult:
     particles: Any
     grad_norm_trace: Any
     bandwidth: Any
+    unravel: Any = None   # pytree-input runs: unravel_draws(particles, .)
 
 
 def _pairwise_sq(X):
@@ -105,6 +106,9 @@ def svgd(initial_vals, log_kernel, settings=None, *, n_particles=256,
                         f"{type(settings).__name__}")
     if key is None:
         key = jax.random.PRNGKey(int(settings.rng_seed_value))
+    from mcmc_tpu.pytree import coerce_model
+    initial_vals, (log_kernel,), unravel = coerce_model(initial_vals,
+                                                        log_kernel)
     N = int(n_particles)
     if N < 2:
         raise ValueError(f"n_particles must be >= 2, got {N}")
@@ -148,4 +152,4 @@ def svgd(initial_vals, log_kernel, settings=None, *, n_particles=256,
         particles = bounds_mod.inv_transform(
             Xf, prob.codes, prob.lower_bounds, prob.upper_bounds)
     return SVGDResult(particles=particles, grad_norm_trace=trace,
-                      bandwidth=h_final)
+                      bandwidth=h_final, unravel=unravel)

@@ -103,3 +103,48 @@ def test_pytree_validation_errors():
     with pytest.raises(ValueError, match="prefix"):
         mcmc_tpu.bounds_like({"a": jnp.zeros(2)}, {"b": 0.0},
                              default=-jnp.inf)
+
+
+def test_coerce_model_approximator_surfaces():
+    """Dict-parameterized models run directly through pathfinder / advi /
+    svgd / map_laplace / thermo_evidence; results carry `unravel` where
+    draws come back flat."""
+    from mcmc_tpu.pytree import unravel_draws
+
+    init = {"mu": jnp.zeros(2), "log_s": jnp.asarray(0.0)}
+
+    def lk(p):
+        return (-0.5 * jnp.sum((p["mu"] - 1.0) ** 2)
+                - 0.5 * (p["log_s"] + 0.5) ** 2)
+
+    lap = mcmc_tpu.map_laplace(init, lk, n_steps=400,
+                               key=jax.random.PRNGKey(40))
+    mode = unravel_draws(lap.mode[None], lap.unravel)
+    assert abs(float(mode["mu"][0, 0]) - 1.0) < 0.05
+    assert abs(float(mode["log_s"][0]) + 0.5) < 0.05
+
+    pf = mcmc_tpu.pathfinder(init, lk, n_paths=2, n_draws=200,
+                             key=jax.random.PRNGKey(41))
+    tree = unravel_draws(pf.draws, pf.unravel)
+    assert tree["mu"].shape == (200, 2)
+    assert abs(float(tree["mu"].mean()) - 1.0) < 0.2
+
+    av = mcmc_tpu.advi(init, lk, n_steps=600, key=jax.random.PRNGKey(42))
+    d = unravel_draws(av.draw(jax.random.PRNGKey(43), 500), av.unravel)
+    assert abs(float(d["log_s"].mean()) + 0.5) < 0.2
+
+    sv = mcmc_tpu.svgd(init, lk, n_particles=64, n_steps=400,
+                       key=jax.random.PRNGKey(44))
+    t2 = unravel_draws(sv.particles, sv.unravel)
+    assert t2["mu"].shape == (64, 2)
+
+    lp = lambda p: (-0.5 * jnp.sum(p["mu"] ** 2)
+                    - jnp.asarray(1.5) * jnp.log(2 * jnp.pi)
+                    - 0.5 * p["log_s"] ** 2)
+    ll = lambda p: -0.5 * jnp.sum((p["mu"] - 1.0) ** 2)
+    s = mcmc_tpu.AlgoSettings()
+    s.evidence_settings = mcmc_tpu.EvidenceSettings(
+        n_burnin_draws=100, n_keep_draws=200, n_temps=6)
+    ev = mcmc_tpu.thermo_evidence(init, lp, ll, s, n_chains=4,
+                                  key=jax.random.PRNGKey(45))
+    assert np.isfinite(float(ev.log_z))
