@@ -41,6 +41,7 @@ from mcmc_tpu.settings import (
     SGHMCSettings,
     EllipticalSettings,
     SliceSettings,
+    GibbsSettings,
     MCLMCSettings,
     MAMSSettings,
     EvidenceSettings,
@@ -63,6 +64,7 @@ from mcmc_tpu.samplers.stretch import stretch
 from mcmc_tpu.samplers.sgld import sgld, sghmc
 from mcmc_tpu.samplers.ellipse import elliptical_slice
 from mcmc_tpu.samplers.slice import slice_sampler
+from mcmc_tpu.samplers.gibbs import gibbs
 from mcmc_tpu.samplers.mclmc import mclmc, mams
 from mcmc_tpu.samplers.barker import barker
 from mcmc_tpu.samplers.mmala import mmala
@@ -99,6 +101,7 @@ _SAMPLERS = {
     "stretch": stretch, "sgld": sgld, "sghmc": sghmc,
     "elliptical": elliptical_slice,
     "slice": slice_sampler,
+    "gibbs": gibbs,
     "mclmc": mclmc, "mams": mams,
     "barker": barker, "mmala": mmala,
 }

@@ -287,6 +287,17 @@ class SliceSettings:
 
 
 @dataclass
+class GibbsSettings:
+    """Compositional block-Gibbs (no reference analog — kernel composition
+    over parameter blocks, see samplers/gibbs.py). The block structure and
+    per-block tuning live in the ``blocks=`` argument of
+    :func:`mcmc_tpu.gibbs` — they are model structure, not global knobs;
+    only the sweep counts live here."""
+    n_burnin_draws: int = 1000
+    n_keep_draws: int = 1000
+
+
+@dataclass
 class EllipticalSettings:
     """Elliptical slice sampling (Murray, Adams & MacKay 2010; no reference
     analog — the tuning-free latent-Gaussian sampler, see
@@ -422,6 +433,7 @@ class AlgoSettings:
     elliptical_settings: EllipticalSettings = field(
         default_factory=EllipticalSettings)
     slice_settings: SliceSettings = field(default_factory=SliceSettings)
+    gibbs_settings: GibbsSettings = field(default_factory=GibbsSettings)
     mclmc_settings: MCLMCSettings = field(default_factory=MCLMCSettings)
     mams_settings: MAMSSettings = field(default_factory=MAMSSettings)
     evidence_settings: EvidenceSettings = field(
