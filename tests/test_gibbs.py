@@ -193,3 +193,47 @@ def test_gibbs_thin_and_dispatcher():
     assert out.draws.shape == (40, 3, 2)
     assert out.diagnostics["thin"] == 3
     assert np.asarray(out.diagnostics["block_accept_rate"]).shape == (3, 2)
+
+
+def test_gibbs_checkpoint_matches_in_memory(tmp_path):
+    """checkpoint_dir runs of the heterogeneous GibbsState (tuple of
+    per-block kernel states incl. zero-size exact placeholders) must
+    serialize, stream, and reproduce the in-memory draws bit-exactly."""
+    sd = math.sqrt(1 - RHO ** 2)
+
+    def cond1(key, full):
+        return (RHO * full[0]
+                + sd * jax.random.normal(key, (1,), full.dtype))
+
+    s = mcmc_tpu.GibbsSettings(n_burnin_draws=60, n_keep_draws=120)
+    kw = dict(blocks=[([0], "rwmh"), ([1], cond1)], n_chains=4,
+              key=jax.random.PRNGKey(21))
+    mem = mcmc_tpu.gibbs(jnp.zeros(2), _biv_normal_lk, s, **kw)
+    ckpt = mcmc_tpu.gibbs(jnp.zeros(2), _biv_normal_lk, s,
+                          checkpoint_dir=tmp_path / "run",
+                          checkpoint_every=50, **kw)
+    np.testing.assert_array_equal(np.asarray(mem.draws),
+                                  np.asarray(ckpt.draws))
+    np.testing.assert_array_equal(np.asarray(mem.n_accept_draws),
+                                  np.asarray(ckpt.n_accept_draws))
+    np.testing.assert_allclose(
+        np.asarray(mem.diagnostics["block_accept_rate"]),
+        np.asarray(ckpt.diagnostics["block_accept_rate"]), atol=1e-6)
+
+
+def test_gibbs_mesh_sharded():
+    """Chain-sharded Gibbs sweep over the 8-device mesh matches the
+    unsharded run bit-exactly (GSPMD partitioning must not change the
+    program semantics)."""
+    from mcmc_tpu.parallel import make_mesh
+    mesh = make_mesh(8)
+    lk = lambda v: -0.5 * jnp.sum(v ** 2)
+    s = mcmc_tpu.GibbsSettings(n_burnin_draws=30, n_keep_draws=40)
+    kw = dict(blocks=[([0, 1], "hmc", {"step_size": 0.5,
+                                       "n_leap_steps": 2}),
+                      ([2], "slice")],
+              n_chains=16, key=jax.random.PRNGKey(23))
+    plain = mcmc_tpu.gibbs(jnp.zeros(3), lk, s, **kw)
+    sharded = mcmc_tpu.gibbs(jnp.zeros(3), lk, s, mesh=mesh, **kw)
+    np.testing.assert_array_equal(np.asarray(plain.draws),
+                                  np.asarray(sharded.draws))
