@@ -28,6 +28,7 @@ from mcmc_tpu.settings import (
     RWMHSettings,
     MALASettings,
     HMCSettings,
+    GHMCSettings,
     NUTSSettings,
     ChEESSettings,
     RMHMCSettings,
@@ -52,6 +53,7 @@ from mcmc_tpu.results import SamplerResult
 from mcmc_tpu.samplers.rwmh import rwmh
 from mcmc_tpu.samplers.mala import mala
 from mcmc_tpu.samplers.hmc import hmc
+from mcmc_tpu.samplers.ghmc import ghmc
 from mcmc_tpu.samplers.nuts import nuts
 from mcmc_tpu.samplers.chees import chees
 from mcmc_tpu.samplers.rmhmc import rmhmc
@@ -95,7 +97,8 @@ import jax.numpy as jnp
 __version__ = "0.1.0"
 
 _SAMPLERS = {
-    "rwmh": rwmh, "mala": mala, "hmc": hmc, "nuts": nuts, "chees": chees,
+    "rwmh": rwmh, "mala": mala, "hmc": hmc, "ghmc": ghmc, "nuts": nuts,
+    "chees": chees,
     "rmhmc": rmhmc, "de": de, "demcz": demcz, "aees": aees, "pt": pt,
     "smc": smc,
     "stretch": stretch, "sgld": sgld, "sghmc": sghmc,

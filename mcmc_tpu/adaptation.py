@@ -18,7 +18,8 @@ import jax.numpy as jnp
 __all__ = ["DualAveraging", "da_init", "da_update", "TARGET_ACCEPT",
            "window_schedule", "WindowedVariance", "wv_init", "wv_update"]
 
-TARGET_ACCEPT = {"rwmh": 0.234, "mala": 0.574, "hmc": 0.8, "barker": 0.574}
+TARGET_ACCEPT = {"rwmh": 0.234, "mala": 0.574, "hmc": 0.8, "barker": 0.574,
+                 "ghmc": 0.95}
 
 
 class DualAveraging(NamedTuple):

@@ -62,6 +62,24 @@ class HMCSettings:
 
 
 @dataclass
+class GHMCSettings:
+    """Generalized HMC with persistent momentum (Horowitz 1991; no
+    reference analog — one gradient per draw with HMC-like coherent
+    motion, see samplers/ghmc.py). ``momentum_persistence`` is alpha in
+    [0, 1) (0.0 = auto ``exp(-step_size/sqrt(dim))``); ``jitter``
+    scales the step size uniformly in ``[(1-jitter) eps, eps]`` per
+    draw per chain to break partial-refresh resonances (the MEADS
+    prescription, Hoffman & Sountsov 2022)."""
+    n_burnin_draws: int = 1000
+    n_keep_draws: int = 1000
+    n_leap_steps: int = 1
+    step_size: float = 0.25
+    momentum_persistence: float = 0.0   # 0.0 = auto
+    jitter: float = 0.2
+    precond_mat: Optional[ArrayLike] = None
+
+
+@dataclass
 class ChEESSettings:
     """ChEES-HMC: adaptive shared-trajectory HMC (no reference analog —
     Hoffman, Radul & Sountsov 2021; the framework's accelerator-native
@@ -419,6 +437,7 @@ class AlgoSettings:
     rwmh_settings: RWMHSettings = field(default_factory=RWMHSettings)
     mala_settings: MALASettings = field(default_factory=MALASettings)
     hmc_settings: HMCSettings = field(default_factory=HMCSettings)
+    ghmc_settings: GHMCSettings = field(default_factory=GHMCSettings)
     nuts_settings: NUTSSettings = field(default_factory=NUTSSettings)
     chees_settings: ChEESSettings = field(default_factory=ChEESSettings)
     rmhmc_settings: RMHMCSettings = field(default_factory=RMHMCSettings)
