@@ -192,6 +192,9 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
     adapted step size and mass — the predictable-cost gradient sampler;
     ``algorithm="mala"`` runs MALA with adapted step size and learned
     preconditioner — the one-gradient-per-draw choice for cheap targets;
+    ``algorithm="ghmc"`` runs generalized HMC (Horowitz persistent
+    momentum) — one gradient per draw with HMC-like coherent motion,
+    adapted to 0.95 acceptance;
     ``algorithm="barker"`` runs the Barker proposal with adapted scale and
     per-coordinate preconditioning — MALA's robust sibling (insensitive to
     step-size mis-tuning, ergodic on light-tailed targets where MALA is
@@ -281,8 +284,8 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
     if key is not None:
         key, k_run = jax.random.split(key)
 
-    chain_algos = ("nuts", "chees", "hmc", "mala", "barker", "slice",
-                   "mclmc", "mams", "pt")
+    chain_algos = ("nuts", "chees", "hmc", "ghmc", "mala", "barker",
+                   "slice", "mclmc", "mams", "pt")
     if algorithm in chain_algos and init is not None:
         initial_vals = _laplace_init(n_chains)
     ckpt = None if checkpoint_dir is None else str(checkpoint_dir)
@@ -337,6 +340,13 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
                        target_accept=target_accept,
                        adapt_mass_matrix="dense" if dense_mass else "diag",
                        **grad_kw, **kw)
+        if algorithm == "ghmc":
+            gs = GHMCSettings(n_burnin_draws=n_warmup,
+                              n_keep_draws=total_keep)
+            return ghmc(initial_vals, log_kernel,
+                        _algo({"ghmc_settings": gs}), n_chains=n_chains,
+                        adapt_step_size=True, target_accept=target_accept,
+                        **grad_kw, **kw)
         if algorithm == "mala":
             ms = MALASettings(n_burnin_draws=n_warmup,
                               n_keep_draws=total_keep, step_size=0.1)

@@ -128,7 +128,8 @@ def test_fit_hmc_and_mala_adapted():
     """fit(algorithm='hmc'|'mala') (VERDICT r2 item 8): adapted step size +
     learned mass/preconditioner converge on the correlated Gaussian."""
     lk = _gauss2()
-    for algo, kw in [("hmc", dict(n_leap_steps=8)), ("mala", {})]:
+    for algo, kw in [("hmc", dict(n_leap_steps=8)), ("mala", {}),
+                     ("ghmc", {})]:
         out = mcmc_tpu.fit(jnp.zeros(2), lk, algorithm=algo, n_chains=16,
                            n_warmup=400, n_draws=400,
                            key=jax.random.PRNGKey(7), **kw)
