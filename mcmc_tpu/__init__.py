@@ -133,6 +133,9 @@ def sample(algorithm, initial_vals, log_kernel, settings=None, **kwargs):
         if metric_fn is None:
             raise ValueError(f"{algorithm} requires metric_fn=")
         return fn(initial_vals, log_kernel, metric_fn, settings, **kwargs)
+    if algorithm == "gibbs" and "blocks" not in kwargs:
+        raise ValueError("gibbs requires blocks= (the block partition is "
+                         "model structure: [(indices, method[, opts]), ...])")
     if algorithm in ("sgld", "sghmc"):
         log_lik = kwargs.pop("log_lik", None)
         data = kwargs.pop("data", None)

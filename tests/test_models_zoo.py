@@ -75,9 +75,11 @@ def test_sample_dispatcher():
                           key=jax.random.PRNGKey(0))
     assert out.draws.shape == (100, 2)
     with pytest.raises(ValueError, match="unknown algorithm"):
-        mcmc_tpu.sample("gibbs", jnp.zeros(2), lk)
+        mcmc_tpu.sample("zigzag", jnp.zeros(2), lk)
     with pytest.raises(ValueError, match="metric_fn"):
         mcmc_tpu.sample("rmhmc", jnp.zeros(2), lk)
+    with pytest.raises(ValueError, match="blocks"):
+        mcmc_tpu.sample("gibbs", jnp.zeros(2), lk)
 
 
 def test_fit_one_call():
