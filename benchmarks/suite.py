@@ -89,6 +89,12 @@ def run_all(quick=False, out_path=None):
                                 n_keep_draws=2000 // scale, step_size=0.5),
         n_chains=256, key=jax.random.PRNGKey(23), adapt_step_size=True,
         adapt_precond=True, pooled_adaptation=True))
+    record("ghmc_logreg_25d", lambda: mcmc_tpu.ghmc(
+        jnp.zeros(25), lk_lr,
+        mcmc_tpu.GHMCSettings(n_burnin_draws=1000 // scale,
+                              n_keep_draws=2000 // scale,
+                              momentum_persistence=0.95),
+        n_chains=256, key=jax.random.PRNGKey(29)))
     record("hmc_logreg_25d", lambda: mcmc_tpu.hmc(
         jnp.zeros(25), lk_lr,
         mcmc_tpu.HMCSettings(n_burnin_draws=1000 // scale,
