@@ -305,6 +305,71 @@ def measure_chees_quality(log_kernel):
     }
 
 
+def measure_ghmc_quality(log_kernel):
+    """GHMC (Horowitz persistent momentum, samplers/ghmc.py — round-4
+    continuation) on the flagship posterior: 4096 chains, alpha=0.98,
+    thin=8, dual-averaged to 0.95 acceptance — the probe-optimal protocol
+    (benchmarks/ghmc_probe_r4.json; the alpha=0 full-refresh control fails
+    the R-hat gate at 9x less ESS/s in the same budget). One gradient per
+    draw; exact. Diagnostics on device."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from mcmc_tpu import diagnostics
+    from mcmc_tpu.samplers import common
+    from mcmc_tpu.samplers.ghmc import build_ghmc_kernel
+
+    N, THIN, WARM = 4096, 8, 1000
+    precond = common.make_spd(None, DIM, jnp.float32)
+    init, step = build_ghmc_kernel(
+        log_kernel, jax.grad(log_kernel), precond, 0.05, 0.98, 1, 0.2,
+        {"n_burnin": WARM, "target": 0.95})
+    step = common.thin_step(step, THIN)
+    bstep = jax.vmap(step, axis_name=common.CHAIN_AXIS_NAME)
+    pos0 = 0.05 * jax.random.normal(jax.random.PRNGKey(42), (N, DIM))
+    state0 = jax.vmap(init)(pos0)
+
+    def scan_phase(n, collect):
+        def run(state, ks):
+            def body(c, _):
+                st, k = c
+                pairs = jax.vmap(lambda kk: jax.random.split(kk, 2))(k)
+                st, info = bstep(pairs[:, 1], st)
+                return (st, pairs[:, 0]), (st.position if collect else None)
+            (st, k), outs = lax.scan(body, (state, ks), None, length=n)
+            return st, k, outs
+        return jax.jit(run)
+
+    warm = scan_phase(WARM, collect=False)
+    samp = scan_phase(NUTS_KEEP, collect=True)
+    ks = jax.random.split(jax.random.PRNGKey(43), N)
+    stw, ks, _ = warm(state0, ks)
+    jax.block_until_ready(stw)
+    _st, _ks, outs = samp(stw, ks)
+    jax.block_until_ready(outs)
+    t0 = time.perf_counter()
+    _st, _ks, draws = samp(stw, ks)
+    jax.block_until_ready(draws)
+    t_samp = time.perf_counter() - t0
+
+    @jax.jit
+    def diag(d):
+        return (diagnostics.ess(d, chain_chunk=256).min(),
+                diagnostics.split_rhat(d).max())
+
+    ess_min, rhat = map(float, diag(draws))
+    return {
+        "ghmc_min_ess_per_sec": round(ess_min / t_samp, 1),
+        "ghmc_max_split_rhat": round(rhat, 4),
+        "ghmc_converged": bool(rhat <= 1.01),
+        "ghmc_chains": N, "ghmc_alpha": 0.98, "ghmc_thin": THIN,
+        "ghmc_adapted_step_size": round(
+            float(jnp.exp(stw.da.log_eps_bar[0])), 5),
+        "ghmc_sample_seconds": round(t_samp, 3),
+    }
+
+
 def measure_microcanonical_quality(log_kernel):
     """MCLMC (unadjusted) + MAMS (exact) on the flagship posterior — the
     microcanonical family introduced in round 4 (samplers/mclmc.py). Both
@@ -432,6 +497,7 @@ def main():
             device_diag=True))
     quality.update(measure_chees_quality(lk))
     if on_tpu:
+        quality.update(measure_ghmc_quality(lk))
         quality.update(measure_microcanonical_quality(lk))
 
     result = {
