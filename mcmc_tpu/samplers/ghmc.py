@@ -134,7 +134,9 @@ def ghmc(initial_vals, log_kernel, settings=None, *, n_chains=None,
 
     One gradient evaluation per draw (``n_leap_steps=1`` default);
     ``momentum_persistence`` (settings) sets alpha, 0.0 = auto
-    ``exp(-step_size/sqrt(dim))``. ``adapt_step_size`` (default ON —
+    ``exp(-step_size/sqrt(dim))`` computed from the NOMINAL (initial)
+    step size — if ``adapt_step_size`` moves eps far from it, set alpha
+    explicitly (see the in-code note). ``adapt_step_size`` (default ON —
     GHMC is step-size-sensitive) dual-averages toward 0.95 acceptance;
     ``jitter`` desynchronizes per-chain step sizes. All the usual driver
     options compose (``n_chains``/``mesh``/``checkpoint_dir``/``thin``/
@@ -155,17 +157,26 @@ def ghmc(initial_vals, log_kernel, settings=None, *, n_chains=None,
     precond = common.make_spd(s.precond_mat, prob.n_vals, prob.dtype)
     grad_fn = integrators.make_kick_grad(prob, bounded_grad)
 
-    alpha = float(s.momentum_persistence)
-    if alpha == 0.0:
-        import math
-        alpha = math.exp(-float(s.step_size) / math.sqrt(prob.n_vals))
-
     adapt_cfg = None
     if adapt_step_size:
         adapt_cfg = {
             "n_burnin": s.n_burnin_draws,
-            "target": target_accept or adaptation.TARGET_ACCEPT["ghmc"],
+            "target": (adaptation.TARGET_ACCEPT["ghmc"]
+                       if target_accept is None else target_accept),
         }
+
+    alpha = float(s.momentum_persistence)
+    if alpha == 0.0:
+        # Auto-alpha is computed from the NOMINAL step_size. When
+        # adapt_step_size=True dual averaging can move eps well below it,
+        # so the damping form exp(-eps/sqrt(dim)) is only approximate in
+        # that case — deliberately so: deriving alpha per-draw from the
+        # adapted eps was measured to push persistence near 1 (the 0.95
+        # accept target shrinks eps) and badly slow mixing. Users who
+        # adapt the step size and care about the exact damping should
+        # set momentum_persistence explicitly (bench.py uses 0.98).
+        import math
+        alpha = math.exp(-float(s.step_size) / math.sqrt(prob.n_vals))
     init, step = build_ghmc_kernel(
         prob.box_log_kernel, grad_fn, precond, s.step_size, alpha,
         int(s.n_leap_steps), float(s.jitter), adapt_cfg)

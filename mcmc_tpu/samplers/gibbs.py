@@ -71,6 +71,17 @@ class GibbsState(NamedTuple):
     substates: tuple      # per-block kernel states ((0,) zeros for exact)
 
 
+# Per-method option whitelists: an unknown key (a typo, or an option meant
+# for another method) raises instead of silently running with defaults —
+# matching the module's otherwise-strict block-spec validation.
+_ALLOWED_OPTS = {
+    "rwmh": {"scale", "adapt", "target_accept"},
+    "hmc": {"step_size", "n_leap_steps", "adapt", "target_accept"},
+    "slice": {"w", "max_step_out", "max_shrink_steps"},
+    "exact": set(),
+}
+
+
 def _parse_blocks(blocks, n_vals):
     """Validate the block spec: disjoint integer index sets covering every
     coordinate. Returns [(np_indices, method, opts), ...]."""
@@ -102,6 +113,14 @@ def _parse_blocks(blocks, n_vals):
                 f"block {b}: method must be 'rwmh', 'hmc', 'slice', or a "
                 f"callable exact conditional, got {method!r}")
         opts = dict(spec[2]) if len(spec) == 3 else {}
+        allowed = (_ALLOWED_OPTS["exact"] if callable(method)
+                   else _ALLOWED_OPTS[method])
+        unknown = sorted(set(opts) - allowed)
+        if unknown:
+            name = "exact" if callable(method) else method
+            raise ValueError(
+                f"block {b}: unknown option(s) {unknown} for method "
+                f"{name!r}; allowed: {sorted(allowed) or '(none)'}")
         parsed.append((idx, method, opts))
     if not seen.all():
         missing = np.nonzero(~seen)[0].tolist()

@@ -66,7 +66,9 @@ class GHMCSettings:
     """Generalized HMC with persistent momentum (Horowitz 1991; no
     reference analog — one gradient per draw with HMC-like coherent
     motion, see samplers/ghmc.py). ``momentum_persistence`` is alpha in
-    [0, 1) (0.0 = auto ``exp(-step_size/sqrt(dim))``); ``jitter``
+    [0, 1) (0.0 = auto ``exp(-step_size/sqrt(dim))`` from the NOMINAL
+    step size — with ``adapt_step_size=True`` dual averaging may move
+    eps away from it, so set alpha explicitly when adapting); ``jitter``
     scales the step size uniformly in ``[(1-jitter) eps, eps]`` per
     draw per chain to break partial-refresh resonances (the MEADS
     prescription, Hoffman & Sountsov 2022)."""

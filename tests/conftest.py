@@ -21,4 +21,37 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
-assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+assert jax.devices()[0].platform == "cpu", "tests must run on cpu"
+
+# Per-test wall-clock guard: pytest-timeout isn't in this image, so use
+# SIGALRM directly. This interrupts Python-level hangs (the common case:
+# a scan that never converges, an accidental eager loop); a hang inside a
+# single C++ XLA compile won't be interrupted, but --max-worker-restart
+# in pyproject addopts recovers from those (and from the known XLA-CPU
+# compile-accumulation segfault) at the worker level.
+import signal  # noqa: E402
+
+import pytest  # noqa: E402
+
+_TEST_TIMEOUT_S = int(os.environ.get("MCMC_TPU_TEST_TIMEOUT", "900"))
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_call(item):
+    if _TEST_TIMEOUT_S <= 0 or not hasattr(signal, "SIGALRM"):
+        yield
+        return
+
+    def _on_timeout(signum, frame):
+        raise TimeoutError(
+            f"test exceeded {_TEST_TIMEOUT_S}s wall-clock "
+            "(MCMC_TPU_TEST_TIMEOUT to adjust)"
+        )
+
+    prev = signal.signal(signal.SIGALRM, _on_timeout)
+    signal.alarm(_TEST_TIMEOUT_S)
+    try:
+        yield
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, prev)

@@ -181,6 +181,17 @@ def test_gibbs_block_validation():
         mcmc_tpu.gibbs(x0, lk, blocks=[([0, 1, 2], "nuts")])
     with pytest.raises(ValueError, match="out of range"):
         mcmc_tpu.gibbs(x0, lk, blocks=[([0, 1, 3], "rwmh")])
+    # unknown / misdirected per-block options raise instead of being
+    # silently ignored (ADVICE r4)
+    with pytest.raises(ValueError, match="step_sze"):
+        mcmc_tpu.gibbs(x0, lk, blocks=[([0, 1, 2], "hmc",
+                                        {"step_sze": 0.1})])
+    with pytest.raises(ValueError, match="scale"):
+        mcmc_tpu.gibbs(x0, lk, blocks=[([0, 1, 2], "hmc",
+                                        {"scale": 0.5})])
+    with pytest.raises(ValueError, match="exact"):
+        mcmc_tpu.gibbs(x0, lk, blocks=[
+            ([0, 1, 2], lambda k, v: v, {"adapt": True})])
 
 
 def test_gibbs_thin_and_dispatcher():
