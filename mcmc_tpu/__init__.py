@@ -179,7 +179,7 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
         target_accept=None, max_tree_depth=10, n_leap_steps=16, init=None,
         lower_bounds=None, upper_bounds=None,
         rhat_target=None, min_ess=None, max_rounds=8,
-        checkpoint_dir=None, thin=1):
+        checkpoint_dir=None, thin=1, blocks=None):
     """One-call posterior fit with full automatic warmup.
 
     ``algorithm="nuts"`` (default) runs NUTS with pooled dual-averaging
@@ -216,6 +216,13 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
     geometric ladder — the one-call choice for MULTIMODAL posteriors
     (draws are the cold chain's; check
     ``diagnostics["round_trip_rate"] > 0``).
+    ``algorithm="gibbs"`` runs compositional block-Gibbs and requires
+    ``blocks=[(indices, method[, opts]), ...]`` (see
+    :func:`mcmc_tpu.gibbs`) — per-block dual-averaging adaptation is on
+    by default for rwmh/hmc blocks; with a pytree model the indices
+    refer to the RAVELED flat vector (``diagnostics["unravel"]`` maps
+    back), and exact-conditional callables receive the flat constrained
+    vector.
     ``init="laplace"`` first finds the posterior mode
     (:func:`mcmc_tpu.map_laplace`, batched-Adam MAP) and starts every
     chain from an overdispersed draw of the Laplace Gaussian instead of
@@ -288,7 +295,15 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
         key, k_run = jax.random.split(key)
 
     chain_algos = ("nuts", "chees", "hmc", "ghmc", "mala", "barker",
-                   "slice", "mclmc", "mams", "pt")
+                   "slice", "mclmc", "mams", "pt", "gibbs")
+    if algorithm == "gibbs" and blocks is None:
+        raise ValueError(
+            "fit(algorithm='gibbs') requires blocks=[(indices, method"
+            "[, opts]), ...] — the block partition is the model "
+            "structure only you know (see mcmc_tpu.gibbs)")
+    if algorithm != "gibbs" and blocks is not None:
+        raise ValueError(f"blocks= is gibbs-only, got "
+                         f"algorithm={algorithm!r}")
     if algorithm in chain_algos and init is not None:
         initial_vals = _laplace_init(n_chains)
     ckpt = None if checkpoint_dir is None else str(checkpoint_dir)
@@ -392,6 +407,12 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
             return mams(initial_vals, log_kernel,
                         _algo({"mams_settings": as2}),
                         n_chains=n_chains, adapt_mass=True, **kw)
+        if algorithm == "gibbs":
+            gs = GibbsSettings(n_burnin_draws=n_warmup,
+                               n_keep_draws=total_keep)
+            return gibbs(initial_vals, log_kernel,
+                         _algo({"gibbs_settings": gs}), blocks=blocks,
+                         n_chains=n_chains, **kw)
         if algorithm == "pt":
             # one-call multimodal fit: parallel tempering with a
             # self-tuning geometric ladder; draws are the cold chain's
@@ -452,9 +473,9 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
             kw.pop("mesh")
             return demcz(iv, log_kernel, _algo({"demcz_settings": zs}), **kw)
         raise ValueError(
-            f"fit algorithm must be 'nuts', 'chees', 'hmc', 'mala', "
-            f"'barker', 'mclmc', 'mams', 'pt', 'stretch', 'slice', or "
-            f"'demcz', got {algorithm!r}")
+            f"fit algorithm must be 'nuts', 'chees', 'hmc', 'ghmc', "
+            f"'mala', 'barker', 'mclmc', 'mams', 'pt', 'gibbs', "
+            f"'stretch', 'slice', or 'demcz', got {algorithm!r}")
 
     def _gates_ok(d):
         ok = (rhat_target is None

@@ -120,8 +120,36 @@ def test_fit_slice_with_bounds_and_convergence_gate():
     assert float(d.mean()) == pytest.approx(1.2876, abs=0.05)
     assert "summary" in out.diagnostics
 
-    with pytest.raises(ValueError, match="fit algorithm"):
+    with pytest.raises(ValueError, match="requires blocks"):
         mcmc_tpu.fit(jnp.zeros(1), lk, algorithm="gibbs")
+    with pytest.raises(ValueError, match="fit algorithm"):
+        mcmc_tpu.fit(jnp.zeros(1), lk, algorithm="nope")
+    with pytest.raises(ValueError, match="gibbs-only"):
+        mcmc_tpu.fit(jnp.zeros(1), lk, algorithm="slice",
+                     blocks=[([0], "rwmh")])
+
+
+def test_fit_gibbs_blocks():
+    """fit(algorithm='gibbs', blocks=...) (VERDICT r4 item 8b): the
+    compositional layer is reachable from the one-call surface with
+    per-block adaptation defaults, convergence gates, and summary."""
+    # modest correlation: coordinate-wise Gibbs random-walks along the
+    # correlation direction, so rho=0.6 needs far more draws to pass the
+    # gate — not the point of this routing test
+    A = jnp.asarray([[1.0, 0.3], [0.3, 1.0]])
+    P = jnp.linalg.inv(A)
+    lk = lambda v: -0.5 * v @ (P @ v)
+    out = mcmc_tpu.fit(
+        jnp.zeros(2), lk, algorithm="gibbs",
+        blocks=[([0], "hmc", {"step_size": 0.3}), ([1], "rwmh")],
+        n_chains=16, n_warmup=300, n_draws=500,
+        key=jax.random.PRNGKey(9), rhat_target=1.02, max_rounds=4)
+    assert out.diagnostics["converged"]
+    assert "summary" in out.diagnostics
+    d = np.asarray(out.draws).reshape(-1, 2)
+    assert np.abs(d.mean(axis=0)).max() < 0.12
+    assert abs(np.cov(d.T)[0, 1] - 0.3) < 0.15
+    assert list(out.diagnostics["block_methods"]) == ["hmc", "rwmh"]
 
 
 def test_fit_hmc_and_mala_adapted():
