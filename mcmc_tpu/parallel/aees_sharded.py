@@ -100,8 +100,10 @@ def aees_sharded(initial_vals, log_kernel, settings=None, *, mesh: Mesh,
                     mask = idx_slots < avail
                 else:
                     mask = (idx_slots >= begin) & (idx_slots < draw_ind)
-                return ee_jump(key_, hot_kv, hot_x, mask, spacing,
-                               x, cur_kv, kv2, hotter_temp, my_temp)
+                xn, kvn, pairn, _acc = ee_jump(
+                    key_, hot_kv, hot_x, mask, spacing,
+                    x, cur_kv, kv2, hotter_temp, my_temp)
+                return xn, kvn, pairn
 
             def stay(_):
                 return x, cur_kv, kv2

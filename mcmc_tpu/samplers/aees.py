@@ -161,9 +161,101 @@ def make_ee_jump(box, n_rings, dt):
         acc = jax.random.uniform(k_acc, dtype=dt) < jnp.exp(comp)
         return (jnp.where(acc, x_cand, cur_x),
                 jnp.where(acc, val, cur_kv),
-                jnp.where(acc, new_pair, kv2))
+                jnp.where(acc, new_pair, kv2),
+                acc)
 
     return jump
+
+
+def build_ee_ladder(key, box, first, s: AEESSettings, dim, dt, t_max, *,
+                    spacing=3.0, max_rungs=16, n_grid=12,
+                    n_pilot_chains=8, n_pilot_draws=400, min_rung_temp=1.4):
+    """Ladder construction adapted to the EQUI-ENERGY functional.
+
+    The EE jump between adjacent rungs accepts with log-ratio
+    ``(val_new - val_cur) * (beta_k - beta_{k-1})`` (src/aees.cpp:222-240
+    two-temperature ratio; ``beta = 1/T``), where ``val_new`` comes from
+    the donor ring containing the receiver's current energy. Jump
+    efficiency is therefore governed by the OVERLAP of the adjacent
+    rungs' energy (log-kernel) distributions: the mean energy shift
+    between rungs is ``Var_beta(val) * dbeta`` (the standard
+    thermodynamic identity ``d<val>/dbeta = Var(val)``), so requiring a
+    fixed overlap gives the spacing rule
+
+        ``dbeta = spacing / sigma_val(beta)``
+
+    — adjacent rungs' energy histograms separated by ``spacing`` standard
+    deviations. The round-3/4 ladder sweep (benchmarks/aees_ladder_sweep
+    .json) showed the PT swap-acceptance target (Robbins-Monro 0.234)
+    optimizes a DIFFERENT functional and transfers poorly (39.2 vs 187.5
+    min-ESS/s); this rule targets ring overlap directly.
+
+    A short pilot measures ``sigma_val(beta)`` on a geometric beta grid
+    (independent tempered RWMH chains, no EE moves), then the ladder is
+    walked down from ``beta = 1/t_max`` with the rule above until
+    ``beta = 1`` (capped at ``max_rungs``; rungs closer to the target
+    than ``min_rung_temp`` are dropped — a T~1.3 rung duplicates the
+    appended T=1 chain and was measured to destabilize runs). For a
+    d-dimensional Gaussian ``sigma_val = sqrt(d/2)/beta``, so the rule
+    reproduces a GEOMETRIC ladder with ratio ``1 + spacing/sqrt(d/2)``
+    — the family the sweep found optimal — with the density now set by
+    the measured energy scale instead of by hand.
+
+    Default ``spacing=3.0`` is empirical, from a 3-seed study on the
+    suite's hard bimodal mixture: it lands within measurement noise of
+    the sweep-optimal hand-picked geom4 ladder (constructed [60, 15.5,
+    3.6] vs geom4's [60, 15.3, 3.9]; min bulk ESS 1246 vs 1460 with
+    seed spread ~±150), while spacing 1.0 (7 rungs) and 2.0 (5 rungs)
+    cost ~40% wall-clock for no ESS gain — EE acceptance is already
+    ~0.94 at geom4 spacing, so denser rungs only add compute and
+    staggered-activation burn-in.
+
+    Returns the user-temp vector (descending, T > 1 only; T = 1 is
+    appended by :func:`make_temps`).
+    """
+    import numpy as np
+
+    mh_step = make_mh_step(box, s, dim, dt)
+    beta_grid = jnp.asarray(
+        np.geomspace(1.0 / t_max, 1.0, int(n_grid)), dt)
+    grid_temps = 1.0 / beta_grid                      # (n_grid,)
+
+    val0 = safe_initial_kv(box(first), dt)
+    x0 = jnp.tile(first[None, None, :],
+                  (int(n_grid), int(n_pilot_chains), 1))
+    v0 = jnp.full((int(n_grid), int(n_pilot_chains)), val0, dt)
+
+    batched = jax.vmap(jax.vmap(mh_step, in_axes=(0, 0, 0, None)),
+                       in_axes=(0, 0, 0, 0))
+
+    @jax.jit
+    def pilot(key):
+        def body(carry, k):
+            x, v = carry
+            ks = jax.random.split(
+                k, int(n_grid) * int(n_pilot_chains)).reshape(
+                int(n_grid), int(n_pilot_chains), 2)
+            x, v = batched(ks, x, v, grid_temps)
+            return (x, v), v
+        keys = jax.random.split(key, int(n_pilot_draws))
+        _, vals = lax.scan(body, (x0, v0), keys)
+        kept = vals[int(n_pilot_draws) // 2:]         # second half only
+        return jnp.std(kept, axis=(0, 2))             # (n_grid,)
+
+    sig = np.asarray(pilot(key), np.float64)
+    sig = np.maximum(sig, 1e-12)
+    log_bg = np.log(np.asarray(beta_grid, np.float64))
+    log_sig = np.log(sig)
+
+    betas = [1.0 / float(t_max)]
+    while len(betas) < int(max_rungs):
+        b = betas[-1]
+        sig_b = float(np.exp(np.interp(np.log(b), log_bg, log_sig)))
+        b_next = b + float(spacing) / sig_b
+        if b_next >= 1.0 / float(min_rung_temp):
+            break
+        betas.append(b_next)
+    return jnp.asarray(1.0 / np.asarray(betas), dt)   # descending temps > 1
 
 
 def build_aees_kernel(box, temps, s: AEESSettings, dim, dt,
@@ -221,12 +313,15 @@ def build_aees_kernel(box, temps, s: AEESSettings, dim, dt,
                 mask = idx_slots < avail
             else:
                 mask = (idx_slots >= begin) & (idx_slots <= draw_ind)
-            return ee_jump(key, hist_kv[:, k - 1], hist_draws[:, k - 1],
-                           mask, spacing, state.X[k], state.cur_kv[k],
-                           state.kv2[:, k], temps[k - 1], temps[k])
+            x, kv, pair, acc = ee_jump(
+                key, hist_kv[:, k - 1], hist_draws[:, k - 1],
+                mask, spacing, state.X[k], state.cur_kv[k],
+                state.kv2[:, k], temps[k - 1], temps[k])
+            return x, kv, pair, jnp.asarray(True), acc
 
         def stay(_):
-            return state.X[k], state.cur_kv[k], state.kv2[:, k]
+            return (state.X[k], state.cur_kv[k], state.kv2[:, k],
+                    jnp.asarray(False), jnp.asarray(False))
 
         return lax.cond(spacing > 0, jump, stay, None)
 
@@ -242,7 +337,8 @@ def build_aees_kernel(box, temps, s: AEESSettings, dim, dt,
         def local_branch(_):
             x_new, val = mh_step(k_move, state.X[k], state.cur_kv[k], temps[k])
             pair = jnp.array([val / temps[k - 1], val / temps[k]])
-            return x_new, val, pair
+            return (x_new, val, pair,
+                    jnp.asarray(False), jnp.asarray(False))
 
         def ee_branch(_):
             return ee_move(k_move, k, draw_ind, state, hist_kv, hist_draws)
@@ -252,7 +348,8 @@ def build_aees_kernel(box, temps, s: AEESSettings, dim, dt,
             return lax.cond(z_eps > s.ee_prob_par, local_branch, ee_branch, None)
 
         def inactive_branch(_):
-            return state.X[k], state.cur_kv[k], state.kv2[:, k]
+            return (state.X[k], state.cur_kv[k], state.kv2[:, k],
+                    jnp.asarray(False), jnp.asarray(False))
 
         active = draw_ind > k * block
         return lax.cond(active, active_branch, inactive_branch, None)
@@ -271,19 +368,27 @@ def build_aees_kernel(box, temps, s: AEESSettings, dim, dt,
 
         # ladder loop, statically unrolled; each chain's history entry is
         # written before the next (colder) chain reads the ring window
+        ee_att = [jnp.asarray(False)]
+        ee_acc = [jnp.asarray(False)]
         for k in range(1, K):
-            xk, kvk, pairk = chain_update(keys[k], k, draw_ind, state,
-                                          hist_kv, hist_draws)
+            xk, kvk, pairk, att, acc = chain_update(keys[k], k, draw_ind,
+                                                    state, hist_kv,
+                                                    hist_draws)
             X_new = X_new.at[k].set(xk)
             cur_kv = cur_kv.at[k].set(kvk)
             kv2 = kv2.at[:, k].set(pairk)
             hist_kv, hist_draws = store(hist_kv, hist_draws, k, kvk, xk,
                                         draw_ind, keys[K + k])
+            ee_att.append(att)
+            ee_acc.append(acc)
 
         new_state = AEESState(X=X_new, cur_kv=cur_kv, kv2=kv2,
                               hist_kv=hist_kv, hist_draws=hist_draws,
                               draw_ind=draw_ind + 1)
-        return new_state, {}
+        # per-rung EE-jump attempt/accept flags (rung 0 never jumps) — the
+        # measured equi-energy functional that ladder adaptation targets
+        return new_state, {"ee_attempt": jnp.stack(ee_att),
+                           "ee_accept": jnp.stack(ee_acc)}
 
     def make_state0(first, val_init):
         return AEESState(
@@ -301,7 +406,7 @@ def build_aees_kernel(box, temps, s: AEESSettings, dim, dt,
 def aees(initial_vals, log_kernel, settings=None, *, key=None, n_runs=None,
          mesh=None, checkpoint_dir=None, checkpoint_every=500,
          history_capacity=None, adapt_ladder=False, n_ladder_adapt=None,
-         dtype=None) -> SamplerResult:
+         ladder_spacing=3.0, max_rungs=16, dtype=None) -> SamplerResult:
     """Run AEES. Returns the final ``n_keep_draws`` draws of the T = 1 chain
     (reference src/aees.cpp:255-270).
 
@@ -315,46 +420,67 @@ def aees(initial_vals, log_kernel, settings=None, *, key=None, n_runs=None,
     bounds that sort to O(C log C) as well as making memory independent of
     the run length (see module docstring).
 
-    ``adapt_ladder=True`` tunes the temperature ladder before sampling: a
-    short parallel-tempering pre-run (RWMH inner moves with this sampler's
-    ``par_scale``/``cov_mat``) applies Robbins-Monro adaptation of the
-    log-spacings toward the 0.234 swap-acceptance target (see
-    :mod:`mcmc_tpu.samplers.pt`) starting from ``temper_vec``, and AEES
-    then runs the adapted ladder — the reference leaves ladder choice
-    entirely to the user (src/aees.cpp:60-72 just sorts what it is given).
-    ``n_ladder_adapt`` sets the pre-run length (default
-    ``n_initial_draws + n_burnin_draws``); the adapted ladder is reported
-    in ``diagnostics["temperatures"]``."""
+    ``adapt_ladder=True`` (or ``"ee"``) tunes the temperature ladder to
+    the EQUI-ENERGY functional before sampling: a short pilot measures
+    the log-kernel standard deviation across inverse temperatures, then
+    rungs are placed at ``dbeta = ladder_spacing / sigma_val(beta)`` —
+    the spacing that fixes the adjacent-rung energy-histogram overlap
+    the EE jump acceptance is driven by (:func:`build_ee_ladder`; the
+    round-4 sweep showed this functional, not PT swap acceptance, is
+    what matters — benchmarks/aees_ladder_sweep.json). Only ``max(
+    temper_vec)`` is used (the hottest rung); the rung COUNT emerges
+    from the walk (capped at ``max_rungs``). ``adapt_ladder="pt"``
+    keeps the legacy Robbins-Monro PT pre-run toward the 0.234 swap
+    target (measured to transfer poorly — kept for comparison);
+    ``n_ladder_adapt`` sets that pre-run's length. The reference leaves
+    ladder choice entirely to the user (src/aees.cpp:60-72 just sorts
+    what it is given). The adapted ladder is reported in
+    ``diagnostics["temperatures"]``; per-rung EE-jump acceptance over
+    kept draws in ``diagnostics["ee_accept_rate"]``."""
     algo, s = resolve_settings(settings, "aees_settings", AEESSettings)
     key = resolve_key(key, algo)
-
-    if adapt_ladder:
-        if s.temper_vec is None:
-            raise ValueError("adapt_ladder requires an initial temper_vec "
-                             "(the ladder size to adapt)")
-        import dataclasses
-        from mcmc_tpu.samplers.pt import pt as _pt
-        from mcmc_tpu.settings import AlgoSettings, PTSettings
-        key, k_ladder = jax.random.split(key)
-        n_pre = int(n_ladder_adapt) if n_ladder_adapt is not None \
-            else int(s.n_initial_draws) + int(s.n_burnin_draws)
-        pt_algo = AlgoSettings(
-            vals_bound=algo.vals_bound, lower_bounds=algo.lower_bounds,
-            upper_bounds=algo.upper_bounds,
-            pt_settings=PTSettings(
-                n_burnin_draws=n_pre, n_keep_draws=1,
-                temper_vec=s.temper_vec, inner="rwmh",
-                par_scale=s.par_scale, cov_mat=s.cov_mat,
-                adapt_temps=True))
-        pre = _pt(initial_vals, log_kernel, pt_algo, n_chains=32,
-                  key=k_ladder)
-        adapted = pre.diagnostics["temperatures"]   # descending, T=1 last
-        s = dataclasses.replace(s, temper_vec=adapted[:-1])
 
     prob = common.setup_problem(initial_vals, log_kernel, algo, None, dtype)
     dim = prob.n_vals
     dt = prob.dtype
     box = prob.box_log_kernel
+
+    if adapt_ladder:
+        if s.temper_vec is None:
+            raise ValueError("adapt_ladder requires an initial temper_vec "
+                             "(its max sets the hottest rung)")
+        mode = "ee" if adapt_ladder is True else adapt_ladder
+        import dataclasses
+        if mode == "ee":
+            import numpy as np
+            key, k_ladder = jax.random.split(key)
+            t_max = float(np.asarray(s.temper_vec).max())
+            adapted = build_ee_ladder(
+                k_ladder, box, prob.first_draw[0], s, dim, dt, t_max,
+                spacing=ladder_spacing, max_rungs=max_rungs)
+            s = dataclasses.replace(s, temper_vec=adapted)
+        elif mode == "pt":
+            from mcmc_tpu.samplers.pt import pt as _pt
+            from mcmc_tpu.settings import AlgoSettings, PTSettings
+            key, k_ladder = jax.random.split(key)
+            n_pre = int(n_ladder_adapt) if n_ladder_adapt is not None \
+                else int(s.n_initial_draws) + int(s.n_burnin_draws)
+            pt_algo = AlgoSettings(
+                vals_bound=algo.vals_bound, lower_bounds=algo.lower_bounds,
+                upper_bounds=algo.upper_bounds,
+                pt_settings=PTSettings(
+                    n_burnin_draws=n_pre, n_keep_draws=1,
+                    temper_vec=s.temper_vec, inner="rwmh",
+                    par_scale=s.par_scale, cov_mat=s.cov_mat,
+                    adapt_temps=True))
+            pre = _pt(initial_vals, log_kernel, pt_algo, n_chains=32,
+                      key=k_ladder)
+            adapted = pre.diagnostics["temperatures"]  # descending, T=1 last
+            s = dataclasses.replace(s, temper_vec=adapted[:-1])
+        else:
+            raise ValueError(
+                f"adapt_ladder must be False, True, 'ee', or 'pt', got "
+                f"{adapt_ladder!r}")
 
     temps = make_temps(s, dt)
     K = int(temps.shape[0])
@@ -382,16 +508,18 @@ def aees(initial_vals, log_kernel, settings=None, *, key=None, n_runs=None,
                                    directory=checkpoint_dir, mesh=mesh)
             st0 = jax.tree_util.tree_map(
                 lambda x: jnp.broadcast_to(x, (n_runs,) + x.shape), state0)
-        _, draws, _totals = runner.run(key, st0, n_draws=n_keep,
-                                       n_burnin=n_burn,
-                                       chunk_size=checkpoint_every)
+        _, draws, totals = runner.run(key, st0, n_draws=n_keep,
+                                      n_burnin=n_burn,
+                                      chunk_size=checkpoint_every)
         draws = jnp.asarray(draws)
+        att = totals.get("ee_attempt")
+        acc = totals.get("ee_accept")
     elif n_runs is None:
         def body(carry, _):
             st, k = carry
             k, sub = jax.random.split(k)
-            st, _info = step(sub, st)
-            return (st, k), st.X[K - 1]
+            st, info = step(sub, st)
+            return (st, k), (st.X[K - 1], info)
 
         def body_burn(carry, _):
             carry, _out = body(carry, None)
@@ -399,7 +527,9 @@ def aees(initial_vals, log_kernel, settings=None, *, key=None, n_runs=None,
 
         carry = (state0, key)
         carry, _ = lax.scan(body_burn, carry, None, length=n_burn)
-        _, draws = lax.scan(body, carry, None, length=n_keep)
+        _, (draws, infos) = lax.scan(body, carry, None, length=n_keep)
+        att = infos["ee_attempt"].sum(axis=0)   # (K,)
+        acc = infos["ee_accept"].sum(axis=0)
     else:
         # replicas ride the standard chain-batched scan driver — which also
         # shards the replica axis over a mesh (whole ladders per device,
@@ -407,11 +537,22 @@ def aees(initial_vals, log_kernel, settings=None, *, key=None, n_runs=None,
         st0 = jax.tree_util.tree_map(
             lambda x: jnp.broadcast_to(x, (n_runs,) + x.shape), state0)
         # collect_fn sees the replica-batched state: (n_runs, K, d)
-        _, draws, _infos = common.run_sampler_loop(
+        _, draws, infos = common.run_sampler_loop(
             key, st0, step, n_burn, n_keep,
             collect_fn=lambda st: st.X[:, K - 1], mesh=mesh)
+        # (n_keep, n_runs, K) -> pooled over draws and replicas
+        att = infos["ee_attempt"].sum(axis=(0, 1))
+        acc = infos["ee_accept"].sum(axis=(0, 1))
 
     draws = common.finalize_draws(draws, prob)
+    diagnostics = {"temperatures": temps}
+    if att is not None:
+        att = jnp.asarray(att).reshape(-1, K).sum(axis=0)
+        acc = jnp.asarray(acc).reshape(-1, K).sum(axis=0)
+        # rung 0 never jumps; rate over KEPT draws (reference counting
+        # convention, src/rwmh.cpp:140-142)
+        diagnostics["ee_attempts"] = att
+        diagnostics["ee_accept_rate"] = acc / jnp.maximum(att, 1)
     # the reference's AEES tracks no acceptance at all (aees_settings_t has
     # no n_accept_draws field); report the cold chain's kept-draw move count
     # — the draw changed iff a local or EE move was accepted
@@ -419,5 +560,5 @@ def aees(initial_vals, log_kernel, settings=None, *, key=None, n_runs=None,
     return SamplerResult(
         draws=draws,
         n_accept_draws=moved,
-        diagnostics={"temperatures": temps},
+        diagnostics=diagnostics,
     )

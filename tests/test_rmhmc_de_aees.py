@@ -288,29 +288,33 @@ def test_aees_replicas_mesh_sharded():
     assert (pooled[:, 0] < -0.1).mean() > 0.1
 
 
-def test_aees_adapt_ladder():
-    """adapt_ladder=True: a PT Robbins-Monro pre-run tunes the ladder from
-    the user's temper_vec; the adapted ladder (reported in diagnostics) is
-    monotone descending ending at T=1, differs from the initial guess, and
-    the sampler still visits both modes."""
+def test_aees_adapt_ladder_ee():
+    """adapt_ladder=True (the 'ee' energy-overlap mode): the constructed
+    ladder is geometric-ish descending with T=1 appended, only max(
+    temper_vec) is consumed (rung count emerges from the walk), EE-jump
+    acceptance diagnostics are attached, and both modes are visited."""
     mu = jnp.array([[-2.0, -2.0], [2.0, 2.0]])
     log_kernel = models.gaussian_mixture_model(
         mu, sig_sq=jnp.array([0.1, 0.1]), weights=jnp.array([0.5, 0.5]))
     settings = mcmc_tpu.AEESSettings(
         n_initial_draws=300, n_burnin_draws=300, n_keep_draws=4000,
-        n_rings=11, ee_prob_par=0.05, temper_vec=jnp.array([60.0, 9.0]),
+        n_rings=11, ee_prob_par=0.05, temper_vec=jnp.array([60.0]),
         cov_mat=0.35 * jnp.eye(2))
     out = mcmc_tpu.aees(mu[0], log_kernel, settings,
                         key=jax.random.PRNGKey(3), n_runs=4,
-                        history_capacity=256, adapt_ladder=True,
-                        n_ladder_adapt=400)
+                        history_capacity=256, adapt_ladder=True)
     temps = np.asarray(out.diagnostics["temperatures"])
-    assert temps.shape == (3,)
+    K = temps.shape[0]
+    assert 3 <= K <= 8                          # emergent rung count
+    assert temps[0] == pytest.approx(60.0)
     assert temps[-1] == pytest.approx(1.0)
-    assert np.all(np.diff(temps) < 0)          # strictly descending
-    assert np.all(temps[:-1] > 1.0)
-    # adaptation actually moved the ladder off the initial guess
-    assert not np.allclose(temps[:-1], [60.0, 9.0], rtol=0.05)
+    assert np.all(np.diff(temps) < 0)           # strictly descending
+    assert np.all(temps[1:-1] > 1.4)            # no near-target rungs
+    # the measured equi-energy functional: jumps attempted and accepted
+    att = np.asarray(out.diagnostics["ee_attempts"])
+    rate = np.asarray(out.diagnostics["ee_accept_rate"])
+    assert att.shape == (K,) and att[0] == 0 and (att[1:] > 0).all()
+    assert (rate[1:] > 0.3).all()               # overlap rule keeps jumps live
     d = np.asarray(out.draws)
     assert d.shape == (4000, 4, 2)
     assert (d[..., 0] > 0.1).mean() > 0.05
@@ -320,3 +324,27 @@ def test_aees_adapt_ladder():
         mcmc_tpu.aees(mu[0], log_kernel,
                       mcmc_tpu.AEESSettings(n_keep_draws=10),
                       adapt_ladder=True)
+    with pytest.raises(ValueError, match="adapt_ladder"):
+        mcmc_tpu.aees(mu[0], log_kernel, settings, adapt_ladder="nope")
+
+
+def test_aees_adapt_ladder_pt_legacy():
+    """adapt_ladder='pt': the legacy PT Robbins-Monro pre-run is still
+    available (kept for comparison; the sweep measured it transferring
+    poorly to EE jumps) — fixed rung count, moved off the initial guess."""
+    mu = jnp.array([[-2.0, -2.0], [2.0, 2.0]])
+    log_kernel = models.gaussian_mixture_model(
+        mu, sig_sq=jnp.array([0.1, 0.1]), weights=jnp.array([0.5, 0.5]))
+    settings = mcmc_tpu.AEESSettings(
+        n_initial_draws=300, n_burnin_draws=300, n_keep_draws=2000,
+        n_rings=11, ee_prob_par=0.05, temper_vec=jnp.array([60.0, 9.0]),
+        cov_mat=0.35 * jnp.eye(2))
+    out = mcmc_tpu.aees(mu[0], log_kernel, settings,
+                        key=jax.random.PRNGKey(3), n_runs=4,
+                        history_capacity=256, adapt_ladder="pt",
+                        n_ladder_adapt=400)
+    temps = np.asarray(out.diagnostics["temperatures"])
+    assert temps.shape == (3,)
+    assert temps[-1] == pytest.approx(1.0)
+    assert np.all(np.diff(temps) < 0)
+    assert not np.allclose(temps[:-1], [60.0, 9.0], rtol=0.05)
