@@ -82,6 +82,23 @@ def _worker():
     if workload == "de":
         _worker_de(chains_per_dev, seconds, nproc, pid)
         return
+    _chain_workload(chains_per_dev, seconds, nproc, pid)
+
+
+def _chain_workload(chains_per_dev, seconds, nproc, pid):
+    """The chain-sharded HMC workload on the global mesh of an
+    already-joined distributed runtime (or a single process). Prints one
+    JSON line with THIS process's local rate. Shared by the CPU
+    multiprocess sweep (``_worker``) and the real multi-host launcher
+    (``--multihost`` / scripts/run_multihost.sh)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from mcmc_tpu.parallel import global_mesh, shard_chain_axis
+    from mcmc_tpu.samplers import common
+    from mcmc_tpu.samplers.hmc import build_hmc_kernel
+    from mcmc_tpu import models
 
     D, N, L = 25, 200, 4
     X, y, _ = models.make_logistic_regression_data(jax.random.PRNGKey(0), N, D)
@@ -124,11 +141,42 @@ def _worker():
     # different numbers of run() calls under host contention. The parent
     # sums per-process local rates — extrapolating pid 0's count to all
     # processes would hide exactly the degradation this sweep measures.
+    local_chains = C // nproc
     print(json.dumps({"nproc": nproc, "pid": pid,
                       "devices": jax.device_count(),
                       "n_iters": n, "elapsed": round(el, 4),
-                      "local_chains": C // nproc, "steps": STEPS}),
+                      "local_chains": local_chains, "steps": STEPS,
+                      "local_samples_per_sec":
+                          round(n * STEPS * local_chains / el, 1)}),
           flush=True)
+
+
+def _multihost(args):
+    """Real multi-host entry (scripts/run_multihost.sh): join the JAX
+    distributed runtime, run the chain-sharded workload on the global
+    mesh, print this process's local rate. Sum local_samples_per_sec
+    over hosts and compare against the 1-host run for the BASELINE
+    >= 85% weak-scaling number. On TPU pods all three coordinates
+    auto-detect; pass them explicitly elsewhere.
+
+    ``MCMC_MULTIHOST_CPU=<n>`` forces CPU with n virtual devices per
+    process — the Gloo smoke-test mode ``tests/test_multiprocess.py``
+    exercises so the launch path stays verified without hardware."""
+    import os
+    cpu_dev = os.environ.get("MCMC_MULTIHOST_CPU")
+    if cpu_dev:
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "") +
+            f" --xla_force_host_platform_device_count={cpu_dev}").strip()
+    import jax
+    if cpu_dev:
+        jax.config.update("jax_platforms", "cpu")
+    from mcmc_tpu.parallel import init_distributed
+    init_distributed(coordinator_address=args.coordinator,
+                     num_processes=args.num_processes,
+                     process_id=args.process_id)
+    _chain_workload(args.chains_per_device, args.seconds,
+                    jax.process_count(), jax.process_index())
 
 
 def _worker_de(walkers_per_dev, seconds, nproc, pid):
@@ -301,7 +349,20 @@ def main():
                          "across the process boundary")
     ap.add_argument("--chains-per-device", type=int, default=4096)
     ap.add_argument("--seconds", type=float, default=5.0)
+    ap.add_argument("--multihost", action="store_true",
+                    help="join the JAX distributed runtime and run the "
+                         "chain-sharded workload on the global mesh "
+                         "(scripts/run_multihost.sh wraps this)")
+    ap.add_argument("--coordinator", default=None,
+                    help="--multihost coordinator host:port (omit on TPU "
+                         "pods: auto-detected)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args()
+
+    if args.multihost:
+        _multihost(args)
+        return
 
     if args.multiprocess:
         # the collective-free HMC worker saturates a core at 64 chains; the

@@ -137,10 +137,28 @@ _COLLECTIVE_WORKER = textwrap.dedent("""
     frac_hi = float(jnp.mean((out_pt.draws[:, 0] > 0)))
     swap = [float(v) for v in out_pt.diagnostics["swap_accept_rate"]]
 
+    # 3) ladder-sharded AEES: one ladder position per device; every draw
+    # ppermutes the (state, kernel value) ring one step down the ladder,
+    # crossing the process boundary between devices 1 (proc 0) and 2
+    # (proc 1) — the gather-by-ring collective (parallel/aees_sharded.py)
+    from mcmc_tpu.parallel.aees_sharded import aees_sharded
+    out_ae = aees_sharded(
+        mu[0], lk_mix,
+        mcmc_tpu.AEESSettings(n_initial_draws=200, n_burnin_draws=200,
+                              n_keep_draws=1500, n_rings=7,
+                              ee_prob_par=0.1,
+                              temper_vec=jnp.array([40.0, 10.0, 3.0]),
+                              cov_mat=0.5 * jnp.eye(2)),
+        mesh=mesh, key=jax.random.PRNGKey(2), history_capacity=256)
+    ae_mean = float(jnp.mean(out_ae.draws))
+    ae_frac_hi = float(jnp.mean(out_ae.draws[:, 0] > 0))
+
     print(json.dumps({"pid": pid, "de_mean": de_mean, "de_var": de_var,
                       "de_shape": list(out_de.draws.shape),
                       "pt_mean": pt_mean, "frac_hi": frac_hi,
-                      "swap": swap}), flush=True)
+                      "swap": swap, "ae_mean": ae_mean,
+                      "ae_frac_hi": ae_frac_hi,
+                      "ae_shape": list(out_ae.draws.shape)}), flush=True)
 """) % str(ROOT)
 
 
@@ -181,6 +199,41 @@ def test_two_process_collective_de_pt(tmp_path):
     assert 0.15 < outs[0]["frac_hi"] < 0.85, outs[0]
     assert abs(outs[0]["pt_mean"]) < 1.2, outs[0]
     assert all(0.0 < r <= 1.0 for r in outs[0]["swap"]), outs[0]
+
+    # AEES cold chain visits BOTH modes (requires EE jumps drawn from the
+    # ring history ppermuted down the ladder across the process boundary)
+    np.testing.assert_allclose(outs[0]["ae_mean"], outs[1]["ae_mean"],
+                               rtol=1e-6)
+    assert outs[0]["ae_shape"] == [1500, 2]
+    assert 0.1 < outs[0]["ae_frac_hi"] < 0.9, outs[0]
+    assert abs(outs[0]["ae_mean"]) < 1.5, outs[0]
+
+
+def test_multihost_launch_script():
+    """scripts/run_multihost.sh (VERDICT r4 item 7): the one-command
+    multi-host launcher joins two Gloo-coupled processes and reports
+    per-process local sample rates — the exact command that captures the
+    BASELINE >= 85% 1->2-host number the moment hardware exists."""
+    import os
+    import subprocess
+    port = _free_port()
+    script = str(ROOT / "scripts" / "run_multihost.sh")
+    env = {**os.environ, "MCMC_MULTIHOST_CPU": "2"}
+    extra = ["--chains-per-device", "16", "--seconds", "1"]
+    procs = [subprocess.Popen(
+        ["bash", script, f"localhost:{port}", "2", str(i)] + extra,
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        for i in range(2)]
+    rows = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-1200:]
+        line = [l for l in out.decode().splitlines() if l.startswith("{")][-1]
+        rows.append(json.loads(line))
+    assert {r["pid"] for r in rows} == {0, 1}
+    for r in rows:
+        assert r["nproc"] == 2 and r["devices"] == 4
+        assert r["local_samples_per_sec"] > 0
 
 
 def test_two_process_chain_sharded_hmc(tmp_path):
