@@ -1,7 +1,10 @@
 #!/usr/bin/env python
-"""AEES ladder-efficiency sweep (VERDICT r2 item 6): run the suite's
-aees_mixture config over candidate temperature ladders — including the
-PT-Robbins-Monro-adapted one (``adapt_ladder=True``) — and record
+"""AEES ladder-efficiency sweep (VERDICT r2 item 6 / r4 item 4): run the
+suite's aees_mixture config over candidate temperature ladders — the
+geometric family at 3/4/5/6 rungs (the denser scan around the round-3
+winner geom4), the legacy PT-Robbins-Monro adaptation
+(``adapt_ladder="pt"``), and the energy-overlap auto-ladder
+(``adapt_ladder=True``, the EE-functional spacing rule) — and record
 min-ESS/s + rank R-hat per ladder, so the suite's choice is evidence-based
 rather than folklore.
 
@@ -33,11 +36,19 @@ LADDERS = {
     "suite_60_9": [60.0, 9.0],
     "shallow_8_3": [8.0, 3.0],
     "steep_200_14": [200.0, 14.0],
-    "geom4_60": [60.0, 15.3, 3.9],       # geometric, 4 rungs incl. T=1
+    # the geometric family, denser scan (VERDICT r4 item 4: prove geom4 is
+    # within ~20% of optimal): K rungs incl. T=1, ratio 60^(1/(K-1))
+    "geom3_60": [60.0, 7.75],
+    "geom4_60": [60.0, 15.3, 3.9],
+    "geom5_60": [60.0, 21.6, 7.75, 2.78],
+    "geom6_60": [60.0, 26.4, 11.6, 5.1, 2.27],
     "two_rung_20": [20.0],
-    "adapted": "adapt",                   # PT Robbins-Monro from suite_60_9
+    "adapted_pt": "adapt_pt",   # legacy PT Robbins-Monro from suite_60_9
+    "auto_ee": "adapt_ee",      # energy-overlap rule, default spacing 3.0
+    "auto_ee_s2": "adapt_ee_s2",  # denser: spacing 2.0
 }
-_RUNS_OVERRIDE = {"geom4_60": 32}
+_RUNS_OVERRIDE = {"geom4_60": 32, "geom5_60": 32, "geom6_60": 32,
+                  "auto_ee": 32, "auto_ee_s2": 32}
 
 
 def main(out_path=None, only=None):
@@ -49,9 +60,15 @@ def main(out_path=None, only=None):
              if only is None or n in only]
     for name, ladder in items:
         kw = {}
-        if ladder == "adapt":
+        if ladder == "adapt_pt":
             temper = jnp.array([60.0, 9.0])
+            kw["adapt_ladder"] = "pt"
+        elif ladder == "adapt_ee":
+            temper = jnp.array([60.0])
             kw["adapt_ladder"] = True
+        elif ladder == "adapt_ee_s2":
+            temper = jnp.array([60.0])
+            kw.update(adapt_ladder=True, ladder_spacing=2.0)
         else:
             temper = jnp.array(ladder)
         settings = mcmc_tpu.AEESSettings(

@@ -112,7 +112,7 @@ def test_fit_stretch_derivative_free():
     emp_cov = np.cov(np.asarray(out.draws).reshape(-1, 2).T)
     np.testing.assert_allclose(emp_cov, cov, atol=0.15)
     with pytest.raises(ValueError, match="fit algorithm"):
-        mcmc_tpu.fit(jnp.zeros(2), lk, algorithm="gibbs")
+        mcmc_tpu.fit(jnp.zeros(2), lk, algorithm="bogus")
 
 
 def test_fit_with_bounds():
