@@ -198,11 +198,14 @@ def run_all(quick=False, out_path=None):
     # 5. AEES (multimodal) + RM-HMC ((mu, sigma) with Fisher metric)
     # 24000 kept draws: the T=1-chain mode-occupancy statistic needs the
     # long window to pass the R-hat <= 1.01 gate (12000 sat at 1.0113).
-    # Ladder: 4-rung geometric — the recorded ladder sweep
-    # (benchmarks/aees_ladder_sweep.json) measured it at 2.5x the reference
-    # example's (60, 9) on this same mixture. 32 replicas (not 64): a K=4 x
-    # 64 x 28k-draw program exceeds the single-dispatch execution ceiling
-    # under the tunnel (see the sweep record's note).
+    # Ladder: 4-rung geometric — the r5 denser scan (K=3..6,
+    # benchmarks/aees_ladder_sweep.json) confirms the K=4 geometric family
+    # is the optimum (K=3: 63-99 min-ESS/s, K>=5 collapses to 11-22), and
+    # adapt_ladder=True reconstructs it automatically within estimator
+    # noise (benchmarks/aees_variance_probe_r5.json: the min-ESS statistic
+    # spans ~12x across seeds at fixed config). 32 replicas (not 64): a
+    # K=4 x 64 x 28k-draw program exceeds the single-dispatch execution
+    # ceiling under the tunnel (see the sweep record's note).
     aees_settings = mcmc_tpu.AEESSettings(
         n_initial_draws=500 // scale, n_burnin_draws=500 // scale,
         n_keep_draws=24000 // scale, n_rings=11, ee_prob_par=0.05,
