@@ -519,7 +519,10 @@ def main():
     # (BENCH_r04.json recorded parsed:null and lost the headline metric).
     # Persist everything to a file and print a COMPACT final line that is
     # guaranteed to parse: headline + per-sampler min-ESS/s + R-hat gate.
-    full_path = ROOT / "benchmarks" / "bench_full_r5.json"
+    # Round-agnostic filename: frozen per-round snapshots (e.g.
+    # benchmarks/bench_full_r5.json, the record the round-5 docs cite) are
+    # committed separately so a later run cannot silently overwrite them.
+    full_path = ROOT / "benchmarks" / "bench_full_latest.json"
     full_path.write_text(json.dumps(result, indent=1))
 
     compact = {k: result[k] for k in

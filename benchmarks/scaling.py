@@ -61,8 +61,6 @@ def _worker():
         os.sched_setaffinity(0, want)
     import jax
     jax.config.update("jax_platforms", "cpu")
-    import jax.numpy as jnp
-    from jax import lax
 
     port = os.environ["MCMC_SCALING_PORT"]
     nproc = int(os.environ["MCMC_SCALING_NPROC"])
@@ -71,10 +69,6 @@ def _worker():
     seconds = float(os.environ.get("MCMC_SCALING_SECONDS", "4"))
     workload = os.environ.get("MCMC_SCALING_WORKLOAD", "hmc")
 
-    from mcmc_tpu.parallel import global_mesh, shard_chain_axis
-    from mcmc_tpu.samplers import common
-    from mcmc_tpu.samplers.hmc import build_hmc_kernel
-    from mcmc_tpu import models
     if nproc > 1:
         jax.distributed.initialize(coordinator_address=f"localhost:{port}",
                                    num_processes=nproc, process_id=pid)

@@ -408,10 +408,28 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
                         _algo({"mams_settings": as2}),
                         n_chains=n_chains, adapt_mass=True, **kw)
         if algorithm == "gibbs":
+            if dense_mass:
+                raise ValueError(
+                    "fit(algorithm='gibbs') has no dense mass — "
+                    "preconditioning is per-block (pass per-block opts "
+                    "via blocks=)")
+            blocks_eff = blocks
+            if target_accept is not None:
+                # thread fit's target into every adapted MH block that
+                # doesn't set its own (dropping it silently would be the
+                # exact misdirected-option trap gibbs validates against)
+                blocks_eff = []
+                for spec in blocks:
+                    method = spec[1]
+                    opts = dict(spec[2]) if len(spec) == 3 else {}
+                    if not callable(method) and method in ("rwmh", "hmc"):
+                        opts.setdefault("target_accept", target_accept)
+                    blocks_eff.append((spec[0], method, opts) if opts
+                                      else (spec[0], method))
             gs = GibbsSettings(n_burnin_draws=n_warmup,
                                n_keep_draws=total_keep)
             return gibbs(initial_vals, log_kernel,
-                         _algo({"gibbs_settings": gs}), blocks=blocks,
+                         _algo({"gibbs_settings": gs}), blocks=blocks_eff,
                          n_chains=n_chains, **kw)
         if algorithm == "pt":
             # one-call multimodal fit: parallel tempering with a

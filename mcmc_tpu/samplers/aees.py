@@ -232,29 +232,55 @@ def build_ee_ladder(key, box, first, s: AEESSettings, dim, dt, t_max, *,
     def pilot(key):
         def body(carry, k):
             x, v = carry
-            ks = jax.random.split(
-                k, int(n_grid) * int(n_pilot_chains)).reshape(
-                int(n_grid), int(n_pilot_chains), 2)
+            ks = jax.random.split(k, int(n_grid) * int(n_pilot_chains))
+            # reshape preserving the key's own trailing shape: legacy
+            # uint32 keys are (N, 2), typed keys are (N,)
+            ks = ks.reshape((int(n_grid), int(n_pilot_chains))
+                            + ks.shape[1:])
             x, v = batched(ks, x, v, grid_temps)
             return (x, v), v
         keys = jax.random.split(key, int(n_pilot_draws))
         _, vals = lax.scan(body, (x0, v0), keys)
         kept = vals[int(n_pilot_draws) // 2:]         # second half only
-        return jnp.std(kept, axis=(0, 2))             # (n_grid,)
+        moved = (kept[1:] != kept[:-1]).mean(axis=(0, 2))
+        return jnp.std(kept, axis=(0, 2)), moved      # (n_grid,) each
 
-    sig = np.asarray(pilot(key), np.float64)
+    sig, moved = (np.asarray(a, np.float64) for a in pilot(key))
+    if moved.min() < 0.02:
+        import warnings
+        bad = grid_temps[int(np.argmin(moved))]
+        warnings.warn(
+            f"build_ee_ladder pilot chains barely move at T="
+            f"{float(bad):.3g} (acceptance ~{moved.min():.1%}): sigma_val "
+            f"is underestimated there and the constructed ladder may be "
+            f"too sparse. The pilot uses the sampler's own proposal "
+            f"(par_scale * sqrt(T) * chol(cov_mat)) — tune par_scale/"
+            f"cov_mat for the target's scale and dimension.",
+            stacklevel=3)
     sig = np.maximum(sig, 1e-12)
     log_bg = np.log(np.asarray(beta_grid, np.float64))
     log_sig = np.log(sig)
 
     betas = [1.0 / float(t_max)]
+    reached = False
     while len(betas) < int(max_rungs):
         b = betas[-1]
         sig_b = float(np.exp(np.interp(np.log(b), log_bg, log_sig)))
         b_next = b + float(spacing) / sig_b
         if b_next >= 1.0 / float(min_rung_temp):
+            reached = True
             break
         betas.append(b_next)
+    if not reached:
+        import warnings
+        warnings.warn(
+            f"build_ee_ladder hit max_rungs={max_rungs} at T="
+            f"{1.0 / betas[-1]:.3g} before bridging to the T=1 target: "
+            f"the coldest constructed rung and the appended T=1 chain "
+            f"have an energy-histogram gap wider than `spacing` sigmas, "
+            f"so EE jumps into the returned chain will rarely accept. "
+            f"Raise max_rungs, raise spacing, or lower the hottest "
+            f"temperature.", stacklevel=3)
     return jnp.asarray(1.0 / np.asarray(betas), dt)   # descending temps > 1
 
 

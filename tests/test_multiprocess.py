@@ -220,16 +220,26 @@ def test_multihost_launch_script():
     script = str(ROOT / "scripts" / "run_multihost.sh")
     env = {**os.environ, "MCMC_MULTIHOST_CPU": "2"}
     extra = ["--chains-per-device", "16", "--seconds", "1"]
-    procs = [subprocess.Popen(
-        ["bash", script, f"localhost:{port}", "2", str(i)] + extra,
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
-        for i in range(2)]
+    procs = []
     rows = []
-    for p in procs:
-        out, err = p.communicate(timeout=300)
-        assert p.returncode == 0, err.decode()[-1200:]
-        line = [l for l in out.decode().splitlines() if l.startswith("{")][-1]
-        rows.append(json.loads(line))
+    try:
+        procs = [subprocess.Popen(
+            ["bash", script, f"localhost:{port}", "2", str(i)] + extra,
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+            for i in range(2)]
+        for p in procs:
+            out, err = p.communicate(timeout=300)
+            assert p.returncode == 0, err.decode()[-1200:]
+            line = [l for l in out.decode().splitlines()
+                    if l.startswith("{")][-1]
+            rows.append(json.loads(line))
+    finally:
+        # a failed rank must not leave its sibling blocked in the Gloo
+        # rendezvous holding the port for the rest of the pytest run
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     assert {r["pid"] for r in rows} == {0, 1}
     for r in rows:
         assert r["nproc"] == 2 and r["devices"] == 4

@@ -328,6 +328,38 @@ def test_aees_adapt_ladder_ee():
         mcmc_tpu.aees(mu[0], log_kernel, settings, adapt_ladder="nope")
 
 
+def test_build_ee_ladder_typed_key_and_cap_warning():
+    """The ladder builder accepts NEW-STYLE typed PRNG keys (the pilot's
+    key reshape must not assume legacy (N, 2) uint32 keys), and warns when
+    max_rungs truncates the walk before bridging to T=1."""
+    from mcmc_tpu.samplers.aees import build_ee_ladder
+    import warnings as _warnings
+    lk = lambda v: -0.5 * jnp.sum(v ** 2)
+    s = mcmc_tpu.AEESSettings(cov_mat=jnp.eye(2))
+    temps = build_ee_ladder(jax.random.key(0), lk, jnp.zeros(2), s, 2,
+                            jnp.float32, 60.0, n_pilot_draws=100)
+    t = np.asarray(temps)
+    assert t[0] == pytest.approx(60.0) and np.all(np.diff(t) < 0)
+    assert np.all(t > 1.0)
+    # tiny spacing -> the walk needs ~84 rungs to bridge 60 -> 1; the
+    # max_rungs cap must WARN instead of silently leaving the gap
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        build_ee_ladder(jax.random.PRNGKey(1), lk, jnp.zeros(2), s, 2,
+                        jnp.float32, 60.0, spacing=0.05, max_rungs=4,
+                        n_pilot_draws=100)
+    assert any("max_rungs" in str(x.message) for x in w)
+    # stuck pilot chains (par_scale*sqrt(T) proposals in 64-d never
+    # accept) -> sigma_val underestimated -> explicit mis-tuning warning
+    lk_hd = lambda v: -0.5 * jnp.sum(v ** 2)
+    s_hd = mcmc_tpu.AEESSettings(cov_mat=jnp.eye(64))
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        build_ee_ladder(jax.random.PRNGKey(1), lk_hd, jnp.zeros(64), s_hd,
+                        64, jnp.float32, 60.0, n_pilot_draws=100)
+    assert any("barely move" in str(x.message) for x in w)
+
+
 def test_aees_adapt_ladder_pt_legacy():
     """adapt_ladder='pt': the legacy PT Robbins-Monro pre-run is still
     available (kept for comparison; the sweep measured it transferring
