@@ -30,3 +30,15 @@ out = mcmc_tpu.aees(mu[0], log_kernel, settings)
 d = np.asarray(out.draws)
 print("posterior mean for > 0.1:", d[d[:, 0] > 0.1].mean(axis=0))
 print("posterior mean for < -0.1:", d[d[:, 0] < -0.1].mean(axis=0))
+
+# Beyond the reference: let the sampler BUILD the ladder. A pilot measures
+# the log-kernel spread across inverse temperatures and places rungs at
+# dbeta = spacing/sigma_val(beta) — the overlap the equi-energy jump
+# acceptance depends on — so only the hottest temperature needs choosing
+# (benchmarks/aees_ladder_sweep.json records the evidence).
+settings.aees_settings.temper_vec = jnp.array([60.0])
+out2 = mcmc_tpu.aees(mu[0], log_kernel, settings, adapt_ladder=True,
+                     key=jax.random.PRNGKey(3))
+print("auto ladder:", np.asarray(out2.diagnostics["temperatures"]).round(2))
+print("per-rung EE accept:",
+      np.asarray(out2.diagnostics["ee_accept_rate"]).round(3))
