@@ -210,38 +210,70 @@ def build_ee_ladder(key, box, first, s: AEESSettings, dim, dt, t_max, *,
     ~0.94 at geom4 spacing, so denser rungs only add compute and
     staggered-activation burn-in.
 
+    The pilot's per-temperature proposal scale SELF-TUNES: starting from
+    the sampler's own ``par_scale``, the first (burn) half multiplicatively
+    adapts each grid temperature's scale toward ~0.3 acceptance
+    (``s *= exp(eta * (acc - 0.3))``), and ``sigma_val`` is measured on the
+    second half with the scales frozen. Without this, the fixed
+    ``par_scale * sqrt(T)`` proposal sticks completely in high dimension,
+    ``sigma_val`` reads ~0, and the walk silently jumps straight to T = 1.
+    (Tuning only affects pilot MIXING, not the estimand — any correctly
+    sampling chain measures the same energy spread.) The tuned scales are
+    pilot-internal; the AEES run itself keeps the user's ``par_scale``.
+
     Returns the user-temp vector (descending, T > 1 only; T = 1 is
     appended by :func:`make_temps`).
     """
     import numpy as np
 
-    mh_step = make_mh_step(box, s, dim, dt)
+    cov = common.make_spd(s.cov_mat, dim, dt)
     beta_grid = jnp.asarray(
         np.geomspace(1.0 / t_max, 1.0, int(n_grid)), dt)
     grid_temps = 1.0 / beta_grid                      # (n_grid,)
+    n_burn_half = int(n_pilot_draws) // 2
+
+    def pilot_step(key, x, val_prev, temper, scale):
+        """make_mh_step's tempered proposal/accept (aees.ipp:30-70) with a
+        per-temperature runtime scale for the pilot's self-tuning."""
+        k_n, k_u = jax.random.split(key)
+        noise = jax.random.normal(k_n, (dim,), dt)
+        prop = x + jnp.sqrt(temper) * (scale * cov.sqrt_mv(noise))
+        val_new = box(prop)
+        comp = jnp.minimum(0.01, (val_new - val_prev) / temper)
+        acc = jax.random.uniform(k_u, dtype=dt) < jnp.exp(comp)
+        return (jnp.where(acc, prop, x),
+                jnp.where(acc, val_new, val_prev), acc)
 
     val0 = safe_initial_kv(box(first), dt)
     x0 = jnp.tile(first[None, None, :],
                   (int(n_grid), int(n_pilot_chains), 1))
     v0 = jnp.full((int(n_grid), int(n_pilot_chains)), val0, dt)
+    scale0 = jnp.full((int(n_grid),), float(s.par_scale), dt)
 
-    batched = jax.vmap(jax.vmap(mh_step, in_axes=(0, 0, 0, None)),
-                       in_axes=(0, 0, 0, 0))
+    batched = jax.vmap(jax.vmap(pilot_step, in_axes=(0, 0, 0, None, None)),
+                       in_axes=(0, 0, 0, 0, 0))
 
     @jax.jit
     def pilot(key):
-        def body(carry, k):
-            x, v = carry
+        def body(carry, kt):
+            x, v, scale = carry
+            k, t = kt
             ks = jax.random.split(k, int(n_grid) * int(n_pilot_chains))
             # reshape preserving the key's own trailing shape: legacy
             # uint32 keys are (N, 2), typed keys are (N,)
             ks = ks.reshape((int(n_grid), int(n_pilot_chains))
                             + ks.shape[1:])
-            x, v = batched(ks, x, v, grid_temps)
-            return (x, v), v
+            x, v, acc = batched(ks, x, v, grid_temps, scale)
+            # burn half only: multiplicative scale adaptation toward 0.3
+            adapting = t < n_burn_half
+            new_scale = scale * jnp.exp(
+                0.25 * (acc.mean(axis=1).astype(dt) - 0.3))
+            scale = jnp.where(adapting, new_scale, scale)
+            return (x, v, scale), v
         keys = jax.random.split(key, int(n_pilot_draws))
-        _, vals = lax.scan(body, (x0, v0), keys)
-        kept = vals[int(n_pilot_draws) // 2:]         # second half only
+        ts = jnp.arange(int(n_pilot_draws))
+        _, vals = lax.scan(body, (x0, v0, scale0), (keys, ts))
+        kept = vals[n_burn_half:]                     # second half only
         moved = (kept[1:] != kept[:-1]).mean(axis=(0, 2))
         return jnp.std(kept, axis=(0, 2)), moved      # (n_grid,) each
 
@@ -251,12 +283,15 @@ def build_ee_ladder(key, box, first, s: AEESSettings, dim, dt, t_max, *,
         bad = grid_temps[int(np.argmin(moved))]
         warnings.warn(
             f"build_ee_ladder pilot chains barely move at T="
-            f"{float(bad):.3g} (acceptance ~{moved.min():.1%}): sigma_val "
-            f"is underestimated there and the constructed ladder may be "
-            f"too sparse. The pilot uses the sampler's own proposal "
-            f"(par_scale * sqrt(T) * chol(cov_mat)) — tune par_scale/"
-            f"cov_mat for the target's scale and dimension.",
+            f"{float(bad):.3g} (acceptance ~{moved.min():.1%}) even after "
+            f"proposal-scale self-tuning: sigma_val is underestimated "
+            f"there and the constructed ladder may be too sparse. The "
+            f"target may be discontinuous/degenerate at that temperature, "
+            f"or cov_mat badly mis-shaped for it.",
             stacklevel=3)
+    # degenerate pilots (all-rejecting targets leave vals at -inf, whose
+    # std is nan) must not poison the walk with nan betas
+    sig = np.where(np.isfinite(sig), sig, 0.0)
     sig = np.maximum(sig, 1e-12)
     log_bg = np.log(np.asarray(beta_grid, np.float64))
     log_sig = np.log(sig)

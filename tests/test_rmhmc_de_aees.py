@@ -349,15 +349,28 @@ def test_build_ee_ladder_typed_key_and_cap_warning():
                         jnp.float32, 60.0, spacing=0.05, max_rungs=4,
                         n_pilot_draws=100)
     assert any("max_rungs" in str(x.message) for x in w)
-    # stuck pilot chains (par_scale*sqrt(T) proposals in 64-d never
-    # accept) -> sigma_val underestimated -> explicit mis-tuning warning
+    # high dimension: the fixed par_scale*sqrt(T) proposal would stick
+    # completely at d=64, but the pilot's per-temperature scale
+    # self-tuning keeps the chains moving and builds a real ladder
+    # (sigma_val ~ sqrt(d/2)/beta -> ratio ~1 + 3/5.7, many rungs)
     lk_hd = lambda v: -0.5 * jnp.sum(v ** 2)
     s_hd = mcmc_tpu.AEESSettings(cov_mat=jnp.eye(64))
     with _warnings.catch_warnings(record=True) as w:
         _warnings.simplefilter("always")
-        build_ee_ladder(jax.random.PRNGKey(1), lk_hd, jnp.zeros(64), s_hd,
-                        64, jnp.float32, 60.0, n_pilot_draws=100)
+        t_hd = np.asarray(build_ee_ladder(
+            jax.random.PRNGKey(1), lk_hd, jnp.zeros(64), s_hd,
+            64, jnp.float32, 60.0, n_pilot_draws=200, max_rungs=32))
+    assert not any("barely move" in str(x.message) for x in w)
+    assert len(t_hd) >= 6                      # dense ladder, not [60]
+    # a degenerate all-rejecting target still warns instead of
+    # constructing a nan ladder
+    with _warnings.catch_warnings(record=True) as w:
+        _warnings.simplefilter("always")
+        t_bad = np.asarray(build_ee_ladder(
+            jax.random.PRNGKey(1), lambda v: -jnp.inf, jnp.zeros(2), s,
+            2, jnp.float32, 60.0, n_pilot_draws=100))
     assert any("barely move" in str(x.message) for x in w)
+    assert np.isfinite(t_bad).all()
 
 
 def test_aees_adapt_ladder_pt_legacy():
