@@ -208,7 +208,8 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
                       adapt_mass_matrix=False, adapt_depth=False,
                       depth_quantile: float = 0.98,
                       tree_variant: str = "endpoint",
-                      sample_method: str = "slice"):
+                      sample_method: str = "slice",
+                      warmup_tree_depth=None):
     if tree_variant not in ("endpoint", "reference"):
         raise ValueError(f"tree_variant must be 'endpoint' or 'reference', "
                          f"got {tree_variant!r}")
@@ -364,6 +365,19 @@ def build_nuts_kernel(box_log_kernel, grad_fn, precond: common.SPD, cfg: NUTSSet
         # tree, so capping the rare deep trees is the straggler lever
         depth_limit = jnp.where(state.draw_ind < n_adapt, max_depth,
                                 state.depth_cap) if adapt_depth else max_depth
+        if warmup_tree_depth is not None:
+            # early-warmup straggler lever: before the step size settles,
+            # mis-adapted eps makes whole batches pay near-max-depth trees
+            # (measured ~36x the settled per-draw cost on the flagship).
+            # Cap the doubling budget for the FIRST half of warmup only —
+            # NUTS is a valid kernel at any cap, and the depth histogram
+            # (collected over the second half) never sees capped draws, so
+            # the learned sampling budget is untouched.
+            first_half = state.draw_ind < (n_adapt // 2)
+            depth_limit = jnp.where(
+                first_half,
+                jnp.minimum(depth_limit, int(warmup_tree_depth)),
+                depth_limit)
 
         def outer_cond(c):
             return (c["s"] == 1) & (c["depth"] < depth_limit)
@@ -531,7 +545,7 @@ def nuts(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, me
          pooled_adaptation=False, adapt_mass_matrix=False,
          adapt_depth=False, depth_quantile=0.98, static_sampling_depth=False,
          tree_variant="endpoint", sample_method="slice", thin=1,
-         return_resume=False) -> SamplerResult:
+         warmup_tree_depth=None, return_resume=False) -> SamplerResult:
     """Run NUTS (reference src/nuts.cpp entry points).
 
     ``return_resume=True`` attaches ``diagnostics["resume"](key, n_keep)``
@@ -543,6 +557,14 @@ def nuts(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, me
     trajectory across all chains by pooling the per-draw accept statistic
     over the chain axis — a cross-chain generalization the single-chain
     reference cannot express (SURVEY.md §7 step 8: psum warmup statistics).
+
+    ``warmup_tree_depth=k`` caps the doubling budget during the FIRST
+    half of warmup only — the phase where a not-yet-adapted step size
+    makes whole vmapped batches pay near-max-depth trees (measured ~36x
+    the settled per-draw cost on the flagship). NUTS is a valid kernel
+    at any cap, the second (histogram) half and sampling run the full
+    budget, so posterior and learned depth budget are unaffected; only
+    early-warmup wall-clock drops. Off by default (reference parity).
 
     ``sample_method="multinomial"`` replaces the slice-sampler tree of the
     reference (Hoffman-Gelman Algorithm 6) with Boltzmann-weighted leaves
@@ -612,11 +634,15 @@ def nuts(initial_vals, log_kernel, settings=None, *, n_chains=None, key=None, me
                 f"({n_adapt}) <= n_burnin_draws ({s.n_burnin_draws}): the "
                 f"budget must be learned before the sampling kernel is "
                 f"rebuilt")
+    if warmup_tree_depth is not None and int(warmup_tree_depth) < 1:
+        raise ValueError(f"warmup_tree_depth must be >= 1, got "
+                         f"{warmup_tree_depth}")
     init, step = build_nuts_kernel(prob.box_log_kernel, grad_fn, precond, s,
                                    n_adapt, pooled_adaptation,
                                    adapt_mass_matrix, adapt_depth,
                                    depth_quantile, tree_variant,
-                                   sample_method)
+                                   sample_method,
+                                   warmup_tree_depth=warmup_tree_depth)
 
     key, k_init = jax.random.split(key)
     init_keys = jax.random.split(k_init, prob.n_chains)

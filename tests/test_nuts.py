@@ -312,6 +312,30 @@ def test_nuts_depth_budget():
     assert (ratio > 0.5).all() and (ratio < 1.6).all()
 
 
+def test_nuts_warmup_tree_depth_cap():
+    """warmup_tree_depth: capping the doubling budget during the FIRST
+    half of warmup (the mis-adapted expensive phase) leaves the adapted
+    step size, learned depth budget, and posterior intact — the histogram
+    half and sampling run the full budget."""
+    log_kernel = models.ill_conditioned_gaussian(8, condition_number=1e3)
+    s = mcmc_tpu.NUTSSettings(n_burnin_draws=500, n_keep_draws=500,
+                              n_adapt_draws=500)
+    kw = dict(n_chains=8, key=jax.random.PRNGKey(0), adapt_mass_matrix=True,
+              pooled_adaptation=True, adapt_depth=True)
+    base = mcmc_tpu.nuts(jnp.zeros(8), log_kernel, s, **kw)
+    capped = mcmc_tpu.nuts(jnp.zeros(8), log_kernel, s,
+                           warmup_tree_depth=3, **kw)
+    eps_b = float(np.asarray(base.diagnostics["step_size"])[-1].mean())
+    eps_c = float(np.asarray(capped.diagnostics["step_size"])[-1].mean())
+    assert abs(np.log(eps_c / eps_b)) < 0.7    # same adapted regime
+    d = np.asarray(capped.draws).reshape(-1, 8)
+    ratio = d.var(axis=0) / np.asarray(log_kernel.variances)
+    assert (ratio > 0.5).all() and (ratio < 1.6).all()
+    with pytest.raises(ValueError, match="warmup_tree_depth"):
+        mcmc_tpu.nuts(jnp.zeros(8), log_kernel, s,
+                      warmup_tree_depth=0, **kw)
+
+
 def test_nuts_eight_schools_exact_posterior():
     """Eight-schools (half-Cauchy tau): the endpoint tree variant must match
     the exact 2-d quadrature posterior E[mu]=4.397, E[tau]=3.589 (theta
