@@ -92,7 +92,11 @@ def post(k, data):
     return mcmc_tpu.fit(jnp.zeros(p + 1), lk, n_chains=4, n_warmup=400,
                         n_draws=256, key=k).draws
 
+# 16 sims: each sim is a full sequential fit() through the dispatch
+# tunnel, so this phase is latency-dominated — 16 keeps the uniformity
+# check meaningful (chi-squared over 8 bins) at ~40% of the wall clock;
+# raise n_sims for a publication-grade calibration
 r = mcmc_tpu.sbc(jax.random.PRNGKey(5), prior, sim, post,
-                 n_sims=40, n_rank_draws=31, thin=8, n_bins=8)
+                 n_sims=16, n_rank_draws=31, thin=8, n_bins=8)
 print("SBC uniformity p-values per dim:",
       np.asarray(r["p_value"]).round(3), "(all should be >> 0.01)")

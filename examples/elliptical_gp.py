@@ -17,12 +17,15 @@ import jax.numpy as jnp
 import numpy as np
 
 import mcmc_tpu
+from mcmc_tpu import models
 
 # --- synthetic data: smooth rate field, Poisson counts -------------------
+# rbf_kernel applies f32-sized diagonal jitter (1e-4 * amplitude^2): a
+# hand-rolled 1e-6 jitter leaves this Gram matrix indefinite at f32 and
+# the TPU Cholesky fails loud (models/targets.py rbf_kernel docstring)
 n = 64
 xs = jnp.linspace(0.0, 4.0, n)
-K = jnp.exp(-0.5 * (xs[:, None] - xs[None, :]) ** 2 / 0.5**2) \
-    + 1e-6 * jnp.eye(n)
+K = models.rbf_kernel(xs, length_scale=0.5)
 
 key = jax.random.PRNGKey(0)
 k_f, k_y, k_run = jax.random.split(key, 3)

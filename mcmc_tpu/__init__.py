@@ -349,6 +349,13 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
                         adapt_mass_matrix="dense" if dense_mass else "diag",
                         adapt_depth=True,
                         static_sampling_depth=ckpt is None,
+                        # cap the doubling budget during warmup's first
+                        # (mis-adapted) half — measured ~1.7x faster
+                        # time-to-posterior at identical adapted step size,
+                        # learned budget, and moments (samplers/nuts.py);
+                        # the second (histogram) half and sampling keep the
+                        # full max_tree_depth
+                        warmup_tree_depth=min(6, max_tree_depth),
                         **grad_kw, **kw)
         if algorithm == "hmc":
             hs = HMCSettings(n_burnin_draws=n_warmup, n_keep_draws=total_keep,
