@@ -109,18 +109,34 @@ def safe_initial_kv(val, dt):
 def make_mh_step(box, s: AEESSettings, dim, dt):
     """Tempered single-step MH (reference aees.ipp:30-70); no finiteness
     guard, as in the reference — NaN ratios reject. The ONE implementation
-    shared by the library sampler and the ladder-sharded variant
-    (:mod:`mcmc_tpu.parallel.aees_sharded`)."""
-    cov = common.make_spd(s.cov_mat, dim, dt)
+    shared by the library sampler, the ladder-sharded variant
+    (:mod:`mcmc_tpu.parallel.aees_sharded`), and — via the runtime-scale
+    core — the auto-ladder pilot (:func:`build_ee_ladder`)."""
+    core = make_mh_step_scaled(box, s, dim, dt)
 
     def mh_step(key, x, val_prev, temper):
+        x_new, val_new, _acc = core(key, x, val_prev, temper,
+                                    jnp.asarray(s.par_scale, dt))
+        return x_new, val_new
+
+    return mh_step
+
+
+def make_mh_step_scaled(box, s: AEESSettings, dim, dt):
+    """The tempered-MH core with a RUNTIME proposal scale and the accept
+    flag exposed — the single implementation behind :func:`make_mh_step`
+    and the self-tuning ladder pilot."""
+    cov = common.make_spd(s.cov_mat, dim, dt)
+
+    def mh_step(key, x, val_prev, temper, scale):
         k_n, k_u = jax.random.split(key)
         noise = jax.random.normal(k_n, (dim,), dt)
-        prop = x + jnp.sqrt(temper) * (s.par_scale * cov.sqrt_mv(noise))
+        prop = x + jnp.sqrt(temper) * (scale * cov.sqrt_mv(noise))
         val_new = box(prop)
         comp = jnp.minimum(0.01, (val_new - val_prev) / temper)
         acc = jax.random.uniform(k_u, dtype=dt) < jnp.exp(comp)
-        return jnp.where(acc, prop, x), jnp.where(acc, val_new, val_prev)
+        return (jnp.where(acc, prop, x),
+                jnp.where(acc, val_new, val_prev), acc)
 
     return mh_step
 
@@ -226,23 +242,12 @@ def build_ee_ladder(key, box, first, s: AEESSettings, dim, dt, t_max, *,
     """
     import numpy as np
 
-    cov = common.make_spd(s.cov_mat, dim, dt)
     beta_grid = jnp.asarray(
         np.geomspace(1.0 / t_max, 1.0, int(n_grid)), dt)
     grid_temps = 1.0 / beta_grid                      # (n_grid,)
     n_burn_half = int(n_pilot_draws) // 2
 
-    def pilot_step(key, x, val_prev, temper, scale):
-        """make_mh_step's tempered proposal/accept (aees.ipp:30-70) with a
-        per-temperature runtime scale for the pilot's self-tuning."""
-        k_n, k_u = jax.random.split(key)
-        noise = jax.random.normal(k_n, (dim,), dt)
-        prop = x + jnp.sqrt(temper) * (scale * cov.sqrt_mv(noise))
-        val_new = box(prop)
-        comp = jnp.minimum(0.01, (val_new - val_prev) / temper)
-        acc = jax.random.uniform(k_u, dtype=dt) < jnp.exp(comp)
-        return (jnp.where(acc, prop, x),
-                jnp.where(acc, val_new, val_prev), acc)
+    pilot_step = make_mh_step_scaled(box, s, dim, dt)
 
     val0 = safe_initial_kv(box(first), dt)
     x0 = jnp.tile(first[None, None, :],
