@@ -153,10 +153,12 @@ def main():
         elif v == "multinomial":
             run_variant("multinomial", lk, chains,
                         sample_method="multinomial")
-        elif v.startswith("ta"):
-            # taNN[-qMM][-static][@CHAINS]: target acceptance sweep with
-            # optional depth quantile and static post-warmup tree recap
-            spec = v[2:]
+        elif v.startswith("ta") or v.startswith("mn_ta"):
+            # [mn_]taNN[-qMM][-static][@CHAINS]: target acceptance sweep
+            # with optional multinomial tree sampling, depth quantile, and
+            # static post-warmup tree recap
+            mn = v.startswith("mn_ta")
+            spec = v[5:] if mn else v[2:]
             n = chains
             q = 0.98
             recap = False
@@ -171,12 +173,10 @@ def main():
                 q = int(qs) / 100.0
             run_variant(v, lk, n, target=int(spec) / 100.0,
                         depth_quantile=q, device_diag=n >= 2048,
-                        static_recap=recap)
+                        static_recap=recap,
+                        sample_method="multinomial" if mn else "slice")
         elif v == "q90":
             run_variant("q90", lk, chains, depth_quantile=0.90)
-        elif v == "mn_ta65":
-            run_variant("mn_ta65", lk, chains, target=0.65,
-                        sample_method="multinomial")
         else:
             raise SystemExit(f"unknown variant {v}")
 
