@@ -179,7 +179,7 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
         target_accept=None, max_tree_depth=10, n_leap_steps=16, init=None,
         lower_bounds=None, upper_bounds=None,
         rhat_target=None, min_ess=None, max_rounds=8,
-        checkpoint_dir=None, thin=1, blocks=None):
+        checkpoint_dir=None, thin=1, blocks=None, warmup_tree_depth=6):
     """One-call posterior fit with full automatic warmup.
 
     ``algorithm="nuts"`` (default) runs NUTS with pooled dual-averaging
@@ -190,7 +190,10 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
     ``target_accept`` defaults per algorithm (0.8 NUTS / 0.651 ChEES /
     0.8 HMC / 0.574 MALA); ``dense_mass`` selects full-covariance mass
     (NUTS/ChEES/HMC) or a dense learned preconditioner (MALA, unbounded
-    only); ``max_tree_depth`` is NUTS-only. ``algorithm="hmc"`` runs
+    only); ``max_tree_depth`` and ``warmup_tree_depth`` are NUTS-only
+    (the latter caps the doubling budget during warmup's first half —
+    ~1.7x faster time-to-posterior at unchanged quality; ``None``
+    disables for reference-parity warmup). ``algorithm="hmc"`` runs
     fixed-trajectory HMC (``n_leap_steps`` leapfrogs, default 16) with
     adapted step size and mass — the predictable-cost gradient sampler;
     ``algorithm="mala"`` runs MALA with adapted step size and learned
@@ -354,8 +357,12 @@ def fit(initial_vals, log_kernel, *, n_chains=8, n_warmup=1000, n_draws=1000,
                         # time-to-posterior at identical adapted step size,
                         # learned budget, and moments (samplers/nuts.py);
                         # the second (histogram) half and sampling keep the
-                        # full max_tree_depth
-                        warmup_tree_depth=min(6, max_tree_depth),
+                        # full max_tree_depth. warmup_tree_depth=None
+                        # disables (full reference-parity warmup).
+                        warmup_tree_depth=(
+                            None if warmup_tree_depth is None
+                            else min(int(warmup_tree_depth),
+                                     max_tree_depth)),
                         **grad_kw, **kw)
         if algorithm == "hmc":
             hs = HMCSettings(n_burnin_draws=n_warmup, n_keep_draws=total_keep,
