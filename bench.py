@@ -308,10 +308,16 @@ def measure_chees_quality(log_kernel):
 def measure_ghmc_quality(log_kernel):
     """GHMC (Horowitz persistent momentum, samplers/ghmc.py — round-4
     continuation) on the flagship posterior: 4096 chains, alpha=0.98,
-    thin=8, dual-averaged to 0.95 acceptance — the probe-optimal protocol
-    (benchmarks/ghmc_probe_r4.json; the alpha=0 full-refresh control fails
-    the R-hat gate at 9x less ESS/s in the same budget). One gradient per
-    draw; exact. Diagnostics on device."""
+    THREE leapfrogs per draw, thin=4, dual-averaged to 0.95 acceptance —
+    the round-5 trajectory-length sweep's optimum
+    (benchmarks/ghmc_probe_r5_trajlen.json: L=1/2/3/4/8 measure
+    5.6/9.7/16.8/8.5/8.8 M min-ESS/s; the L=3 figure is seed-STABLE at
+    16.7-16.9M across 3 seeds once fully warmed — GHMC under-warmed is
+    fragile, so the warm phase runs WARMUP thinned sweeps = 4x that many
+    transitions). The alpha=0 full-refresh control fails the R-hat gate
+    at a fraction of the ESS/s in the same budget
+    (benchmarks/ghmc_probe_r4.json). Exact sampling. Diagnostics on
+    device."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -320,10 +326,10 @@ def measure_ghmc_quality(log_kernel):
     from mcmc_tpu.samplers import common
     from mcmc_tpu.samplers.ghmc import build_ghmc_kernel
 
-    N, THIN, WARM = 4096, 8, 1000
+    N, THIN, WARM, N_LEAP = 4096, 4, 1000, 3
     precond = common.make_spd(None, DIM, jnp.float32)
     init, step = build_ghmc_kernel(
-        log_kernel, jax.grad(log_kernel), precond, 0.05, 0.98, 1, 0.2,
+        log_kernel, jax.grad(log_kernel), precond, 0.05, 0.98, N_LEAP, 0.2,
         {"n_burnin": WARM, "target": 0.95})
     step = common.thin_step(step, THIN)
     bstep = jax.vmap(step, axis_name=common.CHAIN_AXIS_NAME)
@@ -356,14 +362,22 @@ def measure_ghmc_quality(log_kernel):
     @jax.jit
     def diag(d):
         return (diagnostics.ess(d, chain_chunk=256).min(),
+                diagnostics.bulk_ess(d, chain_chunk=256).min(),
+                diagnostics.tail_ess(d, chain_chunk=256).min(),
                 diagnostics.split_rhat(d).max())
 
-    ess_min, rhat = map(float, diag(draws))
+    ess_min, ess_bulk, ess_tail, rhat = map(float, diag(draws))
     return {
         "ghmc_min_ess_per_sec": round(ess_min / t_samp, 1),
+        # tail ESS is much lower than bulk for the persistent chain
+        # (coherent motion decorrelates means faster than extremes) —
+        # report both so the headline can't hide it
+        "ghmc_bulk_ess_per_sec": round(ess_bulk / t_samp, 1),
+        "ghmc_tail_ess_per_sec": round(ess_tail / t_samp, 1),
         "ghmc_max_split_rhat": round(rhat, 4),
         "ghmc_converged": bool(rhat <= 1.01),
         "ghmc_chains": N, "ghmc_alpha": 0.98, "ghmc_thin": THIN,
+        "ghmc_n_leap": N_LEAP,
         "ghmc_adapted_step_size": round(
             float(jnp.exp(stw.da.log_eps_bar[0])), 5),
         "ghmc_sample_seconds": round(t_samp, 3),

@@ -12,8 +12,11 @@ Usage: python benchmarks/ghmc_probe.py [variant ...]   (run on the TPU)
 """
 
 import json
+import pathlib
 import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
@@ -31,10 +34,10 @@ KEEP = 1000
 
 
 def run_variant(name, lk, n_chains, alpha, thin=1, keep=KEEP, jitter=0.2,
-                step_size=0.05, target=0.95):
+                step_size=0.05, target=0.95, n_leap=1):
     precond = common.make_spd(None, DIM, jnp.float32)
     init, step = build_ghmc_kernel(
-        lk, jax.grad(lk), precond, step_size, alpha, 1, jitter,
+        lk, jax.grad(lk), precond, step_size, alpha, n_leap, jitter,
         {"n_burnin": WARMUP, "target": target})
     step = common.thin_step(step, thin)
     bstep = jax.vmap(step, axis_name=common.CHAIN_AXIS_NAME)
@@ -81,7 +84,8 @@ def run_variant(name, lk, n_chains, alpha, thin=1, keep=KEEP, jitter=0.2,
         "min_ess_per_sec": round(ess_min / t_samp, 1),
         "min_ess": round(ess_min, 1),
         "draws_per_sec": round(keep * n_chains / t_samp, 1),
-        "grad_evals_per_sec": round(keep * thin * n_chains / t_samp, 1),
+        "grad_evals_per_sec": round(keep * thin * n_chains
+                                    * n_leap / t_samp, 1),
         "max_split_rhat": round(rhat, 4),
         "converged": bool(rhat <= 1.01),
         "warmup_seconds": round(t_warm, 2),
@@ -104,6 +108,30 @@ def main():
         "a98-4096-thin8": dict(n_chains=4096, alpha=0.98, thin=8),
         "a98-1024-thin8": dict(n_chains=1024, alpha=0.98, thin=8),
         "a995-4096-thin8": dict(n_chains=4096, alpha=0.995, thin=8),
+        # trajectory-length sweep (r5): does L > 1 beat the one-gradient
+        # draw at matched thin*L gradient budget?
+        "a98-4096-L2-thin4": dict(n_chains=4096, alpha=0.98, thin=4,
+                                  n_leap=2),
+        "a95-4096-L4-thin2": dict(n_chains=4096, alpha=0.95, thin=2,
+                                  n_leap=4),
+        "a90-4096-L8-thin1": dict(n_chains=4096, alpha=0.9, thin=1,
+                                  n_leap=8),
+        "a98-4096-L2-thin2": dict(n_chains=4096, alpha=0.98, thin=2,
+                                  n_leap=2),
+        "a95-4096-L2-thin4": dict(n_chains=4096, alpha=0.95, thin=4,
+                                  n_leap=2),
+        "a98-4096-L3-thin3": dict(n_chains=4096, alpha=0.98, thin=3,
+                                  n_leap=3),
+        "a99-4096-L2-thin4": dict(n_chains=4096, alpha=0.99, thin=4,
+                                  n_leap=2),
+        "a99-4096-L3-thin3": dict(n_chains=4096, alpha=0.99, thin=3,
+                                  n_leap=3),
+        "a98-4096-L3-thin2": dict(n_chains=4096, alpha=0.98, thin=2,
+                                  n_leap=3),
+        "a98-4096-L4-thin2": dict(n_chains=4096, alpha=0.98, thin=2,
+                                  n_leap=4),
+        "a98-4096-L3-thin4": dict(n_chains=4096, alpha=0.98, thin=4,
+                                  n_leap=3),
     }
     names = sys.argv[1:] or list(variants)
     for name in names:
