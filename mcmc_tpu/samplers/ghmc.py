@@ -26,6 +26,13 @@ Defaults: ``alpha`` is derived from the damping form
 ``alpha = exp(-step_size / L)`` when ``momentum_persistence`` is left at
 0.0 (auto), with decoherence length ``L = sqrt(dim)`` — matching the
 microcanonical family's auto-L convention (samplers/mclmc.py).
+
+Tuning note (measured, benchmarks/ghmc_probe_r5_trajlen.json): on the
+100-d flagship the throughput-optimal protocol is ``n_leap_steps=3``,
+``thin=4``, ``momentum_persistence=0.98`` at the 0.95 accept target —
+16.8M min-ESS/s seed-stable, 3x the 1-leapfrog default protocol.
+Under-warmed persistent chains are fragile: budget warmup in
+TRANSITIONS (burn-in draws x thin), not kept draws.
 """
 
 from __future__ import annotations
